@@ -1,0 +1,51 @@
+"""Per-round benchmark: run every declared query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line with per-query wall-clock seconds.
+
+Execution is forced with a noop datasource write (full pipeline runs,
+nothing collected to the driver) — the honest way to time a distributed
+plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from kinesis_handler_spark.registry import all_queries  # noqa: E402
+from kinesis_handler_spark.session import get_spark  # noqa: E402
+
+
+def run_bench(sf_dir: str) -> dict:
+    spark = get_spark("kinesis-handler-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    # Warm the JVM + parquet footer caches with the flagship query so
+    # per-query numbers measure the plan, not first-run JIT.
+    qs["agg_groupby_pricing"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings: dict[str, float] = {}
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return {
+        "metric": "total_declared_query_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    print(json.dumps(run_bench(sf_dir)))

@@ -1,0 +1,21 @@
+"""Declared queries — importing this package registers every query.
+
+Module map (mirrors SURVEY.md §2.B sections):
+
+* :mod:`relational`  — scan/filter/project, joins, aggregations
+* :mod:`windows`     — window functions, top-k per group, as-of join
+* :mod:`setops`      — sorts, limits, set operations, exact dedup
+* :mod:`scalars`     — scalar function library (string/date/math/array/json)
+* :mod:`routing_q`   — batch-checkable projections of the routing engine
+* :mod:`llm`         — text analysis, near-dedup, similarity search,
+                       multimodal binary columns
+"""
+
+from kinesis_handler_spark.queries import (  # noqa: F401
+    llm,
+    relational,
+    routing_q,
+    scalars,
+    setops,
+    windows,
+)

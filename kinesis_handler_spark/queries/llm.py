@@ -1,0 +1,578 @@
+"""LLM-training-data-pipeline operators (SURVEY.md §2.B north-star set):
+text analysis, near-duplicate detection, similarity search, multimodal
+binary columns, pandas-UDF/UDAF surface.
+
+Scale design notes
+------------------
+* Near-dedup: the shingle self-join is quadratic in the worst case; the
+  scale path is MinHash banding (``dedup_near_minhash``) which buckets
+  candidates so the join is linear in candidate pairs.  Both are here.
+* Similarity: brute-force top-k is the correctness baseline (arrays stay
+  packed — higher-order functions, no explode shuffle); the LSH/IVF
+  variant is the 100 TB path.
+* Cross-engine determinism: embeddings are quantized to integers (×1000)
+  before dot products, making every sum exact and order-independent;
+  cosine then is a fixed chain of IEEE-exact double ops.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_handler_spark.registry import query
+from kinesis_handler_spark.tables import table
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "of", "and", "or", "to", "in", "is")
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+           CAST(CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS avg_tokens,
+           SUM(n_chars) AS total_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: doc counts, token totals (exact
+    ints), avg tokens (one deterministic double division), source
+    cardinality."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    return (
+        d.select("lang", "source", "n_chars", n_tok.alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    lang_term AS (
+      SELECT lang, term,
+             COUNT(*) AS tf,
+             COUNT(DISTINCT doc_id) AS df
+      FROM tok GROUP BY lang, term
+    ),
+    n_docs AS (SELECT COUNT(*) AS n FROM documents),
+    ranked AS (
+      SELECT lang, term, tf, df,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY tf DESC, term) AS rn
+      FROM lang_term
+    )
+    SELECT lang, term, tf, CAST(df AS BIGINT) AS df,
+           round(CAST(tf AS DOUBLE) * ln(CAST((SELECT n FROM n_docs) AS DOUBLE)
+                                         / CAST(df AS DOUBLE)), 6) AS tfidf
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per language by term frequency, with TF-IDF scores.
+    Ranking is on exact integer counts (engine-independent); the tf-idf
+    score itself is informational, rounded to 6 dp.  Two aggregations +
+    one window — no driver-side loops; vocabulary shuffles once."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+    lang_term = tok.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    n_docs = d.count()  # scalar (cheap count, pushed to parquet metadata)
+    w = Window.partitionBy("lang").orderBy(F.col("tf").desc(), F.col("term"))
+    return (
+        lang_term.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "lang",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+                  x -> list_contains(['the','a','of','and','or','to','in','is'], x)))
+               AS BIGINT) AS n_stop,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+               AS BIGINT) AS n_bpe_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens, n_bpe_tokens,
+           CAST(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                AS DOUBLE) AS avg_token_len,
+           CAST(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS DOUBLE)
+             AS stopword_ratio,
+           (n_tokens >= 20 AND n_tokens <= 500) AS len_ok
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals per document: token counts (whitespace and a
+    BPE-ish regex), average token length, stopword ratio, length gate —
+    the standard pre-training corpus filters, all JVM-side."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin(*STOPWORDS))
+    ).cast("long")
+    n_bpe = F.size(
+        F.regexp_extract_all("text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0)
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        (
+            (F.col("n_chars") - (n_tokens - F.lit(1))).cast("double")
+            / n_tokens.cast("double")
+        ).alias("avg_token_len"),
+        (n_stop.cast("double") / n_tokens.cast("double")).alias("stopword_ratio"),
+        ((n_tokens >= 20) & (n_tokens <= 500)).alias("len_ok"),
+    )
+
+
+@query(
+    "text_lang_profile",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    profile AS (
+      SELECT lang AS p_lang, term FROM (
+        SELECT lang, term, ROW_NUMBER() OVER (
+                 PARTITION BY lang ORDER BY COUNT(*) DESC, term) AS rn
+        FROM tok GROUP BY lang, term
+      ) WHERE rn <= 20
+    ),
+    doc_terms AS (SELECT DISTINCT doc_id, term FROM tok),
+    scores AS (
+      SELECT d.doc_id, p.p_lang, COUNT(*) AS matches
+      FROM doc_terms d JOIN profile p ON d.term = p.term
+      GROUP BY d.doc_id, p.p_lang
+    ),
+    best AS (
+      SELECT doc_id, p_lang AS predicted_lang FROM (
+        SELECT doc_id, p_lang, ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY matches DESC, p_lang) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    )
+    SELECT doc.doc_id, doc.lang,
+           COALESCE(b.predicted_lang, 'unknown') AS predicted_lang,
+           (doc.lang = COALESCE(b.predicted_lang, 'unknown')) AS hit
+    FROM documents doc LEFT JOIN best b ON doc.doc_id = b.doc_id
+    """,
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification by corpus-derived term profiles
+    (Cavnar-Trenkle-style n-gram/profile matching, n=1): build top-20
+    term profiles per language, score each document by profile overlap,
+    predict the argmax.  Two shuffles (profile agg + score agg); the
+    profile side is tiny and broadcast by AQE."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+    w_p = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("term"))
+    profile = (
+        tok.groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w_p))
+        .filter(F.col("rn") <= 20)
+        .select(F.col("lang").alias("p_lang"), "term")
+    )
+    doc_terms = tok.select("doc_id", "term").distinct()
+    scores = (
+        doc_terms.join(F.broadcast(profile), "term")
+        .groupBy("doc_id", "p_lang")
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+    w_b = Window.partitionBy("doc_id").orderBy(F.col("matches").desc(), F.col("p_lang"))
+    best = (
+        scores.withColumn("rn", F.row_number().over(w_b))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("p_lang").alias("predicted_lang"))
+    )
+    return d.join(best, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce("predicted_lang", F.lit("unknown")).alias("predicted_lang"),
+        (F.col("lang") == F.coalesce("predicted_lang", F.lit("unknown"))).alias("hit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_near_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    idx AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM idx
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.n_common,
+           sa.sz + sb.sz - p.n_common AS n_union
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE 5 * p.n_common >= sa.sz + sb.sz - p.n_common
+    """,
+)
+def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram (3-word shingle) Jaccard near-duplicate pairs at
+    similarity >= 0.2.  The threshold test uses integer cross-
+    multiplication (5·common >= union) — no float ratios, exact on both
+    engines.  Scale note: this exact self-join is the verification tier;
+    at 100 TB run ``dedup_near_minhash`` first and only exact-check its
+    candidate pairs (this operator applied to candidates, not the cross
+    product)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    shingled = (
+        d.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i + 1),
+                        F.element_at(F.col("t"), i + 2),
+                        F.element_at(F.col("t"), i + 3),
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_union", F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+        .filter(5 * F.col("n_common") >= F.col("n_union"))
+        .select("doc_a", "doc_b", "n_common", "n_union")
+    )
+
+
+@query("dedup_near_minhash")  # rows-only: MinHash signatures are engine-specific
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates — the 100 TB dedup path:
+    shingle → 32 minhashes (xxhash64 with per-function salts) → band into
+    8 groups of 4 → exact-match join on (band, band-signature).  Cost is
+    linear in docs + candidate pairs, never all-pairs.  Deterministic
+    (fixed salts) but engine-specific hashing => rows-only oracle; pytest
+    asserts recall against ``dedup_near_jaccard`` on planted duplicates.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    shingled = (
+        d.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i + 1),
+                        F.element_at(F.col("t"), i + 2),
+                        F.element_at(F.col("t"), i + 3),
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    n_hashes, n_bands = 32, 8  # 4 rows/band => catches J >~ 0.5 reliably
+    minhashes = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = shingled.groupBy("doc_id").agg(*minhashes)
+    rows_per_band = n_hashes // n_bands
+    bands = []
+    for band in range(n_bands):
+        cols = [F.col(f"mh{band * rows_per_band + j}") for j in range(rows_per_band)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.hash(*cols).alias("band_sig"),
+            )
+        )
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionByName(extra)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def _quantized(col: str = "embedding"):
+    """Embedding → exact integer vector (×1000, round-half-away —
+    identical in Spark and DuckDB), making dot products order-independent
+    integer arithmetic."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * 1000.0).cast("long")
+    )
+
+
+@query(
+    "sim_cosine_topk",
+    oracle="""
+    WITH qv AS (
+      SELECT vec_id,
+             unnest(list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))) AS v,
+             unnest(generate_series(1, len(embedding))) AS pos
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, SUM(v * v) AS n2 FROM qv GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS nbr_id, SUM(a.v * b.v) AS dot
+      FROM qv a JOIN qv b ON a.pos = b.pos
+      WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT q_id, nbr_id, cosine FROM (
+      SELECT d.q_id, d.nbr_id,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+               AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.q_id
+               ORDER BY CAST(d.dot AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) DESC,
+               d.nbr_id) AS rn
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.q_id
+      JOIN norms nb ON nb.vec_id = d.nbr_id
+    ) t WHERE rn <= 5
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors (vec_id<10).
+    Arrays stay packed: the dot product is a JVM higher-order-function
+    fold over zip_with — no explode, so the join moves n_q × n rows of
+    (id, array), not n_q × n × dim scalars.  Quantized integer math =>
+    bit-identical scores across engines.  Scale path: replace the cross
+    join with LSH bucketing (``sim_cosine_lsh`` planned) or IVF cells;
+    the per-pair scoring kernel stays this one."""
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.select("vec_id", _quantized().alias("qvec"))
+    norms = qv.select(
+        "vec_id",
+        F.aggregate(
+            "qvec", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("n2"),
+    )
+    q = (
+        qv.filter(F.col("vec_id") < 10)
+        .join(norms, "vec_id")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("qvec").alias("q_vec"),
+            F.col("n2").alias("q_n2"),
+        )
+    )
+    b = qv.join(norms, "vec_id").select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("qvec").alias("b_vec"),
+        F.col("n2").alias("b_n2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_vec", "b_vec", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cosine = dot.cast("double") / (
+        F.sqrt(F.col("q_n2").cast("double")) * F.sqrt(F.col("b_n2").cast("double"))
+    )
+    scored = (
+        q.crossJoin(b)
+        .filter(F.col("q_id") != F.col("nbr_id"))
+        .select("q_id", "nbr_id", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           'text/plain' AS mime
+    FROM documents
+    WHERE doc_id % 4 = 0
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary-column handling: payload bytes + typed metadata
+    (content hash, byte length, mime).  The same plumbing carries
+    image/audio blobs — see kinesis_handler_spark.io.multimodal for the
+    decode/feature-extraction mapInPandas pipeline (decode stubbed:
+    codec libs not in this container)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    payload = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.md5(payload).alias("content_md5"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.lit("text/plain").alias("mime"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pandas UDF / UDAF surface
+# ---------------------------------------------------------------------------
+
+@query(
+    "udf_transformer",
+    oracle="""
+    SELECT event_id,
+           upper(event_type) || ':' || CAST(user_id AS VARCHAR) AS routed_tag
+    FROM events
+    WHERE event_id % 6 = 0
+    """,
+)
+def udf_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's user `transformer(payload, record)` hook
+    (kinesisHandler.js:62-64,176-178) as a *vectorized* pandas UDF —
+    Arrow batches instead of per-record Python.  String-only logic keeps
+    it oracle-checkable."""
+
+    @F.pandas_udf("string")
+    def routed_tag(event_type: pd.Series, user_id: pd.Series) -> pd.Series:
+        return event_type.str.upper() + ":" + user_id.astype("int64").astype(str)
+
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") % 6 == 0)
+    return e.select(
+        "event_id", routed_tag("event_type", "user_id").alias("routed_tag")
+    )
+
+
+@query(
+    "udaf_grouped_pandas",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(median(value) AS DOUBLE) AS median_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregate via applyInPandas: exact per-user median
+    (sorts within the group — deterministic; even-count median
+    interpolates identically to DuckDB's)."""
+    e = table(spark, sf_dir, "events").select("user_id", "value")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "median_value": [float(pdf["value"].median())],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        stats, "user_id long, n_events long, median_value double"
+    )

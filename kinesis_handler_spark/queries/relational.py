@@ -1,0 +1,516 @@
+"""Core relational operators: scan/filter/project, joins, aggregations.
+
+SURVEY.md §2.B "Sources/sinks", "Projection/filter", "Joins",
+"Aggregations".  All pure DataFrame API — Catalyst supplies pushdown,
+pruning, join strategy selection, and partial aggregation; AQE handles
+runtime broadcast and skew (session.py).  Scale notes per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_handler_spark.functions.numeric import DEC_SUM, dec, dec_sum
+from kinesis_handler_spark.registry import query
+from kinesis_handler_spark.tables import table
+
+
+# ---------------------------------------------------------------------------
+# Scan / filter / project
+# ---------------------------------------------------------------------------
+
+@query(
+    "scan_filter_project",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 100000.0
+    """,
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan→filter→project baseline.  Both predicates and the 3-column
+    projection reach the parquet reader (PushedFilters + ReadSchema) —
+    at 100 TB this is the difference between reading 3 columns of a
+    row-group subset and reading everything."""
+    return (
+        table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000.0))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "filter_pushdown_dates",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    """,
+)
+def filter_pushdown_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp + string predicates pushed to the parquet scan; enables
+    row-group skipping via min/max statistics at scale."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01"))
+            & (F.col("l_returnflag") == "R")
+        )
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+    )
+
+
+@query(
+    "project_compute",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+           * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6))
+        AS disc_price,
+      CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'small' END AS qty_class
+    FROM lineitem
+    WHERE l_linenumber <= 2
+    """,
+)
+def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed projection: exact-decimal arithmetic + CASE WHEN, all
+    inside whole-stage codegen (no UDFs)."""
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        (dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast(DEC_SUM)
+        .alias("disc_price"),
+        F.when(F.col("l_quantity") >= 25, "bulk").otherwise("small").alias("qty_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT
+      COUNT(*) AS n_rows,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+      CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+      CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           / COUNT(l_extendedprice) AS DOUBLE) AS avg_price
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregate — partial aggregation per partition then a
+    single-row final combine; no full shuffle of the fact table."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dec_sum("l_quantity").alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        (F.sum(dec("l_extendedprice")).cast("double") / F.count("l_extendedprice"))
+        .alias("avg_price"),
+    )
+
+
+@query(
+    "agg_groupby_pricing",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6))
+        AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+               * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6))
+        AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+               * (1 - CAST(l_discount AS DECIMAL(18,6)))
+               * (1 + CAST(l_tax AS DECIMAL(18,6)))) AS DECIMAL(38,6))
+        AS sum_charge,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+           / COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+      CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+           / COUNT(l_discount) AS DOUBLE) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (TPC-H Q1-shaped) pricing summary.  Hash aggregate with
+    map-side partial combine: 6 group keys regardless of fact size, so
+    the shuffle moves O(groups × partitions), not O(rows) — the plan
+    that survives 100 TB.  Mirrors the reference's role as the
+    "summarize the stream" workload (kinesisHandler.js has no agg; this
+    is north-star SURVEY §2.B)."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02")
+    )
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    charge = disc_price * (F.lit(1) + dec("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast(DEC_SUM).alias("sum_disc_price"),
+            F.sum(charge).cast(DEC_SUM).alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity"))
+            .alias("avg_qty"),
+            (F.sum(dec("l_discount")).cast("double") / F.count("l_discount"))
+            .alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct per group (expand + two-phase agg under the hood)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL sketches are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (HyperLogLog++).  The 100 TB answer to
+    cardinality: fixed-size sketch, no expand, mergeable across
+    partitions.  Engine-specific sketch => rows-only driver check; the
+    pytest layer asserts relative error vs exact counts."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"))
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals (flag, flag+status, grand total) in one pass."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            dec_sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations of two dimensions."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("o_totalprice").alias("sum_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "sum_price")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via SQL (Catalyst Expand, one scan)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                    AS DECIMAL(38,6)) AS sum_price
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@query(
+    "agg_filtered_pivot",
+    oracle="""
+    SELECT user_bucket,
+      COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+      COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+      CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,6)))
+                    FILTER (WHERE event_type = 'purchase'), 0)
+           AS DECIMAL(38,6)) AS purchase_value
+    FROM (SELECT *, user_id % 10 AS user_bucket FROM events) e
+    GROUP BY user_bucket
+    """,
+)
+def agg_filtered_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (pivot-shaped): one scan, N conditional
+    aggregates — the scalable alternative to N filtered scans."""
+    e = table(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.col("user_id") % 10
+    )
+    return e.groupBy("user_bucket").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", dec("value"))),
+            F.lit(0).cast("decimal(18,6)"),
+        )
+        .cast(DEC_SUM)
+        .alias("purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS total_spent
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join orders⋈customer.  Catalyst/AQE picks broadcast vs
+    sort-merge by build-side size; at 100 TB both sides shuffle on the
+    join key and the filter is pushed below the join."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice").alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_lineitems,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+                AS DECIMAL(38,6)) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact⋈orders⋈customer⋈nation⋈region.  nation/region are
+    explicitly broadcast (bounded dims — broadcast at any SF); the
+    fact⋈orders⋈customer joins shuffle on their keys and AQE converts to
+    broadcast when the build side turns out small."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(revenue).cast(DEC_SUM).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null-extension; COUNT(col) skips the
+    unmatched rows' nulls."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT
+      COALESCE(a.k, b.k) AS nationkey,
+      COALESCE(a.n_cust, 0) AS n_cust,
+      COALESCE(b.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1) a
+    FULL JOIN (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1) b
+      ON a.k = b.k
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides (aggregate-below-join
+    keeps the shuffled data small)."""
+    a = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    b = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return a.join(b, a.k == b.k, "full").select(
+        F.coalesce(a.k, b.k).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000.0)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one big order.  Semi join
+    never duplicates the left side — no fan-out blowup at scale."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000.0)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no order above 400k (threshold
+    chosen to keep the result non-trivial at every scale factor)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_range_theta",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS n_pairs
+    FROM customer c
+    JOIN supplier s ON c.c_nationkey = s.s_nationkey
+                   AND c.c_acctbal > s.s_acctbal
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi join: equi key (nation) plus a theta condition
+    (c_acctbal > s_acctbal).  Catalyst evaluates the theta predicate as a
+    post-condition of the equi-join — at scale this stays a hash/sort
+    join on the equi key instead of a cartesian product."""
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    return (
+        c.join(
+            s,
+            (c.c_nationkey == s.s_nationkey) & (c.c_acctbal > s.s_acctbal),
+        )
+        .join(n, F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

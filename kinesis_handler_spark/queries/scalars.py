@@ -1,0 +1,238 @@
+"""Scalar function library, exercised via declared queries.
+
+SURVEY.md §2.B "Scalar function library".  Cross-engine determinism:
+string/date/integer ops are exact; float ops restricted to IEEE-exact
+(+,-,*,/,sqrt) or integer-valued results.  Functions whose return type
+differs between engines (floor, year, datediff, ...) are cast to a
+common type on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_handler_spark.registry import query
+from kinesis_handler_spark.tables import table
+
+
+@query(
+    "scalar_string",
+    oracle="""
+    SELECT
+      c_custkey,
+      upper(c_mktsegment)                    AS seg_upper,
+      lower(c_name)                          AS name_lower,
+      substr(c_name, 1, 8)                   AS name_prefix,
+      c_name || '/' || c_mktsegment          AS name_seg,
+      CAST(length(c_name) AS INTEGER)        AS name_len,
+      trim('  ' || c_mktsegment || ' ')      AS seg_trim,
+      regexp_extract(c_name, '([0-9]+)', 1)  AS name_digits,
+      replace(c_name, 'Customer#', 'C-')     AS name_short,
+      string_split(c_name, '#')              AS name_parts
+    FROM customer
+    WHERE c_custkey % 7 = 0
+    """,
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/substr/concat/length/trim/regexp_extract/replace/split."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 == 0)
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
+        F.length("c_name").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias(
+            "seg_trim"
+        ),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.regexp_replace("c_name", r"Customer#", "C-").alias("name_short"),
+        F.split("c_name", "#").alias("name_parts"),
+    )
+
+
+@query(
+    "scalar_date",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CAST(year(o_orderdate)  AS INTEGER) AS order_year,
+      CAST(month(o_orderdate) AS INTEGER) AS order_month,
+      CAST(day(o_orderdate)   AS INTEGER) AS order_day,
+      CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS order_dow,
+      date_trunc('month', o_orderdate) AS order_month_start,
+      CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+      CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+           AS INTEGER) AS days_since_epoch_start,
+      CAST(epoch(o_orderdate) AS BIGINT) AS order_unix
+    FROM orders
+    WHERE o_orderkey % 11 = 0
+    """,
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day/dayofweek/date_trunc/date_add/datediff/unix_timestamp.
+
+    DuckDB ``dayofweek`` is 0=Sunday; Spark ``dayofweek`` is 1=Sunday —
+    oracle adds 1.  All timestamps are midnight-aligned so day diffs are
+    unambiguous."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .alias("days_since_epoch_start"),
+        F.unix_timestamp("o_orderdate").alias("order_unix"),
+    )
+
+
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT
+      l_orderkey, l_linenumber,
+      abs(l_quantity - 25.0)                        AS qty_dev,
+      CAST(ceil(l_extendedprice / 1000.0)  AS BIGINT) AS price_k_ceil,
+      CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor,
+      round(l_discount * 100.0, 0)                  AS disc_pct,
+      sqrt(l_extendedprice)                         AS price_sqrt,
+      pow(2.0, CAST(l_linenumber AS DOUBLE))        AS two_pow_line,
+      ((l_orderkey % 7) + 7) % 7                    AS key_mod7,
+      CAST(greatest(l_quantity, 10.0) AS DOUBLE)    AS qty_floor10,
+      CAST(least(l_quantity, 40.0)    AS DOUBLE)    AS qty_cap40
+    FROM lineitem
+    WHERE l_orderkey % 13 = 0
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/ceil/floor/round/sqrt/pow/pmod/greatest/least.  sqrt and pow
+    with integer exponents are IEEE-exact; round operates off .5
+    boundaries (discount grid is exact-centesimal)."""
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 13 == 0)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.ceil(F.col("l_extendedprice") / 1000.0).alias("price_k_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000.0).alias("price_k_floor"),
+        F.round(F.col("l_discount") * 100.0, 0).alias("disc_pct"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.pow(F.lit(2.0), F.col("l_linenumber").cast("double")).alias("two_pow_line"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("key_mod7"),
+        F.greatest(F.col("l_quantity"), F.lit(10.0)).alias("qty_floor10"),
+        F.least(F.col("l_quantity"), F.lit(40.0)).alias("qty_cap40"),
+    )
+
+
+@query(
+    "scalar_array",
+    oracle="""
+    SELECT
+      vec_id,
+      CAST(len(embedding) AS INTEGER) AS dim,
+      embedding[1]                    AS first_val,
+      list_slice(embedding, 1, 4)     AS head4,
+      list_sort(list_slice(embedding, 1, 4)) AS head4_sorted,
+      list_contains(list_transform(embedding, x -> x > 0.4), true)
+        AS has_large
+    FROM embeddings
+    WHERE vec_id % 5 = 0
+    """,
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size/element_at/slice/sort_array/exists over ArrayType — all
+    higher-order functions run JVM-side (no Python)."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.slice("embedding", 1, 4).alias("head4"),
+        F.sort_array(F.slice("embedding", 1, 4)).alias("head4_sorted"),
+        F.exists("embedding", lambda x: x > F.lit(0.4)).alias("has_large"),
+    )
+
+
+@query(
+    "scalar_array_explode",
+    oracle="""
+    SELECT vec_id,
+           CAST(unnest(generate_series(1, len(embedding))) AS INTEGER) AS pos,
+           unnest(embedding) AS val
+    FROM embeddings
+    WHERE vec_id < 8
+    """,
+)
+def scalar_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (UDTF-shaped: 1 row → N rows); positions 1-based to
+    match the oracle's parallel-unnest zip."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select("vec_id", (F.col("pos0") + 1).cast("int").alias("pos"), "val")
+
+
+@query(
+    "scalar_map_json",
+    oracle="""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k":\\s*(-?[0-9]+)', 1) AS INTEGER) AS k_value,
+           'k' AS first_key
+    FROM events
+    WHERE event_id % 9 = 0
+    """,
+)
+def scalar_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-string → MapType via from_json; map_keys/element access.
+    (Reference analogue: the JSON.parse step, kinesisHandler.js:171.)"""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") % 9 == 0)
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        m.getItem("k").alias("k_value"),
+        F.map_keys(m).getItem(0).alias("first_key"),
+    )
+
+
+@query(
+    "scalar_conditional_null",
+    oracle="""
+    SELECT
+      c_custkey,
+      coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+      CASE WHEN c_acctbal < 0 THEN 'neg'
+           WHEN c_acctbal < 5000 THEN 'low'
+           ELSE 'high' END AS bal_class,
+      nullif(c_nationkey, 0) AS nation_or_null,
+      coalesce(CAST(NULL AS DOUBLE), c_acctbal, 0.0) AS bal_nvl,
+      (c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL) AS is_complete
+    FROM customer
+    WHERE c_custkey % 3 = 0
+    """,
+)
+def scalar_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce/nullif/when-otherwise/null predicates."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("seg_or_other"),
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_class"),
+        F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nation_or_null"),
+        F.coalesce(F.lit(None).cast("double"), F.col("c_acctbal"), F.lit(0.0)).alias(
+            "bal_nvl"
+        ),
+        (F.col("c_acctbal").isNotNull() & F.col("c_mktsegment").isNotNull()).alias(
+            "is_complete"
+        ),
+    )

@@ -1,0 +1,165 @@
+"""Window functions, top-k per group, and the as-of join.
+
+SURVEY.md §2.B "Window functions" + `join_asof_latest` + `topk_per_group`.
+Every window carries a total ordering (deterministic tie-break keys) so
+rank/row_number results are engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_handler_spark.functions.numeric import DEC_SUM, dec
+from kinesis_handler_spark.registry import query
+from kinesis_handler_spark.tables import table
+
+
+@query(
+    "window_rank_topn",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal, rnk
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             RANK() OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer
+    ) t
+    WHERE rnk <= 3
+    """,
+)
+def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per nation via RANK.  Window shuffles
+    once on the partition key; the rank<=3 filter prunes immediately
+    after — Spark's WindowGroupLimit pushes the limit into the sort at
+    scale."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        table(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_custkey", "c_acctbal", F.rank().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - LAG(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+           LEAD(event_type)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gaps per user (sessionization building block).  Gap is
+    exact integer microseconds — no float time arithmetic."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "window_running_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,6)) AS running_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,6)) AS window3_value
+    FROM events
+    """,
+)
+def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running + sliding-frame sums with explicit ROWS frames (exact
+    decimal, order-independent)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last3 = w.rowsBetween(-2, Window.currentRow)
+    v = dec("value")
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.sum(v).over(run).cast(DEC_SUM).alias("running_value"),
+        F.sum(v).over(last3).cast(DEC_SUM).alias("window3_value"),
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) t
+    WHERE rn <= 2
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer — row_number + filter, the scalable
+    grouped-top-k idiom (single shuffle on the group key)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+        .drop("rn")
+    )
+
+
+@query(
+    "join_asof_latest",
+    oracle="""
+    SELECT e.event_id, e.user_id, t.o_orderkey AS last_orderkey
+    FROM events e
+    LEFT JOIN (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) t ON t.o_custkey = e.user_id AND t.rn = 1
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def join_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the user's latest order
+    (all fixture orders precede all events, so "latest prior" = latest).
+    Implemented as reduce-then-join: the window collapses orders to one
+    row per key BEFORE the join, so the join input is minimal — the
+    scalable as-of pattern (vs. joining the full history and filtering).
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest = (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return e.join(latest, e.user_id == latest.o_custkey, "left").select(
+        "event_id", "user_id", F.col("o_orderkey").alias("last_orderkey")
+    )
