@@ -1,0 +1,330 @@
+"""The routing engine: Spark-native equivalent of the reference's
+``KinesisHandler`` / ``KinesisSynchronousHandler``
+(lib/kinesisHandler.js:67-193 / :203-334).
+
+Pipeline (one declarative plan, no per-record Python):
+
+    envelope records
+      → base64 decode               (R5,  kinesisHandler.js:169)
+      → JSON parse (corrupt chan.)  (R6,  :167-174)
+      → optional transformer        (R7,  :176-178)
+      → envelope checks             (R8,  :108-111)
+      → envelope schema validation  (R9,  :112-113)
+      → data schema validation      (R10, :115-116)
+      → content-based route         (R11, :114-118)
+      → unknown-schema side output  (R12, :120-122)
+      → dead-letter channel         (R13, :12,145-149)
+
+Differences from the reference, by design (SURVEY.md §7 hard parts):
+
+* Handlers are DataFrame→DataFrame transformations (vectorized), not
+  per-record callbacks; the per-record escape hatch is a pandas UDF.
+* An empty batch is a successful no-op — the reference's empty-batch
+  hang (R15, :156 unreachable) is a bug we do not reproduce.
+* Ordered mode guarantees per-partitionKey order (all Kinesis itself
+  guarantees), not whole-batch order (meaningless across executors).
+* Fatal handler errors propagate → Structured Streaming retries the
+  micro-batch from the checkpoint (R14; at-least-once, exactly-once
+  with idempotent sinks).
+"""
+
+from __future__ import annotations
+
+import inspect
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kinesis_handler_spark.routing.schema_compiler import (
+    CompiledSchema,
+    compile_schema,
+)
+
+# Kinesis record envelope (reference example batch, kinesisHandler.js:19-57),
+# flattened: fixtures carry `data` as base64 text or raw binary.
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("partitionKey", T.StringType()),
+        T.StructField("sequenceNumber", T.StringType()),
+        T.StructField("data", T.StringType()),
+        T.StructField("approximateArrivalTimestamp", T.TimestampType()),
+        T.StructField("eventID", T.StringType()),
+        T.StructField("eventSource", T.StringType()),
+        T.StructField("eventSourceARN", T.StringType()),
+        T.StructField("awsRegion", T.StringType()),
+    ]
+)
+
+_ENVELOPE_COLS = [f.name for f in ENVELOPE_SCHEMA.fields]
+
+# Dead-letter reason taxonomy — one reason per reference bad-message class.
+REASON_MISSING_DATA = "missing-data"          # :163-166,181-183
+REASON_BAD_BASE64 = "undecodable-base64"      # :169 failure
+REASON_BAD_JSON = "unparseable-json"          # :171-174
+REASON_NO_SCHEMA = "missing-schema"           # :108-109
+REASON_WRONG_SCHEMA = "wrong-envelope-schema" # :110-111
+REASON_ENVELOPE_INVALID = "envelope-invalid"  # :112-113
+REASON_DATA_INVALID = "data-invalid"          # :115-116
+
+
+@dataclass
+class RoutingResult:
+    """Outcome of routing one (micro-)batch.
+
+    ``routed`` maps schema_id → the handler's output DataFrame;
+    ``unknown`` holds valid events whose data schema has no registered
+    handler (side output, NOT an error — R12); ``dead_letter`` carries
+    every bad message with its reason (R13).
+    """
+
+    routed: dict[str, DataFrame]
+    unknown: DataFrame
+    dead_letter: DataFrame
+
+    def metrics(self) -> dict[str, int]:
+        """Counts per channel (one job per DataFrame; for streaming
+        observability prefer ``df.observe`` / StreamingQueryListener —
+        R15/R18 without per-record logging)."""
+        out = {f"routed.{sid}": df.count() for sid, df in self.routed.items()}
+        out["unknown"] = self.unknown.count()
+        reasons = {
+            r["reason"]: r["n"]
+            for r in self.dead_letter.groupBy("reason")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        out["dead_letter"] = sum(reasons.values())
+        out.update({f"dead_letter.{k}": v for k, v in reasons.items()})
+        return out
+
+
+class RoutingEngine:
+    """Register JSON schemas + handlers, then route batches/streams.
+
+    Construction mirrors ``new KinesisHandler(eventSchema, moduleName,
+    transformer)`` (R2, kinesisHandler.js:67-84): the envelope schema is
+    compiled up front; ``transformer`` (R7) is an optional
+    DataFrame→DataFrame hook running after parse, before validation,
+    with both payload and envelope columns visible (the reference's
+    ``transformer(payload, record)``, vectorized).
+    """
+
+    def __init__(
+        self,
+        event_schema: dict,
+        module_name: str = "kinesis-handler-spark",
+        transformer: Callable[[DataFrame], DataFrame] | None = None,
+        ordered: bool = False,
+    ) -> None:
+        if not isinstance(event_schema, dict):
+            raise TypeError("event_schema must be a JSON-Schema dict")  # R2 :68-70
+        if transformer is not None and not callable(transformer):
+            raise TypeError("transformer must be callable")  # R2 :72-74
+        self.envelope: CompiledSchema = compile_schema(event_schema)
+        self.module_name = module_name
+        self.transformer = transformer
+        self.ordered = ordered
+        self._registry: dict[str, tuple[CompiledSchema, Callable]] = {}
+
+    # -- registration (R3, kinesisHandler.js:91-99) ----------------------
+
+    def register(self, schema: dict, handler: Callable[[DataFrame], DataFrame]):
+        """Compile the data schema and pair it with a handler.  The
+        reference checks handler arity (:95-97); we require a callable
+        accepting exactly one positional argument (the branch DataFrame).
+        """
+        compiled = compile_schema(schema)
+        if not callable(handler):
+            raise TypeError("handler must be callable")
+        params = [
+            p
+            for p in inspect.signature(handler).parameters.values()
+            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+            and p.default is p.empty
+        ]
+        if len(params) != 1 and not any(
+            p.kind == p.VAR_POSITIONAL
+            for p in inspect.signature(handler).parameters.values()
+        ):
+            raise TypeError(
+                f"handler for {compiled.schema_id} must accept exactly one "
+                f"DataFrame argument (got {len(params)} required params)"
+            )
+        self._registry[compiled.schema_id] = (compiled, handler)
+        return self
+
+    @property
+    def registered_ids(self) -> list[str]:
+        return sorted(self._registry)
+
+    # -- batch core (R4-R13, R17) ----------------------------------------
+
+    def _enrich(self, records: DataFrame) -> DataFrame:
+        """Single-pass classification: add payload/parse columns, the
+        dead-letter ``reason``, and the route's ``data_schema``."""
+        if "data" not in records.columns:
+            raise ValueError("records must carry a 'data' column (kinesis.data)")
+
+        data_is_binary = dict(records.dtypes)["data"] == "binary"
+        payload_bytes: Column = (
+            F.col("data")
+            if data_is_binary
+            else F.try_to_binary(F.col("data"), F.lit("base64"))
+        )
+        df = records.withColumn("_payload_bytes", payload_bytes).withColumn(
+            "payload", F.col("_payload_bytes").cast("string")
+        )
+
+        if self.transformer is not None:
+            # R7: user hook reshapes the payload with envelope fields in
+            # scope; it must return a DataFrame retaining `payload`.
+            df = self.transformer(df)
+            if "payload" not in df.columns:
+                raise ValueError("transformer must keep a 'payload' column")
+
+        parsed = F.try_parse_json(F.col("payload"))
+        env_struct = F.from_json(F.col("payload"), self.envelope.struct)
+        df = (
+            df.withColumn("_parsed", parsed)
+            .withColumn("_env", env_struct)
+            .withColumn(
+                "_env_schema",
+                F.try_variant_get(F.col("_parsed"), "$.schema", "string"),
+            )
+            .withColumn(
+                "data_schema",
+                F.try_variant_get(F.col("_parsed"), "$.data.schema", "string"),
+            )
+        )
+
+        envelope_ok = self.envelope.predicate(F.col("_env"))
+        reason = (
+            F.when(F.col("data").isNull(), REASON_MISSING_DATA)
+            .when(F.col("_payload_bytes").isNull(), REASON_BAD_BASE64)
+            .when(F.col("_parsed").isNull(), REASON_BAD_JSON)
+            .when(F.col("_env_schema").isNull(), REASON_NO_SCHEMA)
+            .when(
+                F.col("_env_schema") != F.lit(self.envelope.schema_id),
+                REASON_WRONG_SCHEMA,
+            )
+            .when(~envelope_ok, REASON_ENVELOPE_INVALID)
+        )
+        df = df.withColumn("reason", reason)
+
+        # R10: per-registered-branch data validation.  Each branch parses
+        # the payload against ITS struct; invalid data => dead letter.
+        data_invalid = F.lit(False)
+        for sid, (compiled, _) in sorted(self._registry.items()):
+            branch_event = F.from_json(F.col("payload"), compiled.struct)
+            branch_bad = (F.col("data_schema") == F.lit(sid)) & ~compiled.predicate(
+                branch_event
+            )
+            data_invalid = data_invalid | F.coalesce(branch_bad, F.lit(False))
+        df = df.withColumn(
+            "reason",
+            F.when(F.col("reason").isNotNull(), F.col("reason")).when(
+                data_invalid, REASON_DATA_INVALID
+            ),
+        )
+        return df
+
+    def process_batch(self, records: DataFrame) -> RoutingResult:
+        """Route one batch (R4 entry point; also the foreachBatch body).
+
+        Returns lazy DataFrames — callers trigger execution by writing
+        or counting.  All branches derive from one enriched plan, so at
+        scale this is a single scan fanned into N filters (vs. the
+        reference's per-record linear registry scan, :114)."""
+        enriched = self._enrich(records)
+        is_bad = F.col("reason").isNotNull()
+        registered = list(self._registry)
+
+        dead_letter = enriched.filter(is_bad).select(
+            *[c for c in records.columns if c in enriched.columns],
+            "payload",
+            "reason",
+        )
+        valid = enriched.filter(~is_bad)
+        unknown = valid.filter(
+            ~F.col("data_schema").isin(registered)
+            if registered
+            else F.lit(True)
+        ).select(
+            *[c for c in records.columns if c in enriched.columns],
+            "payload",
+            "data_schema",
+        )
+
+        routed: dict[str, DataFrame] = {}
+        for sid, (compiled, handler) in sorted(self._registry.items()):
+            branch = (
+                valid.filter(F.col("data_schema") == F.lit(sid))
+                .withColumn("event", F.from_json(F.col("payload"), compiled.struct))
+                .select(
+                    *[c for c in records.columns if c in enriched.columns],
+                    "event",
+                )
+            )
+            routed[sid] = handler(branch)  # R11 dispatch / R17 parallel
+        return RoutingResult(routed=routed, unknown=unknown, dead_letter=dead_letter)
+
+    # -- streaming entry point (R4, R13-R15) ------------------------------
+
+    def run_stream(
+        self,
+        stream_df: DataFrame,
+        *,
+        checkpoint_dir: str,
+        routed_sink: Callable[[str, DataFrame, int], None],
+        dead_letter_sink: Callable[[DataFrame, int], None] | None = None,
+        unknown_sink: Callable[[DataFrame, int], None] | None = None,
+        trigger_available_now: bool = True,
+    ):
+        """Structured-Streaming run: ``foreachBatch`` applies
+        ``process_batch`` per micro-batch and hands each channel to its
+        sink.  A sink/handler exception fails the micro-batch, and the
+        restarted query replays it from the checkpoint (R14 retry
+        semantics; exactly-once with idempotent sinks)."""
+
+        def _each_batch(batch_df: DataFrame, batch_id: int) -> None:
+            result = self.process_batch(batch_df)
+            for sid, df in result.routed.items():
+                routed_sink(sid, df, batch_id)
+            if dead_letter_sink is not None:
+                dead_letter_sink(result.dead_letter, batch_id)
+            if unknown_sink is not None:
+                unknown_sink(result.unknown, batch_id)
+
+        writer = (
+            stream_df.writeStream.foreachBatch(_each_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    # -- ordered discipline (R16, kinesisHandler.js:278-309) --------------
+
+    @staticmethod
+    def process_ordered(
+        records: DataFrame,
+        fn: Callable,
+        output_schema: str | T.StructType,
+        key_col: str = "partitionKey",
+        order_col: str = "sequenceNumber",
+    ) -> DataFrame:
+        """Per-key ordered processing: the reference's synchronous
+        handler replays records one at a time in batch order via a
+        generator (:278-309).  At scale only per-``partitionKey`` order
+        is meaningful (Kinesis's own guarantee), so: hash-partition by
+        key, sort within the group, then ``applyInPandas`` hands ``fn``
+        each key's records as one ordered pandas DataFrame."""
+
+        def _sorted_apply(pdf):
+            return fn(pdf.sort_values(order_col, kind="mergesort"))
+
+        return records.groupBy(key_col).applyInPandas(_sorted_apply, output_schema)

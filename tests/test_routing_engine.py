@@ -1,0 +1,164 @@
+"""Batch-mode routing engine tests — one per reference behavior
+(SURVEY.md §5.2 item 3; reference behaviors R4-R13, R15, R17)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kinesis_handler_spark.routing import ENVELOPE_SCHEMA, RoutingEngine
+from kinesis_handler_spark.routing.engine import (
+    REASON_BAD_BASE64,
+    REASON_BAD_JSON,
+    REASON_DATA_INVALID,
+    REASON_MISSING_DATA,
+    REASON_NO_SCHEMA,
+    REASON_WRONG_SCHEMA,
+)
+from tests import fixtures as fx
+
+
+def identity_handler(df: DataFrame) -> DataFrame:
+    return df
+
+
+@pytest.fixture()
+def engine() -> RoutingEngine:
+    eng = RoutingEngine(fx.ENVELOPE_JSON_SCHEMA)
+    eng.register(fx.PRODUCT_CREATE_SCHEMA, identity_handler)
+    eng.register(fx.PRODUCT_PURCHASE_SCHEMA, identity_handler)
+    return eng
+
+
+def make_df(spark, rows):
+    return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+
+def test_happy_path_routes_by_schema(spark, engine):
+    result = engine.process_batch(make_df(spark, fx.batch_ok()))
+    m = result.metrics()
+    assert m[f"routed.{fx.PRODUCT_CREATE_ID}"] == 3
+    assert m[f"routed.{fx.PRODUCT_PURCHASE_ID}"] == 2
+    assert m["unknown"] == 0
+    assert m["dead_letter"] == 0
+    # handlers see a typed `event` struct with the parsed payload
+    events = result.routed[fx.PRODUCT_CREATE_ID].select("event.data.category").collect()
+    assert sorted(r[0] for r in events) == ["Pants", "Shoes", "Sweaters"]
+
+
+def test_unknown_schema_is_skipped_not_error(spark, engine):
+    # R12 (kinesisHandler.js:120-122): unregistered data schema => side
+    # output, counted as success, NOT dead-lettered.
+    result = engine.process_batch(make_df(spark, fx.batch_unknown_schema()))
+    m = result.metrics()
+    assert m["unknown"] == 1
+    assert m["dead_letter"] == 0
+    assert result.unknown.collect()[0]["data_schema"] == fx.UNREGISTERED_ID
+
+
+@pytest.mark.parametrize(
+    ("rows_fn", "reason"),
+    [
+        (fx.batch_bad_base64, REASON_BAD_BASE64),
+        (fx.batch_bad_json, REASON_BAD_JSON),
+        (fx.batch_no_schema_field, REASON_NO_SCHEMA),
+        (fx.batch_wrong_envelope_schema, REASON_WRONG_SCHEMA),
+        (fx.batch_missing_kinesis_data, REASON_MISSING_DATA),
+    ],
+)
+def test_bad_message_classes_dead_letter(spark, engine, rows_fn, reason):
+    # R5/R6/R8/R13: each data-quality failure class lands in the
+    # dead-letter channel with its precise reason, and nothing routes.
+    result = engine.process_batch(make_df(spark, rows_fn()))
+    dead = result.dead_letter.collect()
+    assert [r["reason"] for r in dead] == [reason]
+    assert result.metrics()["dead_letter"] == 1
+    assert all(df.count() == 0 for df in result.routed.values())
+
+
+def test_invalid_data_dead_letters_per_branch_schema(spark, engine):
+    # R10: data failing ITS schema (missing required / enum / range).
+    result = engine.process_batch(make_df(spark, fx.batch_invalid_data()))
+    dead = result.dead_letter.collect()
+    assert len(dead) == 3
+    assert {r["reason"] for r in dead} == {REASON_DATA_INVALID}
+    assert result.metrics()[f"routed.{fx.PRODUCT_CREATE_ID}"] == 0
+
+
+def test_empty_batch_is_noop(spark, engine):
+    # R15 note: the reference hangs on Records:[] (callback never fires,
+    # kinesisHandler.js:156 unreachable); the engine is a clean no-op.
+    result = engine.process_batch(make_df(spark, []))
+    m = result.metrics()
+    assert m["dead_letter"] == 0 and m["unknown"] == 0
+    assert all(v == 0 for v in m.values())
+
+
+def test_mixed_batch_splits_all_channels(spark, engine):
+    rows = (
+        fx.batch_ok()
+        + fx.batch_unknown_schema()
+        + fx.batch_bad_json()
+        + fx.batch_invalid_data()
+    )
+    result = engine.process_batch(make_df(spark, rows))
+    m = result.metrics()
+    assert m[f"routed.{fx.PRODUCT_CREATE_ID}"] == 3
+    assert m[f"routed.{fx.PRODUCT_PURCHASE_ID}"] == 2
+    assert m["unknown"] == 1
+    assert m["dead_letter"] == 4
+
+
+def test_transformer_hook_runs_before_validation(spark):
+    # R7 (kinesisHandler.js:62-64,176-178): transformer sees payload +
+    # envelope columns; here it stamps the partitionKey into the payload
+    # (a pure-column rewrite — no UDF).
+    def transformer(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "payload",
+            F.regexp_replace(
+                "payload", '"origin": "fixtures/test"',
+                F.concat(F.lit('"origin": "'), F.col("partitionKey"), F.lit('"')),
+            ),
+        )
+
+    eng = RoutingEngine(fx.ENVELOPE_JSON_SCHEMA, transformer=transformer)
+    eng.register(fx.PRODUCT_CREATE_SCHEMA, identity_handler)
+    result = eng.process_batch(make_df(spark, fx.batch_ok()))
+    origins = {
+        r[0]
+        for r in result.routed[fx.PRODUCT_CREATE_ID].select("event.origin").collect()
+    }
+    assert origins == {"pk-a", "pk-b"}
+
+
+def test_handler_arity_checked_at_registration():
+    # R3 (kinesisHandler.js:95-97): wrong-arity handler rejected up front.
+    eng = RoutingEngine(fx.ENVELOPE_JSON_SCHEMA)
+    with pytest.raises(TypeError):
+        eng.register(fx.PRODUCT_CREATE_SCHEMA, lambda df, extra: df)
+    with pytest.raises(TypeError):
+        eng.register(fx.PRODUCT_CREATE_SCHEMA, "not-callable")
+
+
+def test_constructor_validation():
+    # R2 (kinesisHandler.js:68-74).
+    with pytest.raises(TypeError):
+        RoutingEngine("not-a-dict")
+    with pytest.raises(TypeError):
+        RoutingEngine(fx.ENVELOPE_JSON_SCHEMA, transformer="not-callable")
+
+
+def test_binary_data_column_accepted(spark, engine):
+    # Kinesis connectors deliver `data` as BinaryType; base64 text is the
+    # file-fixture form. Both route identically.
+    rows = [
+        (pk, seq, __import__("base64").b64decode(data), ts, eid, src, arn, region)
+        for (pk, seq, data, ts, eid, src, arn, region) in fx.batch_ok()
+    ]
+    schema = ENVELOPE_SCHEMA.simpleString().replace("data:string", "data:binary")
+    df = spark.createDataFrame(rows, schema)
+    m = engine.process_batch(df).metrics()
+    assert m[f"routed.{fx.PRODUCT_CREATE_ID}"] == 3
+    assert m["dead_letter"] == 0

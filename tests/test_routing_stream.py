@@ -1,0 +1,168 @@
+"""Structured-Streaming routing tests: file-source micro-batches shaped
+like Kinesis batches, checkpointed restart/replay (R14), incremental
+processing, and per-key ordered mode (R16)."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kinesis_handler_spark.routing import ENVELOPE_SCHEMA, RoutingEngine
+from tests import fixtures as fx
+
+
+def _write_batch_json(path, rows) -> None:
+    cols = [f.name for f in ENVELOPE_SCHEMA.fields]
+    with open(path, "w") as fh:
+        for row in rows:
+            obj = dict(zip(cols, row))
+            obj["approximateArrivalTimestamp"] = obj[
+                "approximateArrivalTimestamp"
+            ].isoformat()
+            fh.write(json.dumps(obj) + "\n")
+
+
+@pytest.fixture()
+def engine() -> RoutingEngine:
+    eng = RoutingEngine(fx.ENVELOPE_JSON_SCHEMA)
+    eng.register(fx.PRODUCT_CREATE_SCHEMA, lambda df: df)
+    eng.register(fx.PRODUCT_PURCHASE_SCHEMA, lambda df: df)
+    return eng
+
+
+def _stream(spark, src_dir) -> DataFrame:
+    return (
+        spark.readStream.schema(ENVELOPE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src_dir))
+    )
+
+
+def _parquet_sinks(out_dir):
+    def routed_sink(sid: str, df: DataFrame, batch_id: int) -> None:
+        safe = sid.replace("/", "_")
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            f"{out_dir}/routed/{safe}"
+        )
+
+    def dead_sink(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("append").parquet(f"{out_dir}/dead_letter")
+
+    return routed_sink, dead_sink
+
+
+def test_stream_routes_and_dead_letters(spark, engine, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch_json(src / "b0.json", fx.batch_ok())
+    _write_batch_json(src / "b1.json", fx.batch_bad_json() + fx.batch_invalid_data())
+    out = tmp_path / "out"
+    routed_sink, dead_sink = _parquet_sinks(out)
+
+    q = engine.run_stream(
+        _stream(spark, src),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        routed_sink=routed_sink,
+        dead_letter_sink=dead_sink,
+    )
+    q.awaitTermination(120)
+
+    created = spark.read.parquet(
+        f"{out}/routed/{fx.PRODUCT_CREATE_ID.replace('/', '_')}"
+    )
+    assert created.count() == 3
+    # typed event struct survives the sink round-trip
+    assert sorted(
+        r[0] for r in created.select("event.data.category").collect()
+    ) == ["Pants", "Shoes", "Sweaters"]
+    dead = spark.read.parquet(f"{out}/dead_letter")
+    assert dead.count() == 4
+    assert set(dead.select("reason").toPandas()["reason"]) == {
+        "unparseable-json",
+        "data-invalid",
+    }
+
+
+def test_stream_checkpoint_processes_only_new_files(spark, engine, tmp_path):
+    # R14/R15: restart from checkpoint is incremental — already-committed
+    # micro-batches are not reprocessed (exactly-once with idempotent
+    # file sinks).
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch_json(src / "b0.json", fx.batch_ok())
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    routed_sink, dead_sink = _parquet_sinks(out)
+
+    q = engine.run_stream(
+        _stream(spark, src), checkpoint_dir=ckpt,
+        routed_sink=routed_sink, dead_letter_sink=dead_sink,
+    )
+    q.awaitTermination(120)
+    p = f"{out}/routed/{fx.PRODUCT_PURCHASE_ID.replace('/', '_')}"
+    assert spark.read.parquet(p).count() == 2
+
+    # second run with one NEW file: only it is processed
+    _write_batch_json(src / "b1.json", fx.batch_ordered())  # 12 purchases
+    q2 = engine.run_stream(
+        _stream(spark, src), checkpoint_dir=ckpt,
+        routed_sink=routed_sink, dead_letter_sink=dead_sink,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(p).count() == 2 + 12
+
+
+def test_fatal_handler_error_fails_the_microbatch(spark, tmp_path):
+    # R14 (kinesisHandler.js:151): non-bad-msg handler errors propagate —
+    # the micro-batch fails (and would be retried from checkpoint).
+    eng = RoutingEngine(fx.ENVELOPE_JSON_SCHEMA)
+    eng.register(fx.PRODUCT_CREATE_SCHEMA, lambda df: df)
+
+    def exploding_sink(sid: str, df: DataFrame, batch_id: int) -> None:
+        raise RuntimeError("handler blew up")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch_json(src / "b0.json", fx.batch_ok())
+    q = eng.run_stream(
+        _stream(spark, src),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        routed_sink=exploding_sink,
+    )
+    with pytest.raises(Exception, match="handler blew up"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+
+
+def test_ordered_mode_preserves_per_key_order(spark, engine):
+    # R16 (kinesisHandler.js:278-309): per-partitionKey sequential
+    # processing.  fn concatenates ids in processing order; order must
+    # equal sequenceNumber order within every key.
+    df = spark.createDataFrame(fx.batch_ordered(), ENVELOPE_SCHEMA)
+    enriched = engine.process_batch(df)
+    branch = enriched.routed[fx.PRODUCT_PURCHASE_ID].select(
+        "partitionKey", "sequenceNumber", F.col("event.data.id").alias("pid")
+    )
+
+    def concat_in_order(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "partitionKey": [pdf["partitionKey"].iloc[0]],
+                "id_chain": ["→".join(pdf["pid"])],
+            }
+        )
+
+    out = RoutingEngine.process_ordered(
+        branch, concat_in_order, "partitionKey string, id_chain string"
+    ).collect()
+    chains = {r["partitionKey"]: r["id_chain"] for r in out}
+    assert chains == {
+        "pk-x": "pk-x-0→pk-x-1→pk-x-2→pk-x-3",
+        "pk-y": "pk-y-0→pk-y-1→pk-y-2→pk-y-3",
+        "pk-z": "pk-z-0→pk-z-1→pk-z-2→pk-z-3",
+    }

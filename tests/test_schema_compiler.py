@@ -1,0 +1,86 @@
+"""Unit tests: JSON-Schema → StructType + predicate compiler (R1-R3,
+R9-R10 analogues; reference AJV compile at lib/kinesisHandler.js:83-99)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_handler_spark.routing.schema_compiler import (
+    UnsupportedSchemaError,
+    compile_schema,
+    make_schema_id,
+)
+from tests.fixtures import ENVELOPE_JSON_SCHEMA, PRODUCT_CREATE_SCHEMA
+
+
+def test_make_schema_id():
+    assert make_schema_id(ENVELOPE_JSON_SCHEMA) == "com.example/retail-stream/1-0-0"
+    with pytest.raises(ValueError):
+        make_schema_id({"type": "object"})
+
+
+def test_struct_shape():
+    cs = compile_schema(PRODUCT_CREATE_SCHEMA)
+    names = [f.name for f in cs.struct.fields]
+    assert names == ["data", "origin", "schema"]  # sorted
+    data_t = dict(zip(names, cs.struct.fields))["data"].dataType
+    assert [f.name for f in data_t.fields] == ["category", "id", "price", "schema"]
+
+
+def test_unsupported_keyword_fails_at_compile():
+    bad = {
+        "self": {"vendor": "v", "name": "n", "version": "1"},
+        "type": "object",
+        "properties": {"x": {"type": "string"}},
+        "oneOf": [],
+    }
+    with pytest.raises(UnsupportedSchemaError):
+        compile_schema(bad)
+
+
+@pytest.mark.parametrize(
+    ("payload", "expect"),
+    [
+        # valid
+        ({"schema": "s", "data": {"schema": "d", "id": "a", "category": "Pants"}}, True),
+        # missing required category
+        ({"schema": "s", "data": {"schema": "d", "id": "a"}}, False),
+        # enum violation
+        ({"schema": "s", "data": {"schema": "d", "id": "a", "category": "Hats"}}, False),
+        # minimum violation on optional price
+        (
+            {"schema": "s", "data": {"schema": "d", "id": "a", "category": "Shoes",
+                                     "price": -1.0}},
+            False,
+        ),
+        # minLength violation on id
+        ({"schema": "s", "data": {"schema": "d", "id": "", "category": "Shoes"}}, False),
+        # data object missing entirely
+        ({"schema": "s"}, False),
+    ],
+)
+def test_predicate_semantics(spark, payload, expect):
+    import json
+
+    cs = compile_schema(PRODUCT_CREATE_SCHEMA)
+    df = spark.createDataFrame([(json.dumps(payload),)], "payload string")
+    got = (
+        df.select(cs.predicate(F.from_json("payload", cs.struct)).alias("ok"))
+        .collect()[0]["ok"]
+    )
+    assert got is expect
+
+
+def test_pattern_predicate(spark):
+    cs = compile_schema(ENVELOPE_JSON_SCHEMA)
+    good = '{"schema": "com.example/retail-stream/1-0-0", "data": {"schema": "x"}}'
+    bad = '{"schema": "org.else/stream/1", "data": {"schema": "x"}}'
+    df = spark.createDataFrame([(good,), (bad,)], "payload string")
+    got = [
+        r["ok"]
+        for r in df.select(
+            cs.predicate(F.from_json("payload", cs.struct)).alias("ok")
+        ).collect()
+    ]
+    assert got == [True, False]
