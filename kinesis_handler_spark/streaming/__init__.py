@@ -1,0 +1,24 @@
+"""Streaming stateful operators (SURVEY.md §2.B streaming table).
+
+The reference has no event-time logic (only arrival timestamps,
+lib/kinesisHandler.js:29); these operators are the north-star streaming
+surface: event-time windows with watermarks, streaming dedup, and
+custom per-key state — all on Structured Streaming's incremental
+execution + state store.
+"""
+
+from kinesis_handler_spark.streaming.windows import (
+    session_aggregate,
+    sliding_aggregate,
+    stream_dedup,
+    stateful_running_totals,
+    tumbling_aggregate,
+)
+
+__all__ = [
+    "tumbling_aggregate",
+    "sliding_aggregate",
+    "session_aggregate",
+    "stream_dedup",
+    "stateful_running_totals",
+]

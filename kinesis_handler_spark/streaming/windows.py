@@ -1,0 +1,152 @@
+"""Event-time windowed aggregation, watermarking, streaming dedup, and
+custom per-key state.
+
+All helpers accept either a streaming or a batch DataFrame (Spark's
+unified semantics) — tests exercise both: batch for value assertions,
+streaming for watermark/state behavior.
+
+Scale notes: windowed aggregation shuffles on (key, window) — state per
+group is O(1); session windows and dedup keep per-key state bounded by
+the watermark delay; state-store backend is RocksDB-capable via
+``spark.sql.streaming.stateStore.providerClass`` at deployment.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from kinesis_handler_spark.functions.numeric import DEC_SUM, dec
+
+
+def _with_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    """Watermarks apply only to streaming plans; on batch inputs
+    withWatermark is a no-op, so it is safe to set unconditionally."""
+    return df.withWatermark(ts_col, watermark) if watermark else df
+
+
+def tumbling_aggregate(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window: str = "10 minutes",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Non-overlapping event-time windows: count + exact-decimal sum per
+    (window, key).  Late rows beyond the watermark are dropped (the
+    engine's late-data policy; the reference has none — arrival time
+    only)."""
+    d = _with_watermark(df, ts_col, watermark)
+    return (
+        d.groupBy(F.window(ts_col, window).alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec(value_col)).cast(DEC_SUM).alias("total"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            key_col,
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_aggregate(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Overlapping windows (each row lands in window/slide buckets)."""
+    d = _with_watermark(df, ts_col, watermark)
+    return (
+        d.groupBy(F.window(ts_col, window, slide).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def session_aggregate(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """Session windows: a session extends while events arrive within
+    ``gap`` of the previous one; state closes when the watermark passes
+    session end (bounded state — required at 100 TB)."""
+    d = _with_watermark(df, ts_col, watermark)
+    return (
+        d.groupBy(F.session_window(ts_col, gap).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(
+    df: DataFrame,
+    keys: Iterable[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes — the only dedup that survives an unbounded
+    stream."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def stateful_running_totals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running event count + value total maintained across micro-batches
+    (the engine's analogue of the reference's per-key handler state in
+    ordered mode, R16).  Emits one row per key per micro-batch."""
+
+    output_schema = f"{key_col} long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
