@@ -1,0 +1,113 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Design (SURVEY.md §2.B multimodal row): media travels as a ``BINARY``
+column with a metadata struct ``(mime, width, height, duration_ms)``;
+decode / feature-extraction / resize / frame-sampling run as Arrow-
+batched ``mapInPandas`` stages so bytes never round-trip through
+driver-side Python and partitions stream batch-by-batch (bounded
+memory even with large blobs).
+
+The actual codec step is STUBBED: image/audio libraries are not in this
+container.  ``_decode_stub`` raises ``NotImplementedError`` unless
+``fake=True``, in which case a deterministic fake decoder (bytes →
+pseudo-pixel stats) exercises the real plumbing — schema, batch shape,
+partitioning — end-to-end.  Swapping in PIL/libav later only replaces
+the inner function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MULTIMODAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, mime string, n_bytes long, content_sha256 string, "
+    "mean_byte double, feature array<double>"
+)
+
+
+def _decode_stub(content: bytes, mime: str, fake: bool) -> list[float]:
+    """Codec boundary.  Real decoders (PIL, libav) are not available in
+    this container; ``fake=True`` substitutes a deterministic stand-in
+    (first-16-bytes histogram of the sha256) so pipelines are testable.
+    """
+    if not fake:
+        raise NotImplementedError(
+            f"no codec for {mime!r} in this environment; pass fake=True "
+            "or install the media libraries"
+        )
+    digest = hashlib.sha256(content).digest()
+    return [b / 255.0 for b in digest[:16]]
+
+
+def decode_and_featurize(df: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas decode/feature stage.  One Arrow batch in, one out;
+    runs on executors, partition-parallel; blobs never hit the driver."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = pdf["content"]
+            metas = pdf["meta"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": [m["mime"] for m in metas],
+                    "n_bytes": contents.map(len),
+                    "content_sha256": contents.map(
+                        lambda b: hashlib.sha256(b).hexdigest()
+                    ),
+                    "mean_byte": contents.map(
+                        lambda b: sum(b) / len(b) if len(b) else 0.0
+                    ),
+                    "feature": [
+                        _decode_stub(c, m["mime"], fake)
+                        for c, m in zip(contents, metas)
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def make_multimodal_df(
+    spark: SparkSession, sf_dir: str, mime: str = "image/fake"
+) -> DataFrame:
+    """Derive a multimodal table from the documents fixture: text bytes
+    stand in for media blobs (deterministic), with a typed meta struct.
+    At 100 TB the same shape comes straight off parquet with real blobs.
+    """
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            F.lit(0).alias("duration_ms"),
+        ).alias("meta"),
+    )

@@ -1,0 +1,210 @@
+"""Scale-path LLM-pipeline variants: SimHash, embedding-cosine near-dup,
+document fingerprinting, multimodal feature extraction.
+
+These complement llm.py: where that module holds the exact/baseline
+formulations, these are the forms you run first at 100 TB (sketches,
+signatures, bucketed candidate generation), plus the multimodal
+mapInPandas pipeline surfaced as a declared query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_handler_spark.io.multimodal import decode_and_featurize, make_multimodal_df
+from kinesis_handler_spark.queries.llm import _quantized
+from kinesis_handler_spark.registry import query
+from kinesis_handler_spark.tables import table
+
+
+@query("dedup_simhash")  # rows-only: engine-specific 64-bit hashing
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit fingerprint = sign-aggregate
+    of per-token xxhash64 bits; candidate pairs share any of 4 16-bit
+    bands (Hamming-distance banding).  All bit arithmetic is JVM-side
+    (shiftright/bitwise-and over exploded bit positions); banding keeps
+    the join linear in candidates — the 100 TB alternative to pairwise
+    Hamming comparison."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    # one row per (doc, bit): +1 if bit set, -1 otherwise; fingerprint bit
+    # = 1 where the sum over tokens is positive.
+    bits = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.col("h"),
+    ).withColumn(
+        "contrib",
+        F.when(F.expr("(shiftright(h, bit) & 1L) = 1L"), 1).otherwise(-1),
+    )
+    fp = (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn("bitval", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("shiftleft(CAST(bitval AS BIGINT), bit)")).alias("simhash"))
+    )
+    banded = fp.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+        F.col("simhash"),
+    ).withColumn(
+        "band_bits", F.expr("shiftright(simhash, band * 16) & 65535L")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH qv AS (
+      SELECT vec_id,
+             unnest(list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))) AS v,
+             unnest(generate_series(1, len(embedding))) AS pos
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, SUM(v * v) AS n2 FROM qv GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.v * b.v) AS dot
+      FROM qv a JOIN qv b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT d.id_a, d.id_b,
+           CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.id_a
+    JOIN norms nb ON nb.vec_id = d.id_b
+    WHERE CAST(d.dot AS DOUBLE)
+            / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.45) — semantic
+    dedup.  Quantized integer dot products => engine-exact scores.
+    Correctness tier is all-pairs over packed arrays (no explode
+    shuffle); at 100 TB generate candidates with ``sim_ann_lsh``-style
+    bucketing first and score only within buckets."""
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.select("vec_id", _quantized().alias("qvec"))
+    norms = F.aggregate("qvec", F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    side = qv.withColumn("n2", norms)
+    a = side.select(
+        F.col("vec_id").alias("id_a"), F.col("qvec").alias("va"), F.col("n2").alias("na")
+    )
+    b = side.select(
+        F.col("vec_id").alias("id_b"), F.col("qvec").alias("vb"), F.col("n2").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cosine = dot.cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= 0.45)
+    )
+
+
+@query("sim_ann_lsh")  # rows-only: bucket assignment is engine-hash-specific
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via random-hyperplane LSH: 8-bit
+    signature from sign(dot(v, h_i)) for 8 pseudo-random ±1 hyperplanes
+    (derived deterministically from xxhash64); vectors sharing a
+    signature bucket are candidates, exactly re-ranked within the
+    bucket (top-3 by dot).  The 100 TB path: one shuffle on the
+    signature, bucket-local cross products only; run L independent
+    tables and union for recall."""
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.select("vec_id", _quantized().alias("qvec"))
+
+    # signature bit i: sign of sum_j qvec[j] * hyperplane(i, j), with
+    # hyperplane(i, j) = ±1 from the parity of xxhash64(i*97 + j).
+    def bit(i: int):
+        prods = F.transform(
+            "qvec",
+            lambda x, j: x
+            * F.when(
+                F.pmod(F.xxhash64(F.lit(i * 97) + j), F.lit(2)) == 0, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        s = F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        return F.when(s > 0, F.lit(1 << i)).otherwise(F.lit(0))
+
+    sig = qv.withColumn(
+        "bucket", sum([bit(i) for i in range(8)], F.lit(0))
+    ).select("vec_id", "qvec", "bucket")
+
+    a, b = sig.alias("a"), sig.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.qvec"), F.col("b.qvec"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            dot.alias("dot"),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("dot").desc(), F.col("id_b"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
+    )
+
+
+@query("text_fingerprint")  # rows-only: xxhash64-based rolling hash
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: polynomial rolling hash over token hashes,
+    h = (h*31 + xxhash64(tok) mod p) mod p with p = 2^31-1 (keeps every
+    intermediate inside int64 under ANSI arithmetic), via a higher-order
+    fold — order-sensitive by design (permuted docs differ), one pass,
+    no shuffle beyond the scan."""
+    d = table(spark, sf_dir, "documents")
+    p = 2147483647  # 2^31 - 1
+    fp = F.aggregate(
+        F.split("text", " "),
+        F.lit(0).cast("long"),
+        lambda acc, tok: F.pmod(
+            acc * F.lit(31).cast("long") + F.pmod(F.xxhash64(tok), F.lit(p)),
+            F.lit(p),
+        ),
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@query("multimodal_features")  # rows-only: sha256-derived fake decode
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature pipeline: binary content + meta struct →
+    mapInPandas (Arrow-batched) → per-media features.  Decode is a
+    deterministic stub (no codec libs in this container) but the Spark
+    plumbing — BinaryType column, struct metadata, batch iteration,
+    output schema — is the real 100 TB shape."""
+    mm = make_multimodal_df(spark, sf_dir)
+    return decode_and_featurize(mm, fake=True).select(
+        "media_id", "mime", "n_bytes", "content_sha256", "mean_byte"
+    )

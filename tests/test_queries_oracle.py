@@ -31,4 +31,11 @@ def test_every_query_has_doc():
 def test_rows_only_queries_are_marked():
     # Only genuinely non-SQL-expressible ops may skip the oracle.
     rows_only = {n for n, q in QUERIES.items() if q.oracle is None}
-    assert rows_only <= {"agg_approx_distinct", "dedup_near_minhash"}
+    assert rows_only <= {
+        "agg_approx_distinct",   # HLL sketch is engine-specific
+        "dedup_near_minhash",    # xxhash64 minhash signatures
+        "dedup_simhash",         # xxhash64 simhash fingerprints
+        "sim_ann_lsh",           # xxhash64-derived hyperplanes
+        "text_fingerprint",      # xxhash64 rolling hash
+        "multimodal_features",   # stubbed decode pipeline
+    }

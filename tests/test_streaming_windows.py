@@ -28,10 +28,17 @@ def _ev(eid, ts, uid=1, etype="click", value=1.0):
     return {"event_id": eid, "ts": ts, "user_id": uid, "event_type": etype, "value": value}
 
 
-def _write(path, rows):
+def _write(path, rows, mtime: float | None = None):
     with open(path, "w") as fh:
         for r in rows:
             fh.write(json.dumps(r) + "\n")
+    if mtime is not None:
+        # File-source micro-batch order follows modification time; ties
+        # are broken arbitrarily — pin distinct mtimes when a test
+        # depends on batch order (e.g. watermark progression).
+        import os
+
+        os.utime(path, (mtime, mtime))
 
 
 def _batch_df(spark, rows):
@@ -86,47 +93,64 @@ def test_session_window_gap_batch(spark):
 # -- streaming behavior ------------------------------------------------------
 
 def test_watermark_drops_late_rows_streaming(spark, tmp_path):
+    # The watermark is checkpointed: sequential availableNow runs over a
+    # shared checkpoint advance it deterministically (a single run may
+    # fold all files into one micro-batch, where the watermark never
+    # advances mid-run and nothing is late).
     src = tmp_path / "src"
     src.mkdir()
-    # batch 0: events up to 00:30 => watermark advances to ~00:20
+
+    out_dir = str(tmp_path / "out")
+
+    def run(name: str) -> None:
+        # parquet append sink: supports checkpoint recovery (memory sink
+        # does not) and accumulates finalized windows across runs.
+        stream = spark.readStream.schema(EVENTS_SCHEMA).json(str(src))
+        q = (
+            tumbling_aggregate(stream, watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # Whether a window's finalized row is emitted at the end of the run
+    # that advanced the watermark or at the start of the next run is a
+    # timing detail; what is DETERMINISTIC is the union of emissions:
+    # each finalized (window, count) appears exactly once across runs.
+
+    # run 1: events up to 00:30 checkpoint a watermark of 00:20 —
+    # closing window [00:00,00:10) with only event 1.
     _write(src / "b0.json", [
         _ev(1, "2024-01-01T00:05:00"),
         _ev(2, "2024-01-01T00:30:00"),
     ])
-    # batch 1: one on-time row + one very late row (00:02, far behind
-    # watermark) that must be DROPPED
+    run("wm_run1")
+    # run 2: processed under watermark 00:20 — the far-late row 99
+    # (00:02) must be DROPPED, not merged into the closing window.
     _write(src / "b1.json", [
         _ev(3, "2024-01-01T00:31:00"),
         _ev(99, "2024-01-01T00:02:00"),
     ])
-    # batch 2: push watermark far ahead so all windows finalize (append
-    # mode emits only finalized windows)
+    # runs 3+4: far-future events advance the watermark past 00:40 so
+    # [00:30,00:40) finalizes with events 2 and 3 (state carried across
+    # checkpointed restarts).
+    run("wm_run2")
     _write(src / "b2.json", [_ev(4, "2024-01-01T03:00:00")])
+    run("wm_run3")
+    _write(src / "b3.json", [_ev(5, "2024-01-01T04:00:00")])
+    run("wm_run4")
 
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .json(str(src))
-    )
-    agg = tumbling_aggregate(stream, watermark="10 minutes")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("tumbling_wm")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ck"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
-    rows = {
+    emissions = {
         (str(r["win_start"]), r["n"])
-        for r in spark.sql("SELECT * FROM tumbling_wm").collect()
+        for r in spark.read.parquet(out_dir).collect()
     }
-    # window [00:00,00:10) contains ONLY event 1 — late event 99 dropped
-    assert ("2024-01-01 00:00:00", 1) in rows
-    assert ("2024-01-01 00:00:00", 2) not in rows
-    # window [00:30,00:40) finalized with events 2 and 3
-    assert ("2024-01-01 00:30:00", 2) in rows
+    assert ("2024-01-01 00:00:00", 1) in emissions, emissions   # 99 dropped
+    assert ("2024-01-01 00:00:00", 2) not in emissions, emissions
+    assert ("2024-01-01 00:30:00", 2) in emissions, emissions   # state kept
 
 
 def test_stream_dedup_within_watermark(spark, tmp_path):
