@@ -27,25 +27,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join linear in candidates — the 100 TB alternative to pairwise
     Hamming comparison."""
     d = table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    # one row per (doc, bit): +1 if bit set, -1 otherwise; fingerprint bit
-    # = 1 where the sum over tokens is positive.
-    bits = tok.select(
+    # Per document: fold token hashes into a 64-wide bit-contribution
+    # vector (+1/-1 per bit), then collapse signs into the 64-bit
+    # fingerprint — all higher-order array ops in ONE codegen stage and
+    # ONE row per document.  No doc×token×bit explode: the shuffle that
+    # follows is O(docs), which is what survives a 100× scale-up.
+    fp = d.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-        F.col("h"),
-    ).withColumn(
-        "contrib",
-        F.when(F.expr("(shiftright(h, bit) & 1L) = 1L"), 1).otherwise(-1),
-    )
-    fp = (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn("bitval", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
-        .groupBy("doc_id")
-        .agg(F.sum(F.expr("shiftleft(CAST(bitval AS BIGINT), bit)")).alias("simhash"))
+        F.expr(
+            """
+            aggregate(
+              zip_with(
+                aggregate(
+                  transform(array_distinct(split(text, ' ')), t -> xxhash64(t)),
+                  array_repeat(0L, 64),
+                  (acc, h) -> zip_with(
+                    acc,
+                    transform(sequence(0, 63),
+                              bit -> IF((shiftright(h, bit) & 1L) = 1L, 1L, -1L)),
+                    (a, c) -> a + c)),
+                sequence(0, 63),
+                (s, bit) -> IF(s > 0, shiftleft(1L, CAST(bit AS INT)), 0L)),
+              0L,
+              (acc, x) -> acc + x)
+            """
+        ).alias("simhash"),
     )
     banded = fp.select(
         "doc_id",
@@ -62,7 +68,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_bits") == F.col("b.band_bits"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        # LSH gives candidates; verify with the actual Hamming distance
+        # (<= 6 of 64 bits) — popcount of XOR, still pure JVM bit math.
+        .filter(
+            F.expr("bit_count(a.simhash ^ b.simhash)") <= 6
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
         .distinct()
     )
 

@@ -1,0 +1,108 @@
+"""Physical-plan quality gates (SURVEY.md §4.2; the 100 TB story).
+
+Correct results from a bad plan don't survive a 100× scale-up — these
+tests pin the plan properties that matter: predicate/projection
+pushdown to parquet, broadcast joins for bounded dims, partial (map-
+side) aggregation, top-k specialization, and no Python row-loop in
+JVM-only queries."""
+
+from __future__ import annotations
+
+import pytest
+
+from kinesis_handler_spark.registry import all_queries
+
+
+def plan_of(
+    spark, name: str, sf_dir: str, mode: str = "formatted", execute: bool = False
+) -> str:
+    df = all_queries()[name](spark, sf_dir)
+    if execute:
+        # AQE finalizes (and codegen-annotates) the plan only on execution;
+        # collect() (not count(), which plans separately) runs THIS plan
+        df.collect()
+    jqe = df._jdf.queryExecution()
+    jvm = spark._jvm
+    return jvm.PythonSQLUtils.explainString(jqe, mode)
+
+
+def test_scan_pushes_filters_and_prunes_columns(spark, sf_dir):
+    plan = plan_of(spark, "scan_filter_project", sf_dir)
+    assert "PushedFilters" in plan
+    assert "IsNotNull(o_orderstatus)" in plan
+    assert "EqualTo(o_orderstatus,O)" in plan
+    assert "GreaterThan(o_totalprice" in plan
+    # projection pruning: the 3 selected columns only
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderkey" in read_schema and "o_orderpriority" not in read_schema
+
+
+def test_date_filter_pushdown(spark, sf_dir):
+    plan = plan_of(spark, "filter_pushdown_dates", sf_dir)
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_star_join_broadcasts_bounded_dims(spark, sf_dir):
+    plan = plan_of(spark, "join_broadcast_dims", sf_dir)
+    # nation and region are explicitly broadcast — never a shuffle for
+    # bounded dims at any scale factor
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastExchange" in plan
+
+
+def test_flagship_agg_is_partial_then_final(spark, sf_dir):
+    plan = plan_of(spark, "agg_groupby_pricing", sf_dir)
+    # map-side combine: HashAggregate appears both below and above the
+    # exchange — shuffle moves O(groups), not O(rows)
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+    # codegen markers appear only in the AQE-finalized plan
+    final = plan_of(spark, "agg_groupby_pricing", sf_dir, execute=True)
+    assert "codegen id" in final
+
+
+def test_global_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, "limit_topk", sf_dir)
+    # TakeOrderedAndProject: per-partition local top-k, no global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_grouped_topk_prunes_with_window_group_limit(spark, sf_dir):
+    plan = plan_of(spark, "topk_per_group", sf_dir)
+    # rank<=k filter pushed into the window sort (Spark 3.5+ rewrite)
+    assert "WindowGroupLimit" in plan
+
+
+def test_jvm_only_queries_have_no_python_stage(spark, sf_dir):
+    # every declared query except the pandas-UDF/UDAF/mapInPandas surface
+    # must stay fully JVM-side (no BatchEvalPython / ArrowEvalPython /
+    # FlatMapGroupsInPandas operators)
+    python_ok = {"udf_transformer", "udaf_grouped_pandas", "multimodal_features"}
+    offenders = []
+    for name in sorted(all_queries()):
+        if name in python_ok:
+            continue
+        plan = plan_of(spark, name, sf_dir, mode="simple")
+        if any(
+            marker in plan
+            for marker in ("EvalPython", "FlatMapGroupsInPandas", "MapInPandas")
+        ):
+            offenders.append(name)
+    assert not offenders, f"Python stages in JVM-only queries: {offenders}"
+
+
+def test_no_cartesian_products_except_intended(spark, sf_dir):
+    # sim_cosine_topk / dedup_embedding_cosine intentionally cross-join
+    # (bounded query side / correctness tier); everything else must not.
+    allowed = {"sim_cosine_topk", "dedup_embedding_cosine"}
+    offenders = []
+    for name in sorted(all_queries()):
+        if name in allowed:
+            continue
+        plan = plan_of(spark, name, sf_dir, mode="simple")
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert not offenders, f"unintended cross joins: {offenders}"
