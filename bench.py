@@ -31,6 +31,11 @@ def run_bench(sf_dir: str) -> dict:
     qs["agg_groupby_pricing"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Warm the Python/Arrow worker pool too — otherwise the first
+    # pandas-UDF query is charged ~6 s of one-time worker spin-up.
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id LONG"
+    ).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     for name in sorted(qs):
         t0 = time.perf_counter()
