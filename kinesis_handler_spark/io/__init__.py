@@ -5,5 +5,21 @@ from kinesis_handler_spark.io.multimodal import (
     decode_and_featurize,
     make_multimodal_df,
 )
+from kinesis_handler_spark.io.sinks import ParquetChannelSinks
+from kinesis_handler_spark.io.sources import (
+    envelope_json_stream,
+    kinesis_source_options,
+    kinesis_stream,
+    rate_envelope_stream,
+)
 
-__all__ = ["MULTIMODAL_SCHEMA", "decode_and_featurize", "make_multimodal_df"]
+__all__ = [
+    "MULTIMODAL_SCHEMA",
+    "ParquetChannelSinks",
+    "decode_and_featurize",
+    "envelope_json_stream",
+    "kinesis_source_options",
+    "kinesis_stream",
+    "make_multimodal_df",
+    "rate_envelope_stream",
+]

@@ -1,0 +1,149 @@
+"""Stream sources for the routing engine (reference R4 — the Kinesis
+ingest entry point, lib/kinesisHandler.js:132-139/:316-333).
+
+Three tiers, all yielding the same ``ENVELOPE_SCHEMA``-shaped stream so
+the engine is source-agnostic:
+
+* ``kinesis_stream``       — production: the public Apache-2.0
+  `spark-sql-kinesis-connector` (format ``aws-kinesis``), normalized to
+  the envelope columns. Gated: raises a clear error when the connector
+  jar isn't on the classpath (it isn't in this container).
+* ``envelope_json_stream`` — dev/test: JSON-lines files shaped like the
+  Lambda ``Records[]`` envelope (the reference's documented batch
+  shape, lib/kinesisHandler.js:19-57).
+* ``rate_envelope_stream`` — load-gen: Spark's ``rate`` source mapped
+  into synthetic envelope rows (deterministic per ``value``), for
+  throughput/soak tests without any external dependency.
+
+At 100 TB/day the scale knobs live in the source: shard-parallel read
+(one task per Kinesis shard), ``maxFetchRate``/``maxFilesPerTrigger``
+to bound micro-batch size, and an envelope projection so only the
+columns the engine uses cross the wire.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_handler_spark.routing.engine import ENVELOPE_SCHEMA
+
+#: Options forwarded to the spark-sql-kinesis-connector. Kept as data so
+#: unit tests can check option-building without the connector jar.
+KINESIS_FORMAT = "aws-kinesis"
+
+
+def kinesis_source_options(
+    stream_name: str,
+    region: str,
+    *,
+    endpoint_url: str | None = None,
+    starting_position: str = "LATEST",
+    max_fetch_rate_per_shard_mb: int | None = None,
+) -> dict[str, str]:
+    """Connector options for ``spark.readStream.format('aws-kinesis')``.
+
+    ``starting_position``: LATEST | TRIM_HORIZON | AT_TIMESTAMP.
+    ``max_fetch_rate_per_shard_mb`` bounds per-shard read throughput —
+    the back-pressure knob that keeps micro-batches sized for executor
+    memory when a 1000-shard stream bursts.
+    """
+    opts = {
+        "streamName": stream_name,
+        "region": region,
+        "startingPosition": starting_position,
+    }
+    if endpoint_url is not None:
+        opts["endpointUrl"] = endpoint_url
+    if max_fetch_rate_per_shard_mb is not None:
+        opts["maxFetchRatePerShard"] = str(max_fetch_rate_per_shard_mb)
+    return opts
+
+
+def kinesis_stream(
+    spark: SparkSession, stream_name: str, region: str, **kwargs
+) -> DataFrame:
+    """Production Kinesis source → envelope-shaped stream.
+
+    The connector emits ``data BINARY, streamName, partitionKey,
+    sequenceNumber, approximateArrivalTimestamp, shardId``; we project
+    to ``ENVELOPE_SCHEMA`` (binary ``data`` is accepted directly by the
+    engine's decode stage — no base64 round-trip).
+    """
+    try:
+        raw = (
+            spark.readStream.format(KINESIS_FORMAT)
+            .options(**kinesis_source_options(stream_name, region, **kwargs))
+            .load()
+        )
+    except Exception as exc:  # connector jar absent in this container
+        raise RuntimeError(
+            "Kinesis connector not available: add the public "
+            "spark-sql-kinesis-connector jar (format 'aws-kinesis') to "
+            "spark.jars.packages, or use envelope_json_stream / "
+            "rate_envelope_stream for local runs"
+        ) from exc
+    return raw.select(
+        F.col("partitionKey"),
+        F.col("sequenceNumber"),
+        F.col("data"),
+        F.col("approximateArrivalTimestamp"),
+        F.concat_ws(":", F.col("shardId"), F.col("sequenceNumber")).alias("eventID"),
+        F.lit("aws:kinesis").alias("eventSource"),
+        F.concat(
+            F.lit("arn:aws:kinesis:"),
+            F.lit(region),
+            F.lit(":stream/"),
+            F.col("streamName"),
+        ).alias("eventSourceARN"),
+        F.lit(region).alias("awsRegion"),
+    )
+
+
+def envelope_json_stream(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based dev/test source: JSON-lines of envelope rows.
+
+    Fixed ``ENVELOPE_SCHEMA`` (no inference — a streaming source must
+    not change schema between micro-batches); ``maxFilesPerTrigger``
+    bounds micro-batch size the way Kinesis fetch limits do.
+    """
+    reader = spark.readStream.schema(ENVELOPE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def rate_envelope_stream(
+    spark: SparkSession,
+    *,
+    rows_per_second: int = 100,
+    payload_b64: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Synthetic envelope stream from the built-in ``rate`` source.
+
+    Every generated row carries ``payload_b64`` as its data and a
+    deterministic partition key / sequence number derived from
+    ``value`` — enough to drive the full decode→validate→route pipeline
+    at a controlled record rate for throughput tests.
+    """
+    reader = spark.readStream.format("rate").option(
+        "rowsPerSecond", rows_per_second
+    )
+    if num_partitions is not None:
+        reader = reader.option("numPartitions", num_partitions)
+    rate = reader.load()  # columns: timestamp, value
+    return rate.select(
+        F.concat(F.lit("pk-"), F.pmod(F.col("value"), F.lit(8))).alias(
+            "partitionKey"
+        ),
+        F.format_string("%021d", F.col("value")).alias("sequenceNumber"),
+        F.lit(payload_b64).alias("data"),
+        F.col("timestamp").alias("approximateArrivalTimestamp"),
+        F.format_string("shardId-%012d:%021d", F.pmod(F.col("value"), F.lit(8)), F.col("value")).alias("eventID"),
+        F.lit("spark:rate").alias("eventSource"),
+        F.lit("arn:spark:rate:stream/synthetic").alias("eventSourceARN"),
+        F.lit("local").alias("awsRegion"),
+    )

@@ -1,0 +1,125 @@
+"""io.sources / io.sinks: envelope-shaped stream sources and idempotent
+parquet channel sinks (reference R4 ingest + R13/R14 sink semantics)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from kinesis_handler_spark.io.sinks import ParquetChannelSinks, _sanitize
+from kinesis_handler_spark.io.sources import (
+    envelope_json_stream,
+    kinesis_source_options,
+    kinesis_stream,
+    rate_envelope_stream,
+)
+from kinesis_handler_spark.routing import ENVELOPE_SCHEMA, RoutingEngine
+from tests import fixtures as fx
+
+
+def _write_jsonl(path, rows) -> None:
+    cols = [f.name for f in ENVELOPE_SCHEMA.fields]
+    with open(path, "w") as fh:
+        for row in rows:
+            obj = dict(zip(cols, row))
+            obj["approximateArrivalTimestamp"] = obj[
+                "approximateArrivalTimestamp"
+            ].isoformat()
+            fh.write(json.dumps(obj) + "\n")
+
+
+@pytest.fixture()
+def engine() -> RoutingEngine:
+    eng = RoutingEngine(fx.ENVELOPE_JSON_SCHEMA)
+    eng.register(fx.PRODUCT_CREATE_SCHEMA, lambda df: df)
+    eng.register(fx.PRODUCT_PURCHASE_SCHEMA, lambda df: df)
+    return eng
+
+
+def test_kinesis_source_options_shape():
+    opts = kinesis_source_options(
+        "retail-stream",
+        "us-west-2",
+        starting_position="TRIM_HORIZON",
+        max_fetch_rate_per_shard_mb=2,
+    )
+    assert opts == {
+        "streamName": "retail-stream",
+        "region": "us-west-2",
+        "startingPosition": "TRIM_HORIZON",
+        "maxFetchRatePerShard": "2",
+    }
+
+
+def test_kinesis_stream_gated_with_clear_error(spark):
+    with pytest.raises(RuntimeError, match="Kinesis connector not available"):
+        kinesis_stream(spark, "retail-stream", "us-west-2")
+
+
+def test_envelope_json_stream_end_to_end(spark, engine, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_jsonl(src / "b0.json", fx.batch_ok() + fx.batch_bad_json())
+    sinks = ParquetChannelSinks(str(tmp_path / "out"))
+    q = engine.run_stream(
+        envelope_json_stream(spark, str(src)),
+        checkpoint_dir=str(tmp_path / "ck"),
+        routed_sink=sinks.routed,
+        dead_letter_sink=sinks.dead_letter,
+        unknown_sink=sinks.unknown,
+    )
+    q.awaitTermination(120)
+    routed = spark.read.parquet(
+        f"{tmp_path}/out/routed/{_sanitize(fx.PRODUCT_CREATE_ID)}"
+    )
+    assert routed.count() == 3
+    # routed output is flattened to the event's data fields
+    assert {"id", "category", "price"} <= set(routed.columns)
+    dead = spark.read.parquet(f"{tmp_path}/out/dead_letter")
+    assert dead.count() == 1
+    assert dead.select("reason").first()[0] == "unparseable-json"
+
+
+def test_sink_replay_is_idempotent(spark, engine, tmp_path):
+    # R14: a retried micro-batch rewrites its own batch_id partition
+    # instead of appending duplicates — at-least-once in, exactly-once out.
+    rows = spark.createDataFrame(fx.batch_ok(), ENVELOPE_SCHEMA)
+    result = engine.process_batch(rows)
+    sinks = ParquetChannelSinks(str(tmp_path / "out"))
+    for _ in range(2):  # same batch_id delivered twice
+        sinks.routed(fx.PRODUCT_PURCHASE_ID, result.routed[fx.PRODUCT_PURCHASE_ID], 7)
+    routed = spark.read.parquet(
+        f"{tmp_path}/out/routed/{_sanitize(fx.PRODUCT_PURCHASE_ID)}"
+    )
+    assert routed.count() == 2
+    assert routed.select("batch_id").distinct().collect()[0][0] == 7
+
+
+def test_rate_envelope_stream_drives_the_engine(spark, engine, tmp_path):
+    payload = fx.b64(
+        fx.payload(fx.PRODUCT_PURCHASE_ID, id="rate-p", quantity=3)
+    )
+    stream = rate_envelope_stream(
+        spark, rows_per_second=50, payload_b64=payload, num_partitions=2
+    )
+    assert [f.name for f in stream.schema.fields] == [
+        f.name for f in ENVELOPE_SCHEMA.fields
+    ]
+    sinks = ParquetChannelSinks(str(tmp_path / "out"))
+    q = engine.run_stream(
+        stream,
+        checkpoint_dir=str(tmp_path / "ck"),
+        routed_sink=sinks.routed,
+        dead_letter_sink=sinks.dead_letter,
+        trigger_available_now=False,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    routed = spark.read.parquet(
+        f"{tmp_path}/out/routed/{_sanitize(fx.PRODUCT_PURCHASE_ID)}"
+    )
+    assert routed.count() >= 1
+    assert routed.select("id").distinct().first()[0] == "rate-p"
