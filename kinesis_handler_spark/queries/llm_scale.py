@@ -234,6 +234,132 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_ann_ivf")  # rows-only: IVF cell assignment is engine-specific
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via IVF (inverted-file index):
+    K=16 coarse centroids seeded deterministically (smallest
+    xxhash64(vec_id)), refined with one Lloyd iteration (exact long-sum
+    / count means — no order-dependent double accumulation), then each
+    vector probes its nprobe=2 nearest cells and is exactly re-ranked
+    (top-3 by quantized-integer cosine) against only those cells'
+    members.
+
+    The scale shape: assignment is a broadcast N×K scoring pass (K
+    tiny), the probe join is an equi-join on cell id (K rows per side
+    after collect_list), and exact scoring is one numpy GEMM per
+    (probe-cell) pair with per-query local top-k truncation inside the
+    kernel — so the shuffle after scoring carries nprobe×k rows per
+    query, not the candidate set.  At 100 TB: K ~ sqrt(N) cells via
+    sample + k-means||, same probe/score pipeline unchanged."""
+    n_cells, n_probe, top_k = 16, 2, 3
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.select("vec_id", _quantized().alias("qvec"))
+
+    w_seed = Window.orderBy(F.xxhash64("vec_id"), F.col("vec_id"))
+    seeds = (
+        qv.withColumn("cell", F.row_number().over(w_seed))
+        .filter(F.col("cell") <= n_cells)
+        .select("cell", F.transform("qvec", lambda x: x.cast("double")).alias("cvec"))
+    )
+
+    def assign(vectors: DataFrame, centroids: DataFrame, rank_limit: int) -> DataFrame:
+        """Rank cells per vector by cosine(vec, centroid); keep rank <= limit."""
+        dot = F.aggregate(
+            F.zip_with("qvec", "cvec", lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        vn = F.sqrt(
+            F.aggregate(
+                "qvec", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+            ).cast("double")
+        )
+        cn = F.sqrt(
+            F.aggregate("cvec", F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        scored = vectors.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "qvec", "cell", (dot / (vn * cn)).alias("affinity")
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("affinity").desc(), F.col("cell")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= rank_limit)
+            .drop("affinity", "rank")
+        )
+
+    # one Lloyd iteration: exact per-dimension mean of the assigned vectors
+    assigned0 = assign(qv, seeds, 1)
+    refined = (
+        assigned0.select("cell", F.posexplode("qvec").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .withColumn("mean", F.col("s").cast("double") / F.col("n"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+                lambda st: st["mean"],
+            ).alias("cvec")
+        )
+    )
+
+    members = (
+        assign(qv, refined, 1)
+        .groupBy("cell")
+        .agg(F.collect_list(F.struct("vec_id", "qvec")).alias("members"))
+    )
+    probes = (
+        assign(qv, refined, n_probe)
+        .groupBy("cell")
+        .agg(F.collect_list(F.struct("vec_id", "qvec")).alias("queries"))
+    )
+    cells = probes.join(members, "cell")
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        out_q, out_n, out_c = [], [], []
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                qi = np.array([v["vec_id"] for v in row.queries], dtype=np.int64)
+                qm = np.array([v["qvec"] for v in row.queries], dtype=np.float64)
+                mi = np.array([v["vec_id"] for v in row.members], dtype=np.int64)
+                mm = np.array([v["qvec"] for v in row.members], dtype=np.float64)
+                qn = np.sqrt((qm * qm).sum(axis=1))
+                mn = np.sqrt((mm * mm).sum(axis=1))
+                cos = (qm @ mm.T) / np.outer(qn, mn)
+                cos[qi[:, None] == mi[None, :]] = -np.inf  # exclude self
+                keep = min(top_k, cos.shape[1])
+                idx = np.argpartition(-cos, keep - 1, axis=1)[:, :keep]
+                rows = np.repeat(np.arange(len(qi)), keep)
+                cols = idx.ravel()
+                ok = np.isfinite(cos[rows, cols])
+                out_q.append(qi[rows[ok]])
+                out_n.append(mi[cols[ok]])
+                out_c.append(cos[rows[ok], cols[ok]])
+        yield pd.DataFrame(
+            {
+                "q_id": np.concatenate(out_q) if out_q else [],
+                "nbr_id": np.concatenate(out_n) if out_n else [],
+                "cosine": np.concatenate(out_c) if out_c else [],
+            }
+        )
+
+    local = cells.mapInPandas(score, "q_id BIGINT, nbr_id BIGINT, cosine DOUBLE")
+    w_final = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id")
+    )
+    return (
+        local.dropDuplicates(["q_id", "nbr_id"])
+        .withColumn("rn", F.row_number().over(w_final))
+        .filter(F.col("rn") <= top_k)
+        .drop("rn")
+    )
+
+
 @query("text_fingerprint")  # rows-only: xxhash64-based rolling hash
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: polynomial rolling hash over token hashes,

@@ -85,6 +85,7 @@ def test_jvm_only_queries_have_no_python_stage(spark, sf_dir):
         "udaf_grouped_pandas",
         "multimodal_features",
         "dedup_embedding_cosine",  # blocked-GEMM scorer (numpy via mapInPandas)
+        "sim_ann_ivf",  # IVF exact re-rank is a blocked GEMM too
     }
     offenders = []
     for name in sorted(all_queries()):
@@ -102,7 +103,11 @@ def test_jvm_only_queries_have_no_python_stage(spark, sf_dir):
 def test_no_cartesian_products_except_intended(spark, sf_dir):
     # sim_cosine_topk / dedup_embedding_cosine intentionally cross-join
     # (bounded query side / correctness tier); everything else must not.
-    allowed = {"sim_cosine_topk", "dedup_embedding_cosine"}
+    allowed = {
+        "sim_cosine_topk",
+        "dedup_embedding_cosine",
+        "sim_ann_ivf",  # N x K broadcast centroid scoring (K=16)
+    }
     offenders = []
     for name in sorted(all_queries()):
         if name in allowed:
