@@ -36,6 +36,7 @@ def test_rows_only_queries_are_marked():
         "dedup_near_minhash",    # xxhash64 minhash signatures
         "dedup_simhash",         # xxhash64 simhash fingerprints
         "sim_ann_lsh",           # xxhash64-derived hyperplanes
+        "sim_ann_ivf",           # IVF cell assignment is engine-specific
         "text_fingerprint",      # xxhash64 rolling hash
         "multimodal_features",   # stubbed decode pipeline
     }
