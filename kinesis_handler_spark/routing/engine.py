@@ -287,19 +287,37 @@ class RoutingEngine:
         ``process_batch`` per micro-batch and hands each channel to its
         sink.  A sink/handler exception fails the micro-batch, and the
         restarted query replays it from the checkpoint (R14 retry
-        semantics; exactly-once with idempotent sinks)."""
+        semantics; exactly-once with idempotent sinks).
+
+        Observability (R15/R18): an ``observe`` on the inbound stream
+        reports per-batch ingest counts through
+        ``StreamingQueryListener`` / ``lastProgress.observedMetrics``
+        ("routing_ingest") — batch-completion accounting with zero extra
+        jobs and no per-record logging (the reference logs every payload,
+        kinesisHandler.js:134,170 — an anti-pattern at scale).
+        """
 
         def _each_batch(batch_df: DataFrame, batch_id: int) -> None:
-            result = self.process_batch(batch_df)
-            for sid, df in result.routed.items():
-                routed_sink(sid, df, batch_id)
-            if dead_letter_sink is not None:
-                dead_letter_sink(result.dead_letter, batch_id)
-            if unknown_sink is not None:
-                unknown_sink(result.unknown, batch_id)
+            # One scan per micro-batch: every channel (N routed branches
+            # + dead-letter + unknown) filters this cached frame instead
+            # of re-reading the source once per sink write.
+            batch_df.persist()
+            try:
+                result = self.process_batch(batch_df)
+                for sid, df in result.routed.items():
+                    routed_sink(sid, df, batch_id)
+                if dead_letter_sink is not None:
+                    dead_letter_sink(result.dead_letter, batch_id)
+                if unknown_sink is not None:
+                    unknown_sink(result.unknown, batch_id)
+            finally:
+                batch_df.unpersist()
 
+        observed = stream_df.observe(
+            "routing_ingest", F.count(F.lit(1)).alias("records")
+        )
         writer = (
-            stream_df.writeStream.foreachBatch(_each_batch)
+            observed.writeStream.foreachBatch(_each_batch)
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("update")
         )
