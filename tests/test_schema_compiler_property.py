@@ -1,0 +1,152 @@
+"""Property-based check of the JSON-Schema → predicate compiler (R9/R10):
+for payloads whose values carry the correct JSON types, the compiled
+Spark predicate must classify exactly like the `jsonschema` library (the
+Python stand-in for the reference's AJV, lib/kinesisHandler.js:83-84).
+
+Type-mismatched payloads are excluded by construction: there the
+documented semantics differ (from_json nullifies mistyped fields —
+structural conformance — while jsonschema rejects), and that divergence
+is covered deterministically in test_schema_compiler.py.
+"""
+
+from __future__ import annotations
+
+import json
+
+import jsonschema
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kinesis_handler_spark.routing.schema_compiler import compile_schema
+
+SCHEMA = {
+    "self": {"vendor": "com.example", "name": "prop-test", "version": "1-0-0"},
+    "type": "object",
+    "required": ["schema", "data"],
+    "properties": {
+        "schema": {"type": "string", "pattern": "^com\\.example/"},
+        "origin": {"type": "string", "minLength": 3},
+        "data": {
+            "type": "object",
+            "required": ["id", "category", "quantity"],
+            "properties": {
+                "id": {"type": "string", "minLength": 1, "maxLength": 10},
+                "category": {"type": "string", "enum": ["A", "B", "C"]},
+                "quantity": {"type": "integer", "minimum": 1, "maximum": 100},
+                "price": {
+                    "type": "number",
+                    "exclusiveMinimum": 0.0,
+                    "exclusiveMaximum": 1000.0,
+                },
+                "flag": {"type": "boolean", "const": True},
+                "tags": {
+                    "type": "array",
+                    "items": {"type": "string", "minLength": 2, "maxLength": 8},
+                    "minItems": 1,
+                    "maxItems": 4,
+                },
+            },
+        },
+    },
+}
+
+ABSENT = object()
+
+def _short_text(max_size: int):
+    # printable ASCII only: astral-plane chars hit Java-vs-Python length
+    # semantics (UTF-16 units vs code points) — a real divergence, but
+    # not the one this test is pinning.
+    return st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=max_size,
+    )
+
+
+def _maybe(value_strategy):
+    """A field is either absent, valid, or drawn from a wider space."""
+    return st.one_of(st.just(ABSENT), value_strategy)
+
+
+payloads = st.fixed_dictionaries(
+    {},
+    optional={
+        "schema": _maybe(
+            st.one_of(st.just("com.example/prop-test/1-0-0"), _short_text(20))
+        ),
+        "origin": _maybe(_short_text(6)),
+        "data": _maybe(
+            st.fixed_dictionaries(
+                {},
+                optional={
+                    "id": _maybe(_short_text(12)),
+                    "category": _maybe(
+                        st.sampled_from(["A", "B", "C", "D", "", "AA"])
+                    ),
+                    "quantity": _maybe(st.integers(-5, 105)),
+                    "price": _maybe(
+                        st.floats(
+                            -10.0, 1010.0, allow_nan=False, allow_infinity=False
+                        )
+                    ),
+                    "flag": _maybe(st.booleans()),
+                    "tags": _maybe(
+                        st.lists(_short_text(10), max_size=5)
+                    ),
+                },
+            )
+        ),
+    },
+)
+
+
+def _strip_absent(obj):
+    if isinstance(obj, dict):
+        return {
+            k: _strip_absent(v) for k, v in obj.items() if v is not ABSENT
+        }
+    return obj
+
+
+def _jsonschema_ok(payload: dict) -> bool:
+    doc = {k: v for k, v in SCHEMA.items() if k != "self"}
+    try:
+        jsonschema.validate(payload, doc)
+        return True
+    except jsonschema.ValidationError:
+        return False
+
+
+@pytest.fixture(scope="module")
+def compiled():
+    return compile_schema(SCHEMA)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batch=st.lists(payloads, min_size=20, max_size=40))
+def test_predicate_matches_jsonschema(spark, compiled, batch):
+    cleaned = [_strip_absent(p) for p in batch]
+    df = spark.createDataFrame(
+        [(json.dumps(p),) for p in cleaned], "payload string"
+    )
+    got = [
+        r.ok
+        for r in df.select(
+            F.coalesce(
+                compiled.predicate(
+                    F.from_json(F.col("payload"), compiled.struct)
+                ),
+                F.lit(False),
+            ).alias("ok")
+        ).collect()
+    ]
+    want = [_jsonschema_ok(p) for p in cleaned]
+    mismatches = [
+        (p, g, w) for p, g, w in zip(cleaned, got, want) if g != w
+    ]
+    assert not mismatches, f"first mismatch: {mismatches[0]}"
