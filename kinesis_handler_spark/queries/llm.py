@@ -363,19 +363,23 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     sigs = shingled.groupBy("doc_id").agg(*minhashes)
     rows_per_band = n_hashes // n_bands
-    bands = []
-    for band in range(n_bands):
-        cols = [F.col(f"mh{band * rows_per_band + j}") for j in range(rows_per_band)]
-        bands.append(
-            sigs.select(
-                "doc_id",
-                F.lit(band).alias("band"),
-                F.hash(*cols).alias("band_sig"),
+    # ONE Generate over an array of band signatures — a per-band
+    # union would replay the shingle+agg subplan once per band per
+    # join side (16 Generates / 34 HashAggregates in the old plan).
+    band_sig_array = F.array(
+        *[
+            F.hash(
+                *[
+                    F.col(f"mh{band * rows_per_band + j}")
+                    for j in range(rows_per_band)
+                ]
             )
-        )
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
+            for band in range(n_bands)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", F.posexplode(band_sig_array).alias("band", "band_sig")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
