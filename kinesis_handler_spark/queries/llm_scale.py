@@ -263,7 +263,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(vectors: DataFrame, centroids: DataFrame, rank_limit: int) -> DataFrame:
-        """Rank cells per vector by cosine(vec, centroid); keep rank <= limit."""
+        """Rank cells per vector by cosine(vec, centroid); keep rank <=
+        limit, retaining ``rank`` so one rank<=nprobe pass serves both
+        the member lists (rank=1) and the probe lists."""
         dot = F.aggregate(
             F.zip_with("qvec", "cvec", lambda x, y: x.cast("double") * y),
             F.lit(0.0),
@@ -286,13 +288,14 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= rank_limit)
-            .drop("affinity", "rank")
+            .drop("affinity")
         )
 
     # one Lloyd iteration: exact per-dimension mean of the assigned vectors
     assigned0 = assign(qv, seeds, 1)
     refined = (
-        assigned0.select("cell", F.posexplode("qvec").alias("pos", "v"))
+        assigned0.drop("rank")
+        .select("cell", F.posexplode("qvec").alias("pos", "v"))
         .groupBy("cell", "pos")
         .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
         .withColumn("mean", F.col("s").cast("double") / F.col("n"))
@@ -305,15 +308,16 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # ONE assignment pass: rank=1 rows are the inverted lists, rank<=n_probe
+    # rows are the probe lists — no second crossJoin+window over the corpus
+    assigned = assign(qv, refined, n_probe)
     members = (
-        assign(qv, refined, 1)
+        assigned.filter(F.col("rank") == 1)
         .groupBy("cell")
         .agg(F.collect_list(F.struct("vec_id", "qvec")).alias("members"))
     )
-    probes = (
-        assign(qv, refined, n_probe)
-        .groupBy("cell")
-        .agg(F.collect_list(F.struct("vec_id", "qvec")).alias("queries"))
+    probes = assigned.groupBy("cell").agg(
+        F.collect_list(F.struct("vec_id", "qvec")).alias("queries")
     )
     cells = probes.join(members, "cell")
 

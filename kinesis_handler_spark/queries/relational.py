@@ -201,6 +201,31 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_count_distinct_salted",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_distinct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) via the salted two-stage rewrite
+    (functions/skew.py): salt derived from the distinct column caps
+    per-task aggregation state at |distinct|/n_salt — the hot-group
+    escape hatch when one group's distinct set exceeds a task. Must
+    hash-match the plain COUNT(DISTINCT) oracle exactly."""
+    from kinesis_handler_spark.functions.skew import salted_count_distinct
+
+    return salted_count_distinct(
+        table(spark, sf_dir, "orders"),
+        ["o_orderpriority"],
+        "o_custkey",
+        n_salt=16,
+    )
+
+
 @query("agg_approx_distinct")  # rows-only: HLL sketches are engine-specific
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate count-distinct (HyperLogLog++).  The 100 TB answer to

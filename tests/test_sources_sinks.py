@@ -115,7 +115,16 @@ def test_rate_envelope_stream_drives_the_engine(spark, engine, tmp_path):
         trigger_available_now=False,
     )
     try:
-        q.processAllAvailable()
+        # rate source starts empty: processAllAvailable() alone can
+        # return after an empty batch 0 — wait until rows actually flowed
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if sum(p.numInputRows for p in q.recentProgress) > 0:
+                break
+            time.sleep(0.5)
     finally:
         q.stop()
     routed = spark.read.parquet(
