@@ -12,6 +12,7 @@ from kinesis_handler_spark.streaming.windows import (
     sliding_aggregate,
     stream_dedup,
     stateful_running_totals,
+    stateful_user_stats_tws,
     tumbling_aggregate,
 )
 
@@ -21,4 +22,5 @@ __all__ = [
     "session_aggregate",
     "stream_dedup",
     "stateful_running_totals",
+    "stateful_user_stats_tws",
 ]

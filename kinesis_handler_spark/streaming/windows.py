@@ -19,6 +19,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from kinesis_handler_spark.functions.numeric import DEC_SUM, dec
@@ -149,4 +150,77 @@ def stateful_running_totals(
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+class _UserSessionStats(StatefulProcessor):
+    """Per-key first-seen / last-seen / count / total via the Spark 4
+    ``transformWithState`` arbitrary-state API: typed ValueState with a
+    TTL, so abandoned keys age out of the state store without a custom
+    timeout loop (state hygiene the GroupState API leaves to the user)."""
+
+    def __init__(self, value_col: str, ttl_ms: int | None):
+        self._value_col = value_col
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState(
+            "stats",
+            "first_us long, last_us long, n long, total double",
+            ttlDurationMs=self._ttl_ms,
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._state.exists():
+            first_us, last_us, n, total = self._state.get()
+        else:
+            first_us, last_us, n, total = None, None, 0, 0.0
+        for pdf in rows:
+            ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+            n += len(pdf)
+            total += float(pdf[self._value_col].sum())
+        self._state.update((first_us, last_us, n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "first_us": [first_us],
+                "last_us": [last_us],
+                "n_events": [n],
+                "total_value": [total],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_user_stats_tws(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Per-key running stats on the ``transformWithStateInPandas`` API
+    (the successor to ``applyInPandasWithState``; both are kept —
+    `stateful_running_totals` shows the GroupState form). Emits one row
+    per key per micro-batch; with ``state_ttl_ms`` set, idle keys'
+    state expires automatically — bounded state on unbounded key
+    spaces, which is what survives an unbounded stream at scale.
+
+    Runtime note: the transformWithState Python driver worker requires
+    the ``protobuf`` package; where absent (this container), the query
+    fails at stream start — the pytest gate importorskips accordingly.
+    """
+    output_schema = (
+        f"{key_col} long, first_us long, last_us long, "
+        "n_events long, total_value double"
+    )
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_UserSessionStats(value_col, state_ttl_ms),
+        outputStructType=output_schema,
+        outputMode="Update",
+        timeMode="ProcessingTime" if state_ttl_ms else "None",
     )

@@ -224,3 +224,51 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert user1[-1] == (3, 17.0), got
     assert user1[0][0] < 3, got
     assert (2, 1, 1.0) in got
+
+
+def test_transform_with_state_accumulates_across_batches(spark, tmp_path):
+    # transformWithStateInPandas runs a protobuf-based Python driver
+    # worker; the protobuf package is not installed in this container,
+    # so the operator is exercised only where the dependency exists.
+    pytest.importorskip("google.protobuf")
+    from kinesis_handler_spark.streaming import stateful_user_stats_tws
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(src / "b0.json", [
+        _ev(1, "2024-01-01T00:01:00", uid=1, value=10.0),
+        _ev(2, "2024-01-01T00:02:00", uid=1, value=5.0),
+        _ev(3, "2024-01-01T00:02:30", uid=2, value=1.0),
+    ], mtime=1_700_000_000)
+    _write(src / "b1.json", [
+        _ev(4, "2024-01-01T00:05:00", uid=1, value=2.0),
+    ], mtime=1_700_000_100)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stateful_user_stats_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT * FROM tws_stats ORDER BY user_id, n_events"
+    ).collect()
+    got = [
+        (r["user_id"], r["first_us"], r["last_us"], r["n_events"], r["total_value"])
+        for r in rows
+    ]
+    user1 = [g for g in got if g[0] == 1]
+    # state accumulated across micro-batches: final emit covers all 3
+    # user-1 events with first/last spanning both batches
+    assert len(user1) == 2, got
+    t0 = 1_704_067_260_000_000  # 2024-01-01T00:01:00 UTC in µs
+    assert user1[-1] == (1, t0, t0 + 240_000_000, 3, 17.0), got
+    assert (2, t0 + 90_000_000, t0 + 90_000_000, 1, 1.0) in got
