@@ -111,3 +111,91 @@ def make_multimodal_df(
             F.lit(0).alias("duration_ms"),
         ).alias("meta"),
     )
+
+RESIZED_SCHEMA = (
+    "media_id long, mime string, width int, height int, content binary"
+)
+
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, ts_ms int, frame_sha256 string, "
+    "frame binary"
+)
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Resize stage (images): binary in → binary out with updated
+    dimensions in flat columns.  The pixel work is the stub boundary
+    (PIL absent here; ``fake`` derives a deterministic width*height
+    byte plane from the content hash), but the 100 TB-relevant parts
+    are real: Arrow batch streaming, constant output dimensions for
+    downstream batch tensorization, and no driver round-trip."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        plane = width * height
+        for pdf in batches:
+            out_bytes = []
+            for content, meta in zip(pdf["content"], pdf["meta"]):
+                if not fake:
+                    raise NotImplementedError(
+                        f"no image codec for {meta['mime']!r}; pass fake=True"
+                    )
+                seed = hashlib.sha256(content).digest()
+                out_bytes.append((seed * (plane // len(seed) + 1))[:plane])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "width": width,
+                    "height": height,
+                    "content": out_bytes,
+                }
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, max_frames: int = 8, fake: bool = True
+) -> DataFrame:
+    """Frame-sampling stage (video): 1 media row → N frame rows (the
+    UDTF shape, done inside mapInPandas so the expansion happens
+    executor-side per Arrow batch).  Frames are taken every
+    ``every_ms`` over ``meta.duration_ms``, capped at ``max_frames``
+    per video — the cap bounds output skew when one video is hours
+    long (the straggler guard at scale)."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, hashes, frames = [], [], [], [], []
+            for mid, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
+                if not fake:
+                    raise NotImplementedError(
+                        f"no video codec for {meta['mime']!r}; pass fake=True"
+                    )
+                duration = int(meta["duration_ms"] or 0)
+                n = min(max_frames, max(1, duration // every_ms))
+                for i in range(n):
+                    ts = i * every_ms
+                    frame = hashlib.sha256(
+                        content + ts.to_bytes(8, "little")
+                    ).digest()
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(ts)
+                    hashes.append(frame.hex())
+                    frames.append(frame)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "ts_ms": tss,
+                    "frame_sha256": hashes,
+                    "frame": frames,
+                }
+            )
+
+    return df.mapInPandas(run, FRAME_SCHEMA)

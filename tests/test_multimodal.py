@@ -47,3 +47,61 @@ def test_real_decode_is_explicitly_stubbed():
 def test_envelope_schema_fields():
     names = [f.name for f in MULTIMODAL_SCHEMA.fields]
     assert names == ["media_id", "content", "meta"]
+
+
+def test_resize_media_constant_dims(spark, sf_dir):
+    from kinesis_handler_spark.io.multimodal import make_multimodal_df, resize_media
+
+    mm = make_multimodal_df(spark, sf_dir).limit(20)
+    out = resize_media(mm, 8, 6).collect()
+    assert len(out) == 20
+    for r in out:
+        assert (r.width, r.height) == (8, 6)
+        assert len(r.content) == 8 * 6
+    # deterministic: same input -> same bytes
+    again = resize_media(mm, 8, 6).collect()
+    assert {(r.media_id, bytes(r.content)) for r in out} == {
+        (r.media_id, bytes(r.content)) for r in again
+    }
+
+
+def test_sample_frames_expansion_and_cap(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kinesis_handler_spark.io.multimodal import make_multimodal_df, sample_frames
+
+    mm = (
+        make_multimodal_df(spark, sf_dir, mime="video/fake")
+        .limit(10)
+        # duration 0..9s by media_id: exercises 1-frame minimum and the cap
+        .withColumn(
+            "meta",
+            F.struct(
+                F.col("meta.mime").alias("mime"),
+                F.col("meta.width").alias("width"),
+                F.col("meta.height").alias("height"),
+                (F.col("media_id").cast("int") % 10 * 1000).alias("duration_ms"),
+            ),
+        )
+    )
+    rows = sample_frames(mm, every_ms=1000, max_frames=4).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.media_id, []).append(r)
+    for mid, frames in per.items():
+        expect = min(4, max(1, (mid % 10 * 1000) // 1000))
+        assert len(frames) == expect, (mid, len(frames))
+        assert sorted(f.frame_idx for f in frames) == list(range(expect))
+        for f in frames:
+            assert f.ts_ms == f.frame_idx * 1000
+            assert len(f.frame) == 32
+
+
+def test_codec_boundary_raises_without_fake(spark, sf_dir):
+    import pytest
+
+    from kinesis_handler_spark.io.multimodal import make_multimodal_df, resize_media
+
+    mm = make_multimodal_df(spark, sf_dir).limit(1)
+    with pytest.raises(Exception, match="no image codec"):
+        resize_media(mm, 4, 4, fake=False).collect()
