@@ -83,6 +83,13 @@ class RoutingResult:
     routed: dict[str, DataFrame]
     unknown: DataFrame
     dead_letter: DataFrame
+    _cached: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        """Release the cached enriched frame (set by
+        ``process_batch(cache=True)``); no-op otherwise."""
+        if self._cached is not None:
+            self._cached.unpersist()
 
     def metrics(self) -> dict[str, int]:
         """Counts per channel (one job per DataFrame; for streaming
@@ -229,16 +236,28 @@ class RoutingEngine:
                 data_invalid, REASON_DATA_INVALID
             ),
         )
-        return df
+        # Drop parse intermediates: downstream channels need only the
+        # envelope columns + payload/reason/data_schema. Keeping the
+        # variant/struct helpers would triple the size of the cached
+        # micro-batch frame (run_stream persists this).
+        return df.drop("_payload_bytes", "_parsed", "_env", "_env_schema")
 
-    def process_batch(self, records: DataFrame) -> RoutingResult:
+    def process_batch(self, records: DataFrame, *, cache: bool = False) -> RoutingResult:
         """Route one batch (R4 entry point; also the foreachBatch body).
 
         Returns lazy DataFrames — callers trigger execution by writing
         or counting.  All branches derive from one enriched plan, so at
         scale this is a single scan fanned into N filters (vs. the
-        reference's per-record linear registry scan, :114)."""
+        reference's per-record linear registry scan, :114).
+
+        ``cache=True`` persists the enriched frame so the decode/parse/
+        validate work runs ONCE per batch instead of once per channel
+        write (N routed + dead-letter + unknown) — run_stream sets it
+        and unpersists via ``RoutingResult.unpersist`` after the sinks
+        commit. Callers consuming only one channel can skip it."""
         enriched = self._enrich(records)
+        if cache:
+            enriched = enriched.persist()
         is_bad = F.col("reason").isNotNull()
         registered = list(self._registry)
 
@@ -269,7 +288,12 @@ class RoutingEngine:
                 )
             )
             routed[sid] = handler(branch)  # R11 dispatch / R17 parallel
-        return RoutingResult(routed=routed, unknown=unknown, dead_letter=dead_letter)
+        return RoutingResult(
+            routed=routed,
+            unknown=unknown,
+            dead_letter=dead_letter,
+            _cached=enriched if cache else None,
+        )
 
     # -- streaming entry point (R4, R13-R15) ------------------------------
 
@@ -298,12 +322,12 @@ class RoutingEngine:
         """
 
         def _each_batch(batch_df: DataFrame, batch_id: int) -> None:
-            # One scan per micro-batch: every channel (N routed branches
-            # + dead-letter + unknown) filters this cached frame instead
-            # of re-reading the source once per sink write.
-            batch_df.persist()
+            # Decode/parse/validate runs ONCE per micro-batch: every
+            # channel (N routed branches + dead-letter + unknown)
+            # filters the cached enriched frame instead of re-running
+            # the whole pipeline per sink write.
+            result = self.process_batch(batch_df, cache=True)
             try:
-                result = self.process_batch(batch_df)
                 for sid, df in result.routed.items():
                     routed_sink(sid, df, batch_id)
                 if dead_letter_sink is not None:
@@ -311,7 +335,7 @@ class RoutingEngine:
                 if unknown_sink is not None:
                     unknown_sink(result.unknown, batch_id)
             finally:
-                batch_df.unpersist()
+                result.unpersist()
 
         observed = stream_df.observe(
             "routing_ingest", F.count(F.lit(1)).alias("records")

@@ -29,6 +29,13 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
+        # local[N] = ONE JVM doing driver + executor work; the 1g
+        # default heap OOMs under cached micro-batches at bench scale.
+        # Honored only at JVM launch (first session in the process).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         # AQE: runtime re-plan — broadcast conversion, partition coalescing,
         # skew-join splitting.  Non-negotiable at 100 TB.
         .config("spark.sql.adaptive.enabled", "true")

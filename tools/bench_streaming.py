@@ -1,0 +1,135 @@
+"""Streaming routing-engine throughput: records/sec through the full
+decode → parse → validate → route → sink pipeline.
+
+Generates N envelope records (valid product events across 2 registered
+schemas plus a slice of bad/unknown records — the reference's workload
+shape, lib/kinesisHandler.js:19-57), streams them through the
+RoutingEngine with parquet channel sinks (availableNow), and prints ONE
+JSON line:
+
+    {"metric": "routing_records_per_sec", "value": N, ...}
+
+Context: the reference processes records one at a time on a single
+Node.js event loop; published Lambda/Kinesis deployments top out at
+the per-shard read limit. This measures the same per-record semantics
+vectorized over local[N].
+
+    PYTHONPATH=. python tools/bench_streaming.py [n_records]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from kinesis_handler_spark.io.sinks import ParquetChannelSinks  # noqa: E402
+from kinesis_handler_spark.io.sources import envelope_json_stream  # noqa: E402
+from kinesis_handler_spark.routing import RoutingEngine  # noqa: E402
+from kinesis_handler_spark.session import get_spark  # noqa: E402
+from tests import fixtures as fx  # noqa: E402
+
+
+def generate(src_dir: str, n: int, files: int = 8) -> None:
+    cols = [
+        "partitionKey", "sequenceNumber", "data", "approximateArrivalTimestamp",
+        "eventID", "eventSource", "eventSourceARN", "awsRegion",
+    ]
+    per_file = n // files
+    seq = 0
+    for f in range(files):
+        with open(os.path.join(src_dir, f"batch-{f:04d}.json"), "w") as fh:
+            for _ in range(per_file):
+                if seq % 50 == 49:  # 2% bad json
+                    row = fx.record(fx.b64(b"{broken"), pk=f"pk-{seq % 64}", seq=seq)
+                elif seq % 50 == 48:  # 2% unknown schema
+                    row = fx.record(
+                        fx.b64(fx.payload(fx.UNREGISTERED_ID, id=f"u-{seq}")),
+                        pk=f"pk-{seq % 64}", seq=seq,
+                    )
+                elif seq % 2 == 0:
+                    row = fx.record(
+                        fx.b64(fx.payload(
+                            fx.PRODUCT_CREATE_ID, id=f"p-{seq}",
+                            category=["Sweaters", "Pants", "Shoes"][seq % 3],
+                            price=1.0 + (seq % 100),
+                        )),
+                        pk=f"pk-{seq % 64}", seq=seq,
+                    )
+                else:
+                    row = fx.record(
+                        fx.b64(fx.payload(
+                            fx.PRODUCT_PURCHASE_ID, id=f"p-{seq}",
+                            quantity=1 + (seq % 99),
+                        )),
+                        pk=f"pk-{seq % 64}", seq=seq,
+                    )
+                obj = dict(zip(cols, row))
+                obj["approximateArrivalTimestamp"] = obj[
+                    "approximateArrivalTimestamp"
+                ].isoformat()
+                fh.write(json.dumps(obj) + "\n")
+                seq += 1
+
+
+def main(n_records: int) -> None:
+    spark = get_spark("routing-throughput-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    engine = RoutingEngine(fx.ENVELOPE_JSON_SCHEMA)
+    engine.register(fx.PRODUCT_CREATE_SCHEMA, lambda df: df)
+    engine.register(fx.PRODUCT_PURCHASE_SCHEMA, lambda df: df)
+
+    work = tempfile.mkdtemp(prefix="routing-bench-")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        generate(src, n_records)
+        sinks = ParquetChannelSinks(os.path.join(work, "out"))
+        t0 = time.perf_counter()
+        q = engine.run_stream(
+            envelope_json_stream(spark, src),
+            checkpoint_dir=os.path.join(work, "ck"),
+            routed_sink=sinks.routed,
+            dead_letter_sink=sinks.dead_letter,
+            unknown_sink=sinks.unknown,
+        )
+        q.awaitTermination()
+        elapsed = time.perf_counter() - t0
+        routed = sum(
+            spark.read.parquet(
+                os.path.join(work, "out", "routed", d)
+            ).count()
+            for d in os.listdir(os.path.join(work, "out", "routed"))
+        )
+        dead = spark.read.parquet(os.path.join(work, "out", "dead_letter")).count()
+        unknown = spark.read.parquet(os.path.join(work, "out", "unknown")).count()
+        assert routed + dead + unknown == (n_records // 8) * 8, (
+            routed, dead, unknown,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "routing_records_per_sec",
+                    "value": round(n_records / elapsed),
+                    "unit": "records/sec",
+                    "n_records": n_records,
+                    "elapsed_sec": round(elapsed, 2),
+                    "routed": routed,
+                    "dead_letter": dead,
+                    "unknown": unknown,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 400_000)
