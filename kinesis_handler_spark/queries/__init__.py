@@ -6,6 +6,7 @@ Module map (mirrors SURVEY.md §2.B sections):
 * :mod:`windows`     — window functions, top-k per group, as-of join
 * :mod:`setops`      — sorts, limits, set operations, exact dedup
 * :mod:`scalars`     — scalar function library (string/date/math/array/json)
+* :mod:`stats`      — moment aggregates, percentiles, listagg, unpivot
 * :mod:`routing_q`   — batch-checkable projections of the routing engine
 * :mod:`llm`         — text analysis, near-dedup, similarity search,
                        multimodal binary columns
@@ -18,5 +19,6 @@ from kinesis_handler_spark.queries import (  # noqa: F401
     routing_q,
     scalars,
     setops,
+    stats,
     windows,
 )

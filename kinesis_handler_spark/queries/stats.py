@@ -1,0 +1,159 @@
+"""Statistical / reshaping operators: moment aggregates, percentiles,
+ordered string aggregation, distribution windows, unpivot.
+
+Determinism notes (registry.py rules): moment aggregates (stddev/corr/
+covar) are inherently double accumulations whose raw last ulps depend
+on partitioning — both engines' results are rounded to 6 decimals,
+which is stable for this fixed data+config; percentile interpolation
+uses the same (linear, percentile_cont) formula in Spark and DuckDB on
+exact inputs; string aggregation fixes an explicit ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_handler_spark.registry import query
+from kinesis_handler_spark.tables import table
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 6)              AS sd_qty,
+           ROUND(var_samp(l_discount), 6)                 AS var_disc,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qty_price,
+           ROUND(corr(l_quantity, l_extendedprice), 6)    AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates per group. Both engines use the same
+    textbook definitions; results are rounded to 6 decimals because the
+    raw accumulations are order-dependent in the last ulps (Spark's
+    partitioned partial aggregation vs DuckDB's sequential scan)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias(
+            "cov_qty_price"
+        ),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6)
+             AS p50,
+           ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 6)
+             AS p90,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (linear interpolation — the
+    percentile_cont definition both engines implement). Exact
+    percentile requires a per-group sort: fine as a reporting
+    aggregate; at 100 TB use approx_percentile (t-digest sketch,
+    `agg_approx_distinct`-style mergeable state) for pipeline use."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@query(
+    "agg_string_concat",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation per group: collect, sort
+    deterministically, join — order fixed explicitly because unordered
+    LISTAGG output is partitioning-dependent."""
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+            "nations"
+        )
+    )
+
+
+@query(
+    "window_ntile_percent",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           NTILE(4)       OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: quartile bucketing, percent rank,
+    cumulative distribution — rank arithmetic over a total order
+    (tie-broken by key), so the doubles are exact integer ratios."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "reshape_unpivot",
+    oracle="""
+    SELECT o_orderkey, metric, value FROM (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS totalprice,
+             CAST(o_custkey AS DOUBLE) AS custkey
+      FROM orders WHERE o_orderkey < 1000
+    ) UNPIVOT (value FOR metric IN (totalprice, custkey))
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long reshape (UNPIVOT/melt): each metric column becomes a
+    (metric, value) row — the feed shape for per-metric aggregation
+    pipelines. Column-generated rows, no shuffle."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.col("o_custkey").cast("double").alias("custkey"),
+        )
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
