@@ -300,6 +300,13 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingle"),
         )
         .distinct()
+        # The shingle table feeds FOUR consumers (both self-join sides +
+        # both size lookups); without lineage truncation Spark scans the
+        # corpus and replays the explode+distinct four times (4 scans /
+        # 4 Generates / 0 ReusedExchange measured).  Materializing it
+        # once is also the 100 TB shape: the shingle index is the
+        # reusable artifact of a dedup pipeline.
+        .localCheckpoint(eager=False)
     )
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = shingled.alias("a")
@@ -379,7 +386,9 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     banded = sigs.select(
         "doc_id", F.posexplode(band_sig_array).alias("band", "band_sig")
-    )
+    # O(docs × n_bands) small rows; truncate lineage so the self-join
+    # doesn't replay shingle→minhash aggregation on both sides.
+    ).localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -450,23 +459,24 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     join with LSH bucketing (``sim_cosine_lsh`` planned) or IVF cells;
     the per-pair scoring kernel stays this one."""
     emb = table(spark, sf_dir, "embeddings")
-    qv = emb.select("vec_id", _quantized().alias("qvec"))
-    norms = qv.select(
+    qv = emb.select(
         "vec_id",
+        _quantized().alias("qvec"),
         F.aggregate(
-            "qvec", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+            _quantized(), F.lit(0).cast("long"), lambda acc, x: acc + x * x
         ).alias("n2"),
-    )
+    # quantize + norm computed ONCE per vector, reused by both cross-join
+    # sides (lineage truncated; otherwise each side replays the fold).
+    ).localCheckpoint(eager=False)
     q = (
         qv.filter(F.col("vec_id") < 10)
-        .join(norms, "vec_id")
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("qvec").alias("q_vec"),
             F.col("n2").alias("q_n2"),
         )
     )
-    b = qv.join(norms, "vec_id").select(
+    b = qv.select(
         F.col("vec_id").alias("nbr_id"),
         F.col("qvec").alias("b_vec"),
         F.col("n2").alias("b_n2"),

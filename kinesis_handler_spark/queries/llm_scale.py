@@ -144,6 +144,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         qv.withColumn("block", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)))
         .groupBy("block")
         .agg(F.collect_list(F.struct("vec_id", "qvec")).alias("vecs"))
+        # B rows; reused by both sides of the block-pair join — truncate
+        # lineage so quantization + collect_list run once, not twice.
+        .localCheckpoint(eager=False)
     )
     pairs = (
         blocks.alias("a")
