@@ -335,6 +335,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE assignment pass: rank=1 rows are the inverted lists, rank<=n_probe
     # rows are the probe lists — no second crossJoin+window over the corpus
     assigned = assign(qv, refined, n_probe)
+    # assigned feeds both the inverted lists (rank=1) and the probe
+    # lists — truncate lineage so the corpus-wide scoring pass + window
+    # run once, not once per consumer.
+    assigned = assigned.localCheckpoint(eager=False)
     members = (
         assigned.filter(F.col("rank") == 1)
         .groupBy("cell")
