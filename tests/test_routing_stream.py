@@ -166,3 +166,45 @@ def test_ordered_mode_preserves_per_key_order(spark, engine):
         "pk-y": "pk-y-0→pk-y-1→pk-y-2→pk-y-3",
         "pk-z": "pk-z-0→pk-z-1→pk-z-2→pk-z-3",
     }
+
+
+def test_stream_parallel_sinks_same_results(spark, engine, tmp_path):
+    # sink_parallelism drains channels as concurrent Spark jobs; channel
+    # contents must be identical to the serial drain, and a sink failure
+    # must still fail the micro-batch.
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch_json(src / "b0.json", fx.batch_ok())
+    _write_batch_json(src / "b1.json", fx.batch_bad_json() + fx.batch_invalid_data())
+    out = tmp_path / "out"
+    routed_sink, dead_sink = _parquet_sinks(out)
+
+    q = engine.run_stream(
+        _stream(spark, src),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        routed_sink=routed_sink,
+        dead_letter_sink=dead_sink,
+        sink_parallelism=4,
+    )
+    q.awaitTermination(120)
+
+    created = spark.read.parquet(
+        f"{out}/routed/{fx.PRODUCT_CREATE_ID.replace('/', '_')}"
+    )
+    assert created.count() == 3
+    assert spark.read.parquet(f"{out}/dead_letter").count() == 4
+
+    # failure in ANY concurrent sink fails the micro-batch (R14)
+    def exploding_sink(sid, df, batch_id):
+        raise RuntimeError("sink down")
+
+    q2 = engine.run_stream(
+        _stream(spark, src),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        routed_sink=exploding_sink,
+        dead_letter_sink=dead_sink,
+        sink_parallelism=4,
+    )
+    with pytest.raises(Exception, match="sink down"):
+        q2.awaitTermination(120)
+        raise q2.exception() or AssertionError("query should have failed")

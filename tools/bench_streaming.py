@@ -99,6 +99,9 @@ def main(n_records: int) -> None:
             routed_sink=sinks.routed,
             dead_letter_sink=sinks.dead_letter,
             unknown_sink=sinks.unknown,
+            sink_parallelism=int(
+                os.environ.get("SPARK_GRAFT_SINK_PARALLELISM", "4")
+            ),
         )
         q.awaitTermination()
         elapsed = time.perf_counter() - t0
