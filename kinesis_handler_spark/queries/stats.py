@@ -77,6 +77,22 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_approx_percentile")  # rows-only: sketch internals are engine-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: approx_percentile's mergeable
+    Greenwald-Khanna sketch — map-side partials merge associatively, so
+    no per-group sort and state is O(1/accuracy) per group regardless of
+    group size.  Deterministic for a fixed dataset + accuracy but the
+    sketch cut points are engine-specific => rows-only oracle; pytest
+    bounds it against the exact percentile (`agg_percentiles`)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @query(
     "agg_string_concat",
     oracle="""

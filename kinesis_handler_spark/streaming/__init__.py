@@ -9,6 +9,7 @@ execution + state store.
 
 from kinesis_handler_spark.streaming.windows import (
     session_aggregate,
+    stream_stream_interval_join,
     sliding_aggregate,
     stream_dedup,
     stateful_running_totals,
@@ -18,6 +19,7 @@ from kinesis_handler_spark.streaming.windows import (
 
 __all__ = [
     "tumbling_aggregate",
+    "stream_stream_interval_join",
     "sliding_aggregate",
     "session_aggregate",
     "stream_dedup",

@@ -224,3 +224,38 @@ def stateful_user_stats_tws(
         outputMode="Update",
         timeMode="ProcessingTime" if state_ttl_ms else "None",
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "10 minutes",
+    interval_seconds: int = 600,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join bounded by an event-time interval:
+    ``left.key == right.key AND right_ts ∈ [left_ts, left_ts +
+    interval]``.  Both sides carry watermarks (``max_delay``) so the
+    state store evicts rows once they can no longer match — without the
+    time bound a stream-stream join's state grows without limit, the
+    canonical unbounded-state mistake.  Outer variants additionally
+    need the watermark to know when to emit unmatched rows.
+
+    Works identically on batch frames (unified semantics) — tests
+    assert values on batch and state behavior on streams.  At scale the
+    join shuffles both sides on the key; the interval predicate prunes
+    state, not parallelism.
+    """
+    lw = _with_watermark(left, left_ts, max_delay).alias("l")
+    rw = _with_watermark(right, right_ts, max_delay).alias("r")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rts >= lts)
+        & (rts <= lts + F.expr(f"INTERVAL {interval_seconds} SECONDS"))
+    )
+    return lw.join(rw, cond, how)

@@ -33,6 +33,7 @@ def test_rows_only_queries_are_marked():
     rows_only = {n for n, q in QUERIES.items() if q.oracle is None}
     assert rows_only <= {
         "agg_approx_distinct",   # HLL sketch is engine-specific
+        "agg_approx_percentile", # GK sketch cut points are engine-specific
         "dedup_near_minhash",    # xxhash64 minhash signatures
         "dedup_simhash",         # xxhash64 simhash fingerprints
         "sim_ann_lsh",           # xxhash64-derived hyperplanes
@@ -40,3 +41,20 @@ def test_rows_only_queries_are_marked():
         "text_fingerprint",      # xxhash64 rolling hash
         "multimodal_features",   # stubbed decode pipeline
     }
+
+
+def test_approx_percentile_bounded_by_exact(spark, sf_dir):
+    from kinesis_handler_spark.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        r["o_orderpriority"]: (r["p50"], r["p90"], r["lo"], r["hi"])
+        for r in qs["agg_percentiles"](spark, sf_dir).collect()
+    }
+    for r in qs["agg_approx_percentile"](spark, sf_dir).collect():
+        p50, p90, lo, hi = exact[r["o_orderpriority"]]
+        # GK sketch with accuracy=10000 on sf0.01-sized groups: tight
+        assert lo <= r["p50_approx"] <= hi
+        assert lo <= r["p90_approx"] <= hi
+        assert abs(r["p50_approx"] - p50) <= 0.05 * (hi - lo)
+        assert abs(r["p90_approx"] - p90) <= 0.05 * (hi - lo)

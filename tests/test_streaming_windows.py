@@ -272,3 +272,67 @@ def test_transform_with_state_accumulates_across_batches(spark, tmp_path):
     t0 = 1_704_067_260_000_000  # 2024-01-01T00:01:00 UTC in µs
     assert user1[-1] == (1, t0, t0 + 240_000_000, 3, 17.0), got
     assert (2, t0 + 90_000_000, t0 + 90_000_000, 1, 1.0) in got
+
+
+# -- stream-stream interval join ---------------------------------------------
+
+IMPR_SCHEMA = "imp_id long, ts timestamp, user_id long"
+CLICK_SCHEMA = "click_id long, ts timestamp, user_id long"
+
+
+def test_stream_stream_join_batch_values(spark):
+    from kinesis_handler_spark.streaming import stream_stream_interval_join
+
+    imps = spark.read.schema(IMPR_SCHEMA).json(
+        spark.sparkContext.parallelize([
+            json.dumps({"imp_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 7}),
+            json.dumps({"imp_id": 2, "ts": "2024-01-01T11:00:00", "user_id": 7}),
+            json.dumps({"imp_id": 3, "ts": "2024-01-01T10:00:00", "user_id": 9}),
+        ])
+    )
+    clicks = spark.read.schema(CLICK_SCHEMA).json(
+        spark.sparkContext.parallelize([
+            # within 10 min of imp 1, same user -> match
+            json.dumps({"click_id": 10, "ts": "2024-01-01T10:05:00", "user_id": 7}),
+            # 20 min after imp 1 -> outside the interval
+            json.dumps({"click_id": 11, "ts": "2024-01-01T10:20:00", "user_id": 7}),
+            # right user, before the impression -> no match
+            json.dumps({"click_id": 12, "ts": "2024-01-01T09:59:00", "user_id": 9}),
+        ])
+    )
+    out = stream_stream_interval_join(
+        imps, clicks, "user_id", interval_seconds=600
+    ).select("l.imp_id", "r.click_id")
+    assert [(r["imp_id"], r["click_id"]) for r in out.collect()] == [(1, 10)]
+
+
+def test_stream_stream_join_streaming(spark, tmp_path):
+    # the real thing: two file-source streams joined with bounded state
+    from kinesis_handler_spark.streaming import stream_stream_interval_join
+
+    lsrc, rsrc = tmp_path / "l", tmp_path / "r"
+    lsrc.mkdir(); rsrc.mkdir()
+    _write(lsrc / "a.json", [
+        {"imp_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 7},
+        {"imp_id": 3, "ts": "2024-01-01T10:00:00", "user_id": 9},
+    ])
+    _write(rsrc / "a.json", [
+        {"click_id": 10, "ts": "2024-01-01T10:05:00", "user_id": 7},
+        {"click_id": 11, "ts": "2024-01-01T10:20:00", "user_id": 7},
+    ])
+    left = spark.readStream.schema(IMPR_SCHEMA).json(str(lsrc))
+    right = spark.readStream.schema(CLICK_SCHEMA).json(str(rsrc))
+    out = stream_stream_interval_join(
+        left, right, "user_id", interval_seconds=600
+    ).select("l.imp_id", "r.click_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from ssj").collect()
+    assert [(r["imp_id"], r["click_id"]) for r in rows] == [(1, 10)]
