@@ -292,3 +292,39 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type", "value")
     )
+
+
+@query(
+    "window_time_bucket",
+    oracle="""
+    SELECT date_trunc('day', ts) AS bucket_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS total_value
+    FROM events
+    GROUP BY date_trunc('day', ts), event_type
+    """,
+)
+def window_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows via ``F.window`` — the SAME operator
+    the streaming layer uses (`streaming.windows.tumbling_aggregate`),
+    here in batch mode with a DuckDB ``date_trunc`` oracle, so the
+    streaming table's windowing semantics get a hash-checked twin
+    (1-day tumbling == day truncation for epoch-aligned windows).
+    Shuffles once on (window, event_type); decimal sums keep the
+    aggregate order-independent."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
