@@ -9,6 +9,13 @@ DECIMAL first makes the arithmetic exact and therefore order-independent
 The fixture data carries at most 2 fractional digits (TPC-H-style money);
 DECIMAL(18,6) is wide enough for any per-row value and sums stay inside
 DECIMAL(38,6).
+
+Final OUTPUT columns are DOUBLE, not decimal: the arithmetic stays exact
+(order-independent) inside the aggregate, and the single deterministic
+decimal→double conversion at the end produces a value both Spark and any
+oracle engine agree on bit-for-bit.  Surfacing decimal(38,6) itself is a
+trap — downstream consumers (hashers, Arrow, BI tools) disagree on
+decimal representations even when values are equal.
 """
 
 from __future__ import annotations
@@ -27,10 +34,10 @@ def dec(col: Column | str) -> Column:
 
 
 def dec_sum(col: Column | str) -> Column:
-    """Exact SUM over a double column, stable final type decimal(38,6)."""
-    return F.sum(dec(col)).cast(DEC_SUM)
-
-
-def dec_sum_as_double(col: Column | str) -> Column:
-    """Exact sum, surfaced as double (single deterministic conversion)."""
+    """Exact SUM over a double column (decimal internally), surfaced as
+    DOUBLE via one deterministic final conversion."""
     return F.sum(dec(col)).cast("double")
+
+
+# Back-compat alias; both names now surface double.
+dec_sum_as_double = dec_sum

@@ -166,8 +166,10 @@ def join_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold test is pure decimal/integer cross-multiplication
     (price·n·2 > sum·3), exact in both engines — no float division."""
     o = table(spark, sf_dir, "orders")
+    # NOTE: `s` stays DECIMAL (not dec_sum's double) — it feeds the exact
+    # cross-multiplication filter below and never reaches the output.
     ca = o.groupBy("o_custkey").agg(
-        dec_sum("o_totalprice").alias("s"), F.count(F.lit(1)).alias("n")
+        F.sum(dec("o_totalprice")).alias("s"), F.count(F.lit(1)).alias("n")
     )
     return (
         o.join(ca, "o_custkey")
@@ -300,7 +302,7 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('day', ts) AS bucket_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
              AS total_value
     FROM events
     GROUP BY date_trunc('day', ts), event_type

@@ -37,10 +37,11 @@ STOPWORDS = ("the", "a", "of", "and", "or", "to", "in", "is")
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+             AS total_tokens,
            CAST(CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE)
                 / COUNT(*) AS DOUBLE) AS avg_tokens,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            COUNT(DISTINCT source) AS n_sources
     FROM documents
     GROUP BY lang

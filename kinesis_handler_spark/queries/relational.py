@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_handler_spark.functions.numeric import DEC_SUM, dec, dec_sum
+from kinesis_handler_spark.functions.numeric import dec, dec_sum
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
 
@@ -71,7 +71,7 @@ def filter_pushdown_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
       l_orderkey,
       l_linenumber,
       CAST(CAST(l_extendedprice AS DECIMAL(18,6))
-           * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6))
+           * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
         AS disc_price,
       CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'small' END AS qty_class
     FROM lineitem
@@ -86,7 +86,7 @@ def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         (dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-        .cast(DEC_SUM)
+        .cast("double")
         .alias("disc_price"),
         F.when(F.col("l_quantity") >= 25, "bulk").otherwise("small").alias("qty_class"),
     )
@@ -101,7 +101,7 @@ def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       COUNT(*) AS n_rows,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
       CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
       CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
@@ -129,16 +129,16 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       l_returnflag,
       l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6))
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
         AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
                * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6))
-        AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+           AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
                * (1 - CAST(l_discount AS DECIMAL(18,6)))
                * (1 + CAST(l_tax AS DECIMAL(18,6)))) AS DECIMAL(38,6))
-        AS sum_charge,
+           AS DOUBLE) AS sum_charge,
       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
            / COUNT(l_quantity) AS DOUBLE) AS avg_qty,
       CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
@@ -167,8 +167,13 @@ def agg_groupby_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dec_sum("l_quantity").alias("sum_qty"),
             dec_sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).cast(DEC_SUM).alias("sum_disc_price"),
-            F.sum(charge).cast(DEC_SUM).alias("sum_charge"),
+            # Quantize the scale-12 product sum to scale 6 BEFORE the double
+            # cast: a scale-6 raw value fits a double's 53-bit mantissa, so
+            # both engines make one exact rounding and agree bit-for-bit.
+            F.sum(disc_price).cast("decimal(38,6)").cast("double")
+            .alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(38,6)").cast("double")
+            .alias("sum_charge"),
             (F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity"))
             .alias("avg_qty"),
             (F.sum(dec("l_discount")).cast("double") / F.count("l_discount"))
@@ -244,7 +249,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -270,7 +275,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, o_orderpriority,
            GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6))
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -295,7 +300,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6))
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
@@ -309,7 +314,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                COUNT(*) AS n,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
-                    AS DECIMAL(38,6)) AS sum_price
+                    AS DOUBLE) AS sum_price
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
@@ -325,7 +330,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
       CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,6)))
                     FILTER (WHERE event_type = 'purchase'), 0)
-           AS DECIMAL(38,6)) AS purchase_value
+           AS DOUBLE) AS purchase_value
     FROM (SELECT *, user_id % 10 AS user_bucket FROM events) e
     GROUP BY user_bucket
     """,
@@ -344,7 +349,7 @@ def agg_filtered_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("event_type") == "purchase", dec("value"))),
             F.lit(0).cast("decimal(18,6)"),
         )
-        .cast(DEC_SUM)
+        .cast("double")
         .alias("purchase_value"),
     )
 
@@ -358,7 +363,7 @@ def agg_filtered_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, c.c_name,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6))
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS total_spent
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE o.o_orderstatus = 'F'
@@ -386,9 +391,9 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r.r_name AS region, n.n_name AS nation,
            COUNT(*) AS n_lineitems,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
                     * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
-                AS DECIMAL(38,6)) AS revenue
+                AS DECIMAL(38,6)) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey  = c.c_custkey
@@ -416,7 +421,7 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("n_lineitems"),
-            F.sum(revenue).cast(DEC_SUM).alias("revenue"),
+            F.sum(revenue).cast("decimal(38,6)").cast("double").alias("revenue"),
         )
     )
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_handler_spark.functions.numeric import DEC_SUM, dec
+from kinesis_handler_spark.functions.numeric import dec
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
 
@@ -47,7 +47,7 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
       CASE WHEN event_type IN ('click', 'purchase', 'signup')
            THEN event_type ELSE 'unregistered' END AS route,
       COUNT(*) AS n_events,
-      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1
     """,
@@ -66,7 +66,7 @@ def route_case_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.groupBy(route).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(dec("value")).cast(DEC_SUM).alias("total_value"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
     )
 
 

@@ -29,13 +29,17 @@ from kinesis_handler_spark.tables import table
       trim('  ' || c_mktsegment || ' ')      AS seg_trim,
       regexp_extract(c_name, '([0-9]+)', 1)  AS name_digits,
       replace(c_name, 'Customer#', 'C-')     AS name_short,
-      string_split(c_name, '#')              AS name_parts
+      array_to_string(string_split(c_name, '#'), '|') AS name_parts
     FROM customer
     WHERE c_custkey % 7 = 0
     """,
 )
 def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """upper/lower/substr/concat/length/trim/regexp_extract/replace/split."""
+    """upper/lower/substr/concat/length/trim/regexp_extract/replace/split.
+
+    ``name_parts`` is split then re-joined with ``|``: the split is still
+    exercised, but the output column is a plain string — array-typed
+    outputs are not hashable by the driver's canonicalizer."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 == 0)
     return c.select(
         "c_custkey",
@@ -49,7 +53,7 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
         F.regexp_replace("c_name", r"Customer#", "C-").alias("name_short"),
-        F.split("c_name", "#").alias("name_parts"),
+        F.array_join(F.split("c_name", "#"), "|").alias("name_parts"),
     )
 
 
@@ -136,9 +140,9 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       vec_id,
       CAST(len(embedding) AS INTEGER) AS dim,
-      embedding[1]                    AS first_val,
-      list_slice(embedding, 1, 4)     AS head4,
-      list_sort(list_slice(embedding, 1, 4)) AS head4_sorted,
+      CAST(embedding[1] AS DOUBLE)    AS first_val,
+      CAST(list_slice(embedding, 1, 4)[4] AS DOUBLE) AS head4_last,
+      CAST(list_sort(list_slice(embedding, 1, 4))[1] AS DOUBLE) AS head4_min,
       list_contains(list_transform(embedding, x -> x > 0.4), true)
         AS has_large
     FROM embeddings
@@ -147,14 +151,23 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """size/element_at/slice/sort_array/exists over ArrayType — all
-    higher-order functions run JVM-side (no Python)."""
+    higher-order functions run JVM-side (no Python).
+
+    slice/sort_array are exercised but surfaced as scalar DOUBLEs
+    (last-of-slice, min-of-slice): array-typed outputs crash the
+    driver's hasher, and float→string serialization is engine-dependent;
+    float→double widening is exact in both engines."""
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.element_at("embedding", 1).alias("first_val"),
-        F.slice("embedding", 1, 4).alias("head4"),
-        F.sort_array(F.slice("embedding", 1, 4)).alias("head4_sorted"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.element_at(F.slice("embedding", 1, 4), 4)
+        .cast("double")
+        .alias("head4_last"),
+        F.element_at(F.sort_array(F.slice("embedding", 1, 4)), 1)
+        .cast("double")
+        .alias("head4_min"),
         F.exists("embedding", lambda x: x > F.lit(0.4)).alias("has_large"),
     )
 
@@ -164,7 +177,7 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(unnest(generate_series(1, len(embedding))) AS INTEGER) AS pos,
-           unnest(embedding) AS val
+           CAST(unnest(embedding) AS DOUBLE) AS val
     FROM embeddings
     WHERE vec_id < 8
     """,
@@ -174,8 +187,12 @@ def scalar_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     match the oracle's parallel-unnest zip."""
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
     return e.select(
-        "vec_id", F.posexplode("embedding").alias("pos0", "val")
-    ).select("vec_id", (F.col("pos0") + 1).cast("int").alias("pos"), "val")
+        "vec_id", F.posexplode("embedding").alias("pos0", "val0")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.col("val0").cast("double").alias("val"),
+    )
 
 
 @query(

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kinesis_handler_spark.functions.numeric import DEC_SUM, dec
+from kinesis_handler_spark.functions.numeric import dec
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
 
@@ -74,11 +74,11 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(value AS DECIMAL(18,6)))
                   OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,6)) AS running_value,
+                AS DOUBLE) AS running_value,
            CAST(SUM(CAST(value AS DECIMAL(18,6)))
                   OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,6)) AS window3_value
+                AS DOUBLE) AS window3_value
     FROM events
     """,
 )
@@ -92,8 +92,8 @@ def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.sum(v).over(run).cast(DEC_SUM).alias("running_value"),
-        F.sum(v).over(last3).cast(DEC_SUM).alias("window3_value"),
+        F.sum(v).over(run).cast("double").alias("running_value"),
+        F.sum(v).over(last3).cast("double").alias("window3_value"),
     )
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from kinesis_handler_spark.functions.numeric import DEC_SUM, dec
+from kinesis_handler_spark.functions.numeric import dec
 
 
 def _with_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
@@ -48,7 +48,7 @@ def tumbling_aggregate(
         d.groupBy(F.window(ts_col, window).alias("win"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dec(value_col)).cast(DEC_SUM).alias("total"),
+            F.sum(dec(value_col)).cast("double").alias("total"),
         )
         .select(
             F.col("win.start").alias("win_start"),

@@ -1,11 +1,24 @@
-"""Local replica of the driver's t2 correctness gate.
+"""Local replica of the driver's t2 correctness gate — TYPE-STRICT.
 
 Runs every registered query on Spark and its oracle SQL on DuckDB over
 the same parquet tables, then compares row count, column names, and an
-order-insensitive multiset of normalized values.  Stricter than any
-reasonable hash: values must match exactly (floats bit-for-bit, decimals
-numerically with scale normalized), so if this passes, the driver's
-hash comparison passes.
+order-insensitive multiset of values.
+
+Round-1 lesson (VERDICT.md "What's wrong" #4): the old version here
+normalized Decimal/int/float into one numeric space, so locally-green
+queries failed the driver's hash, which does NOT normalize.  This
+version is deliberately stricter than the driver:
+
+* An output column typed DECIMAL, ARRAY/LIST, MAP, FLOAT32/REAL, or
+  HUGEINT on EITHER side is an immediate failure ("type violation"),
+  even if values match — those types are exactly what broke 14 driver
+  rows in round 1.  Allowed output types: boolean, int32/int64, double,
+  string, binary, date, timestamp.
+* Values are compared without cross-type unification: an int never
+  equals a float, a Decimal never equals anything.  Floats must match
+  bit-for-bit.
+
+If this passes, the driver's hash comparison passes.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -22,29 +35,56 @@ import duckdb
 from kinesis_handler_spark.registry import QUERIES, all_oracles, all_queries
 from kinesis_handler_spark.tables import TABLES
 
+# Spark simpleString type prefixes allowed in a driver-checked output.
+_SPARK_OK = ("boolean", "tinyint", "smallint", "int", "bigint", "double",
+             "string", "binary", "date", "timestamp")
+# DuckDB type names allowed (cursor.description type ids).
+_DUCK_OK = ("BOOLEAN", "TINYINT", "SMALLINT", "INTEGER", "BIGINT", "DOUBLE",
+            "VARCHAR", "BLOB", "DATE", "TIMESTAMP", "NUMBER", "STRING",
+            "DATETIME", "Timestamp", "bool", "object")
+
+
+def spark_type_violations(sdf) -> list[str]:
+    bad = []
+    for f in sdf.schema.fields:
+        t = f.dataType.simpleString()
+        if not t.startswith(_SPARK_OK):
+            bad.append(f"{f.name}:{t}")
+    return bad
+
+
+def duckdb_type_violations(con, sql: str) -> list[str]:
+    # DESCRIBE gives concrete DuckDB types (cursor.description loses
+    # precision — everything numeric shows as NUMBER).
+    bad = []
+    for name, typ, *_ in con.execute(f"DESCRIBE {sql}").fetchall():
+        u = typ.upper()
+        if ("DECIMAL" in u or "HUGEINT" in u or u == "FLOAT" or u == "REAL"
+                or "[]" in u or "LIST" in u or "MAP" in u or "STRUCT" in u):
+            bad.append(f"{name}:{typ}")
+    return bad
+
 
 def _normalize(v):
+    """Type-strict canonical form: no cross-type numeric unification."""
     if v is None:
         return "∅"
     if isinstance(v, bool):
         return f"b:{int(v)}"
     if isinstance(v, int):
-        return f"n:{v}"
+        return f"i:{v}"
     if isinstance(v, Decimal):
-        # scale-insensitive numeric normalization (1.10 == 1.1)
-        return f"n:{v.normalize()}"
+        return f"DECIMAL!:{v}"  # never matches an int or float
     if isinstance(v, float):
         if math.isnan(v):
             return "f:nan"
-        if v == int(v) and abs(v) < 1e15:
-            return f"n:{int(v)}"  # unify 5.0 (float) with 5 (int/decimal)
-        return f"f:{v!r}"
+        return f"f:{v!r}"  # bit-for-bit
     if isinstance(v, dt.datetime):
         return f"t:{v.isoformat()}"
     if isinstance(v, dt.date):
         return f"t:{v.isoformat()}T00:00:00"
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_normalize(x) for x in v) + "]"
+        return "ARRAY!:[" + ",".join(_normalize(x) for x in v) + "]"
     if isinstance(v, bytes):
         return f"x:{v.hex()}"
     return f"s:{v}"
@@ -68,10 +108,16 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def check_query(spark, con, name: str, sf_dir: str) -> tuple[bool, str]:
     q = QUERIES[name]
     sdf = q.fn(spark, sf_dir)
+    s_bad = spark_type_violations(sdf)
+    if s_bad and q.oracle is not None:
+        return False, f"TYPE violation (spark): {s_bad}"
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
     if q.oracle is None:
         return True, f"rows-only: {len(s_rows)} rows"
+    d_bad = duckdb_type_violations(con, q.oracle)
+    if d_bad:
+        return False, f"TYPE violation (duckdb): {d_bad}"
     cur = con.execute(q.oracle)
     d_cols = [c[0] for c in cur.description]
     d_rows = cur.fetchall()
@@ -86,7 +132,7 @@ def check_query(spark, con, name: str, sf_dir: str) -> tuple[bool, str]:
     if s_ms != d_ms:
         diff = [(a, b) for a, b in zip(s_ms, d_ms) if a != b][:3]
         return False, f"value mismatch ({len(s_ms)} rows), first diffs: {diff}"
-    return True, f"OK: {len(s_rows)} rows hash-equal"
+    return True, f"OK: {len(s_rows)} rows hash-equal (strict)"
 
 
 def main() -> int:
