@@ -45,7 +45,20 @@ def salted_join(
     anywhere outside the join key. Cost: ``n_salt``× shuffle volume for
     the small side — pick the smallest ``n_salt`` that flattens the
     stragglers.
+
+    Only ``inner``/``left``/``left_semi``/``left_anti`` are supported:
+    the rewrite replicates the small side once per salt, so any join
+    type that emits unmatched SMALL-side rows (``right``/``full``)
+    would emit them ``n_salt`` times — algebraically wrong, rejected.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got "
+            f"{how!r}: replicating the small side across salts would "
+            f"duplicate its unmatched rows under right/full joins"
+        )
     on = list(on)
     salted_big = big.withColumn(
         SALT, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salt))

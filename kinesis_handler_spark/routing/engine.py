@@ -84,6 +84,8 @@ class RoutingResult:
     unknown: DataFrame
     dead_letter: DataFrame
     _cached: DataFrame | None = None
+    _enriched: DataFrame | None = None
+    _registered: list[str] = field(default_factory=list)
 
     def unpersist(self) -> None:
         """Release the cached enriched frame (set by
@@ -100,19 +102,38 @@ class RoutingResult:
             self._cached.count()
 
     def metrics(self) -> dict[str, int]:
-        """Counts per channel (one job per DataFrame; for streaming
-        observability prefer ``df.observe`` / StreamingQueryListener —
-        R15/R18 without per-record logging)."""
-        out = {f"routed.{sid}": df.count() for sid, df in self.routed.items()}
-        out["unknown"] = self.unknown.count()
-        reasons = {
-            r["reason"]: r["n"]
-            for r in self.dead_letter.groupBy("reason")
+        """Routing counts per channel in ONE Spark job: each enriched row
+        is tagged with its channel (routed.<sid> / unknown /
+        dead_letter.<reason>) and counted in a single ``groupBy``.
+        Counts are channel ASSIGNMENTS (records entering each handler),
+        not handler output sizes — a handler may aggregate.  For
+        streaming observability prefer ``df.observe`` /
+        StreamingQueryListener (R15/R18, no per-record logging)."""
+        registered = self._registered
+        unknown_pred = F.col("data_schema").isNull()
+        if registered:
+            unknown_pred = unknown_pred | ~F.col("data_schema").isin(registered)
+        channel = (
+            F.when(
+                F.col("reason").isNotNull(),
+                F.concat(F.lit("dead_letter."), F.col("reason")),
+            )
+            .when(unknown_pred, F.lit("unknown"))
+            .otherwise(F.concat(F.lit("routed."), F.col("data_schema")))
+        )
+        counts = {
+            r["channel"]: r["n"]
+            for r in self._enriched.groupBy(channel.alias("channel"))
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        out["dead_letter"] = sum(reasons.values())
-        out.update({f"dead_letter.{k}": v for k, v in reasons.items()})
+        out = {
+            f"routed.{sid}": counts.get(f"routed.{sid}", 0) for sid in registered
+        }
+        out["unknown"] = counts.get("unknown", 0)
+        dl = {k: v for k, v in counts.items() if k.startswith("dead_letter.")}
+        out["dead_letter"] = sum(dl.values())
+        out.update(dl)
         return out
 
 
@@ -275,11 +296,17 @@ class RoutingEngine:
             "reason",
         )
         valid = enriched.filter(~is_bad)
-        unknown = valid.filter(
-            ~F.col("data_schema").isin(registered)
-            if registered
-            else F.lit(True)
-        ).select(
+        # A valid envelope with NULL $.data.schema must land in `unknown`
+        # (every record lands in exactly one channel — the reference's
+        # unknown-schema skip, kinesisHandler.js:120-122).  A bare
+        # `~isin(...)` evaluates to NULL for NULL data_schema and would
+        # silently drop the row from all three channels.
+        unknown_pred = F.col("data_schema").isNull()
+        if registered:
+            unknown_pred = unknown_pred | ~F.col("data_schema").isin(registered)
+        else:
+            unknown_pred = F.lit(True)
+        unknown = valid.filter(unknown_pred).select(
             *[c for c in records.columns if c in enriched.columns],
             "payload",
             "data_schema",
@@ -301,6 +328,8 @@ class RoutingEngine:
             unknown=unknown,
             dead_letter=dead_letter,
             _cached=enriched if cache else None,
+            _enriched=enriched,
+            _registered=registered,
         )
 
     # -- streaming entry point (R4, R13-R15) ------------------------------

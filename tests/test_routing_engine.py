@@ -162,3 +162,55 @@ def test_binary_data_column_accepted(spark, engine):
     m = engine.process_batch(df).metrics()
     assert m[f"routed.{fx.PRODUCT_CREATE_ID}"] == 3
     assert m["dead_letter"] == 0
+
+
+def test_null_data_schema_lands_in_unknown(spark):
+    # A record with a VALID envelope but no $.data.schema must land in
+    # exactly one channel (the unknown side output), never vanish: a bare
+    # `~isin(registered)` is NULL for NULL data_schema and would drop the
+    # row from routed, unknown, AND dead-letter.  Uses a lax envelope
+    # schema (data.schema not required) so the record survives envelope
+    # validation with data_schema = NULL.
+    lax_envelope = {
+        "self": {"vendor": fx.VENDOR, "name": "retail-stream", "version": "1-0-0"},
+        "type": "object",
+        "required": ["schema", "data"],
+        "properties": {
+            "schema": {"type": "string"},
+            "data": {"type": "object"},
+        },
+    }
+    eng = RoutingEngine(lax_envelope)
+    eng.register(fx.PRODUCT_CREATE_SCHEMA, identity_handler)
+    no_schema_payload = {
+        "schema": fx.STREAM_SCHEMA_ID,
+        "origin": "fixtures/test",
+        "data": {"id": "prod-x"},  # no data.schema
+    }
+    rows = [fx.record(fx.b64(no_schema_payload), pk="pk-n", seq=0)]
+    result = eng.process_batch(make_df(spark, rows))
+    m = result.metrics()
+    assert m["unknown"] == 1
+    assert m["dead_letter"] == 0
+    assert m[f"routed.{fx.PRODUCT_CREATE_ID}"] == 0
+    # every record lands somewhere: channel totals == batch size
+    assert result.unknown.count() == 1
+    assert result.unknown.collect()[0]["data_schema"] is None
+
+
+def test_metrics_single_pass(spark, engine):
+    # metrics() must cost ONE Spark action (a single groupBy over the
+    # enriched frame), not one action per channel.  AQE materializes a
+    # grouped collect as <=2 jobs (shuffle map + final), so the bound is
+    # 2 — the old per-channel implementation ran 4+ jobs for this
+    # engine's 4 channels (2 routed + unknown + dead-letter).
+    result = engine.process_batch(make_df(spark, fx.batch_ok()))
+    tracker = spark.sparkContext.statusTracker()
+    sc = spark.sparkContext
+    sc.setJobGroup("metrics-single-pass", "metrics() job count probe")
+    try:
+        result.metrics()
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = tracker.getJobIdsForGroup("metrics-single-pass") or []
+    assert 1 <= len(jobs) <= 2, f"metrics() ran {len(jobs)} jobs, expected <=2"

@@ -59,3 +59,25 @@ def test_salted_count_distinct_is_exact(spark):
         for r in salted_count_distinct(df, ["k"], "u", n_salt=8).collect()
     }
     assert got == expect
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    # Replicating the small side across salts duplicates its unmatched
+    # rows n_salt times under right/full joins — must be rejected.
+    import pytest
+
+    big, small = _skewed(spark), _dim(spark)
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, ["k"], n_salt=4, how=how)
+
+
+def test_salted_join_left_matches_plain_left(spark):
+    big = _skewed(spark).filter(F.col("k") <= 120)
+    small = _dim(spark).filter(F.col("k") < 50)  # leave some big rows unmatched
+    plain = big.join(small, ["k"], "left").select("k", "payload", "name")
+    salted = salted_join(big, small, ["k"], n_salt=8, how="left").select(
+        "k", "payload", "name"
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
