@@ -85,7 +85,8 @@ def test_jvm_only_queries_have_no_python_stage(spark, sf_dir):
         "udaf_grouped_pandas",
         "multimodal_features",
         "dedup_embedding_cosine",  # blocked-GEMM scorer (numpy via mapInPandas)
-        "sim_ann_ivf",  # IVF exact re-rank is a blocked GEMM too
+        "sim_ann_ivf",  # IVF assignment + exact re-rank are GEMMs
+        "dedup_embedding_ann",  # IVF candidates + exact in-cell GEMM
     }
     offenders = []
     for name in sorted(all_queries()):
