@@ -199,49 +199,98 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sim_ann_lsh")  # rows-only: bucket assignment is engine-hash-specific
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbors via random-hyperplane LSH: 8-bit
-    signature from sign(dot(v, h_i)) for 8 pseudo-random ±1 hyperplanes
-    (derived deterministically from xxhash64); vectors sharing a
-    signature bucket are candidates, exactly re-ranked within the
-    bucket (top-3 by dot).  The 100 TB path: one shuffle on the
-    signature, bucket-local cross products only; run L independent
-    tables and union for recall."""
+    """Approximate nearest neighbors via MULTI-TABLE random-hyperplane
+    LSH: L=8 independent tables, each an r-bit signature from
+    sign(dot(v, h)) over ±1 hyperplanes derived deterministically from
+    xxhash64; a pair is a candidate if it collides in ANY table, and
+    candidates are exactly re-ranked (top-3 per query by quantized
+    integer dot).
+
+    Scale shape: r grows with log2(N) so expected bucket size stays
+    O(1) and per-table candidate volume stays O(N); signatures are one
+    Arrow-batched GEMM against the broadcast L×r hyperplane matrix (the
+    hyperplanes are the index artifact); the collision join is a single
+    equi-join on (table, signature) after one posexplode — same banding
+    shape as ``dedup_near_minhash``.  Recall on worst-case structureless
+    gaussian data is modest at fixed L (neighbors sit near the ambient
+    cosine noise floor — pinned honestly in tests/test_sketch_quality);
+    on real clustered corpora collisions concentrate and recall rises.
+    Raise L to trade compute for recall."""
+    import math
+
+    import numpy as np
+
+    n_tables = 8
     emb = table(spark, sf_dir, "embeddings")
     qv = emb.select("vec_id", _quantized().alias("qvec"))
+    n = qv.count()
+    n_bits = max(8, int(math.log2(max(n, 2))) + 1)
 
-    # signature bit i: sign of sum_j qvec[j] * hyperplane(i, j), with
-    # hyperplane(i, j) = ±1 from the parity of xxhash64(i*97 + j).
-    def bit(i: int):
-        prods = F.transform(
-            "qvec",
-            lambda x, j: x
-            * F.when(
-                F.pmod(F.xxhash64(F.lit(i * 97) + j), F.lit(2)) == 0, F.lit(1)
-            ).otherwise(F.lit(-1)),
-        )
-        s = F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
-        return F.when(s > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    # Hyperplane matrix: ±1 entries from a FIXED-seed PRNG.  The
+    # hyperplanes are broadcast index data, not engine expressions, so
+    # they only need run-to-run determinism — no Spark job required.
+    dim = len(qv.select("qvec").first()["qvec"])
+    rng = np.random.RandomState(0xC0FFEE)
+    hyper = rng.choice(
+        np.array([-1.0, 1.0]), size=(n_tables * n_bits, dim)
+    ).astype(np.float64)
+    bc = spark.sparkContext.broadcast(hyper)
+    pows = np.power(2.0, np.arange(n_bits)).astype(np.int64)
 
-    sig = qv.withColumn(
-        "bucket", sum([bit(i) for i in range(8)], F.lit(0))
-    ).select("vec_id", "qvec", "bucket")
+    def signatures(batches):
+        import numpy as np
+        import pandas as pd
 
-    a, b = sig.alias("a"), sig.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.qvec"), F.col("b.qvec"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+        h = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["qvec"].to_numpy()).astype(np.float64)
+            bits = (v @ h.T) > 0  # N × (L·r)
+            sigs = (
+                bits.reshape(len(v), n_tables, n_bits).astype(np.int64) * pows
+            ).sum(axis=2)
+            # signatures only — the vectors themselves are joined back
+            # for scoring, not shipped L times through the shuffle
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(dtype=np.int64), n_tables
+                    ),
+                    "tbl": np.tile(
+                        np.arange(n_tables, dtype=np.int32), len(v)
+                    ),
+                    "sig": sigs.ravel(),
+                }
+            )
+
+    banded = qv.mapInPandas(
+        signatures, "vec_id BIGINT, tbl INT, sig BIGINT"
+    ).localCheckpoint(eager=False)
+
+    a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            dot.alias("dot"),
+        )
+        .distinct()  # collide-in-any-table union, each pair scored once
+        .join(qv.select(F.col("vec_id").alias("id_a"), F.col("qvec").alias("qa")), "id_a")
+        .join(qv.select(F.col("vec_id").alias("id_b"), F.col("qvec").alias("qb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.aggregate(
+                F.zip_with("qa", "qb", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
         )
     )
     w = Window.partitionBy("id_a").orderBy(F.col("dot").desc(), F.col("id_b"))

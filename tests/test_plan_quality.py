@@ -101,19 +101,20 @@ def test_jvm_only_queries_have_no_python_stage(spark, sf_dir):
     assert not offenders, f"Python stages in JVM-only queries: {offenders}"
 
 
-def test_no_cartesian_products_except_intended(spark, sf_dir):
-    # sim_cosine_topk / dedup_embedding_cosine intentionally cross-join
-    # (bounded query side / correctness tier); everything else must not.
-    allowed = {
-        "sim_cosine_topk",
-        "dedup_embedding_cosine",
-        "sim_ann_ivf",  # N x K broadcast centroid scoring (K=16)
-    }
+def test_no_cartesian_product_outside_declared_brute_force(spark, sf_dir):
+    # The ONLY query allowed a product join over DATA rows is
+    # sim_cosine_topk (the declared brute-force correctness tier).
+    # dedup_embedding_cosine's nested-loop is over its B(B+1)/2 BLOCK
+    # pairs (B rows a side), not data rows — allowed for the
+    # nested-loop marker only.  A CartesianProduct anywhere else is a
+    # 100 TB plan bug.
+    cartesian_ok = {"sim_cosine_topk"}
+    nested_loop_ok = {"sim_cosine_topk", "dedup_embedding_cosine"}
     offenders = []
     for name in sorted(all_queries()):
-        if name in allowed:
-            continue
         plan = plan_of(spark, name, sf_dir, mode="simple")
-        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
-            offenders.append(name)
-    assert not offenders, f"unintended cross joins: {offenders}"
+        if "CartesianProduct" in plan and name not in cartesian_ok:
+            offenders.append(f"{name}:cartesian")
+        if "BroadcastNestedLoopJoin" in plan and name not in nested_loop_ok:
+            offenders.append(f"{name}:nested-loop")
+    assert not offenders, f"unintended product joins: {offenders}"
