@@ -17,6 +17,15 @@ Cross-engine determinism rules (why oracle hashes match):
 * Every computed column is aliased identically in the DataFrame code and
   the oracle SQL (driver compares after sorting columns by name).
 * Ties in top-k / rank queries always carry a deterministic tie-break key.
+* FINAL output columns are restricted to boolean/int/bigint/double/
+  string/binary/date/timestamp.  Never surface DECIMAL (engines
+  disagree on representation), ARRAY/MAP (unhashable by the driver's
+  canonicalizer), FLOAT32 (widening differs), or let a DuckDB
+  ``SUM(bigint)`` escape as HUGEINT — wrap in ``CAST(... AS BIGINT)``.
+  Decimal arithmetic stays INTERNAL; convert once at the end, and
+  quantize scale-12 product sums to ``DECIMAL(38,6)`` before the double
+  cast so both engines round identically (see functions/numeric.py).
+  ``tools/check_oracle.py`` enforces all of this type-strictly.
 """
 
 from __future__ import annotations
