@@ -7,6 +7,8 @@ Module map (mirrors SURVEY.md §2.B sections):
 * :mod:`setops`      — sorts, limits, set operations, exact dedup
 * :mod:`scalars`     — scalar function library (string/date/math/array/json)
 * :mod:`stats`      — moment aggregates, percentiles, listagg, unpivot
+* :mod:`sources_q`   — CSV/JSON source connectors hash-checked vs parquet
+* :mod:`temporal`    — batch twins of the streaming window operators
 * :mod:`routing_q`   — batch-checkable projections of the routing engine
 * :mod:`llm`         — text analysis, near-dedup, similarity search,
                        multimodal binary columns
@@ -20,6 +22,8 @@ from kinesis_handler_spark.queries import (  # noqa: F401
     routing_q,
     scalars,
     setops,
+    sources_q,
     stats,
+    temporal,
     windows,
 )

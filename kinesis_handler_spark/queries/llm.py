@@ -591,3 +591,44 @@ def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").applyInPandas(
         stats, "user_id long, n_events long, median_value double"
     )
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS ntext
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           substr(ntext, 1, 60) AS norm_prefix,
+           CAST(length(string_split(ntext, ' ')) AS INTEGER) AS n_tokens_norm,
+           CAST(length(ntext) AS INTEGER) AS n_chars_norm
+    FROM norm
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization — the first stage of every training-data text
+    pipeline: lowercase, strip non-alphanumerics, collapse whitespace,
+    trim; then re-tokenize.  Pure JVM-side regexp (whole-stage codegen,
+    no Python); embarrassingly parallel per row, no shuffle at any
+    scale.  Spark's regexp_replace replaces all matches by default ==
+    DuckDB's 'g' flag; the character class is ASCII-only so both
+    engines agree on case mapping."""
+    d = table(spark, sf_dir, "documents")
+    ntext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.substring(ntext, 1, 60).alias("norm_prefix"),
+        F.size(F.split(ntext, " ")).cast("int").alias("n_tokens_norm"),
+        F.length(ntext).cast("int").alias("n_chars_norm"),
+    )

@@ -544,3 +544,66 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "join_exists_correlated",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45.0
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def join_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape): orders with at least one
+    high-quantity lineitem, counted per priority.  Decorrelated to a
+    LEFT SEMI join — the filter on the subquery side is pushed below
+    the join, so the semi join probes only the ~10% of lineitem rows
+    that qualify; the order-side row count never multiplies (EXISTS
+    ⇒ at-most-once semantics for free).  One shuffle each side on
+    l_orderkey, then a partial+final count agg."""
+    o = table(spark, sf_dir, "orders")
+    hot = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45.0)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(hot, o.o_orderkey == hot.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "agg_distinct_multi",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey)  AS n_customers,
+           COUNT(DISTINCT date_trunc('day', o_orderdate)) AS n_days,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates alongside plain aggregates in one
+    statement.  Catalyst compiles N distinct columns into a single
+    Expand (each input row replicated once per distinct group) followed
+    by two aggregate stages — one pass over the fact table instead of N
+    self-joined subqueries.  The Expand multiplies shuffle volume by
+    the distinct-column count; acceptable because each replica carries
+    only (group key, one distinct column)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct(F.date_trunc("day", "o_orderdate")).alias("n_days"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice").alias("total_price"),
+    )

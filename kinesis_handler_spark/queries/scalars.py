@@ -253,3 +253,41 @@ def scalar_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_complete"
         ),
     )
+
+
+@query(
+    "scalar_struct",
+    oracle="""
+    SELECT c_custkey,
+      (struct_pack(seg := c_mktsegment, bal := c_acctbal)).seg AS seg,
+      (struct_pack(cust := struct_pack(seg := c_mktsegment, bal := c_acctbal),
+                   nk := c_nationkey)).cust.bal AS bal,
+      (struct_pack(nk := c_nationkey)).nk + 100 AS nk_plus,
+      CASE WHEN (struct_pack(seg := c_mktsegment, bal := c_acctbal)).bal > 0.0
+           THEN 'pos' ELSE 'nonpos' END AS bal_sign
+    FROM customer
+    WHERE c_custkey % 5 = 0
+    """,
+)
+def scalar_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StructType column surface: create (``F.struct`` with named
+    fields), nest two levels, access via ``getField``/dot path, and
+    branch on a struct member.  Struct columns never reach the output
+    (driver-unhashable) — every struct is consumed back down to
+    scalars, the same discipline the routing engine applies to its
+    envelope structs.  Pure projection: no shuffle, whole-stage
+    codegen, columns pruned to the 4 referenced fields."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 5 == 0)
+    flat = F.struct(
+        F.col("c_mktsegment").alias("seg"), F.col("c_acctbal").alias("bal")
+    )
+    nested = F.struct(flat.alias("cust"), F.col("c_nationkey").alias("nk"))
+    return c.select(
+        "c_custkey",
+        flat.getField("seg").alias("seg"),
+        nested.getField("cust").getField("bal").alias("bal"),
+        (nested.getField("nk") + 100).alias("nk_plus"),
+        F.when(flat.getField("bal") > 0.0, "pos")
+        .otherwise("nonpos")
+        .alias("bal_sign"),
+    )

@@ -173,3 +173,36 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(least(floor(o_totalprice / 50000.0), 9.0) AS INTEGER)
+             AS bucket,
+           COUNT(*) AS n,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (data-profiling primitive): bucket order
+    totals into 10 × 50k bins with the top bin clamped open-ended.
+    Bucketing is one IEEE-exact division + floor per row (identical in
+    both engines), then an ordinary partial+final hash agg on a 10-value
+    key — at 100 TB the map-side combine collapses each partition to
+    ≤10 rows before the shuffle."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 50000.0), F.lit(9).cast("bigint")
+    ).cast("int")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

@@ -1,0 +1,149 @@
+"""Event-time windowing twins of the streaming layer, in batch mode.
+
+SURVEY.md §2.B "Streaming-only" notes that tumbling windows get a
+batch-checkable twin (`window_time_bucket`).  This module extends the
+same idea to the other two streaming window shapes so their semantics
+are DuckDB-hash-checked, not just pytest-asserted:
+
+* `window_time_slide`   — sliding windows (`F.window(ts, width, slide)`),
+  the operator behind `streaming.windows.sliding_aggregate`.
+* `window_session_batch` — session windows (`F.session_window`), the
+  operator behind `streaming.windows.session_aggregate`.
+* `window_range_interval` — trailing time-interval RANGE frame, the
+  batch analogue of a watermark-bounded sliding state.
+
+Reference parity note: the reference library has no event-time logic at
+all (`/root/reference/lib/kinesisHandler.js:29` carries only the arrival
+timestamp); these operators are north-star mandate (BASELINE.json:6),
+and the streaming variants live in `streaming/windows.py`.
+
+100 TB design: all three shuffle once on (key, window); sliding windows
+multiply rows by width/slide (here 2×) BEFORE the shuffle via Spark's
+internal Expand — the same cost model as the streaming operator's state
+updates.  No Python, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_handler_spark.functions.numeric import dec, dec_sum
+from kinesis_handler_spark.registry import query
+from kinesis_handler_spark.tables import table
+
+
+@query(
+    "window_time_slide",
+    oracle="""
+    SELECT date_trunc('day', ts) - k * INTERVAL '1' DAY AS w_start,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events, UNNEST([0, 1]) AS t(k)
+    GROUP BY 1
+    """,
+)
+def window_time_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows: width 2 days, slide 1 day — every
+    event lands in exactly two windows.  Same ``F.window`` operator the
+    streaming sliding aggregate uses; the oracle replicates each row
+    into its two epoch-aligned day buckets with UNNEST.  One shuffle on
+    the window start; the 2× row expansion happens map-side (Expand),
+    which is the irreducible cost of sliding windows at any scale."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            dec_sum("value").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n", "n_users", "total_value")
+    )
+
+
+@query(
+    "window_session_batch",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL '8' HOUR
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '8' HOUR AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (8-hour inactivity gap) via
+    ``F.session_window`` — the SAME operator the streaming session
+    aggregate uses, here batch-mode with a gap-and-islands oracle.
+    Spark merges events whose [ts, ts+gap) ranges overlap, so a new
+    session starts exactly when the inter-event gap >= the duration —
+    mirrored by the oracle's LAG comparison.  window.end is
+    last-event-ts + gap on both sides.  One shuffle on (user_id,
+    session); session assembly is a sort within each user partition."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "8 hours").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "window_range_interval",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_1d,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             AS value_1d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24-hour RANGE frame per user: for each event, how many
+    events (and how much value) the same user produced in the preceding
+    day, inclusive.  Ordering key is integer microseconds on BOTH
+    engines so the frame boundary is exact (no float epoch, no ns/us
+    disagreement).  RANGE frames include all peer rows with equal
+    ordering key, identically in Spark and DuckDB.  One shuffle on
+    user_id; per-partition sort; state is a sliding two-pointer — the
+    batch analogue of a watermark-bounded stream aggregation."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1d"),
+        F.sum(dec("value")).over(w).cast("double").alias("value_1d"),
+    )

@@ -65,10 +65,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # The external driver checks queries() entries in dict order and capped the
 # round-1 run at the first 50 of 70, leaving 20 queries with no verdict at
 # all.  Order the registry to maximize verdict information per round:
+#   tier NEW — oracle-backed queries added this round (never had any verdict);
 #   tier 0 — oracle-backed queries the round-1 driver never reached;
 #   tier 1 — queries red in round 1 (output-type fixes to prove green);
 #   tier 2 — previously-green oracle-backed queries;
 #   tier 3 — rows-only queries (no oracle; weakest driver signal) last.
+# With a 50-query cap and >50 oracle-backed queries, full verification
+# rotates across rounds: each round, promote the least-recently-verified
+# tier-2 queries ahead of recently-green ones.
+_TIER_NEW = [
+    "window_time_slide", "window_session_batch", "window_range_interval",
+    "join_exists_correlated", "agg_distinct_multi", "agg_histogram",
+    "set_intersect_all", "scalar_struct", "text_normalize",
+    "source_csv_scan", "source_json_scan",
+]
 _TIER0 = [
     "agg_stats_moments", "agg_percentiles", "agg_string_concat",
     "reshape_unpivot", "join_asof_latest", "window_rank_topn",
@@ -83,7 +93,7 @@ _TIER1 = [
     "join_broadcast_dims", "route_case_tag", "window_time_bucket",
     "text_stats", "scalar_string", "scalar_array",
 ]
-_EXPLICIT = {*_TIER0, *_TIER1}
+_EXPLICIT = {*_TIER_NEW, *_TIER0, *_TIER1}
 
 
 def _driver_order() -> list[str]:
@@ -95,7 +105,7 @@ def _driver_order() -> list[str]:
     tier3 = [
         n for n in names if n not in _EXPLICIT and QUERIES[n].oracle is None
     ]
-    known = [n for n in _TIER0 + _TIER1 if n in QUERIES]
+    known = [n for n in _TIER_NEW + _TIER0 + _TIER1 if n in QUERIES]
     return known + tier2 + tier3
 
 
