@@ -281,6 +281,13 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB run ``dedup_near_minhash`` first and only exact-check its
     candidate pairs (this operator applied to candidates, not the cross
     product)."""
+    return _jaccard_pair_frame(spark, sf_dir)
+
+
+def _jaccard_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pair builder for `dedup_near_jaccard` (which returns it
+    as-is) and `dedup_components` (which treats the pairs as graph
+    edges)."""
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     shingled = (
@@ -632,3 +639,113 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(ntext, " ")).cast("int").alias("n_tokens_norm"),
         F.length(ntext).cast("int").alias("n_chars_norm"),
     )
+
+
+@query(
+    "dedup_components",
+    oracle="""
+    WITH RECURSIVE
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    idx AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM idx
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT p.doc_a, p.doc_b
+      FROM cand p
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+      WHERE 5 * p.n_common >= sa.sz + sb.sz - p.n_common
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (
+      SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src
+    )
+    SELECT doc_id, component_id,
+           CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT)
+             AS n_members
+    FROM comp
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERING: connected components over the exact
+    Jaccard pair graph — the step a real dedup pipeline needs after
+    candidate pairs, because keep-one-per-pair is wrong when dups chain
+    (A~B, B~C ⇒ {A,B,C} is one cluster).  Component id = min doc_id in
+    the component; n_members = cluster size.
+
+    Distributed algorithm: iterative min-label propagation — every
+    vertex starts as its own label; each round takes the min of its own
+    and its neighbors' labels; fixpoint after diameter(G) rounds.  Each
+    round is one shuffle join on the (tiny) label frame; lineage is
+    truncated per round with an eager localCheckpoint, and the
+    convergence test reads a single aggregated count (an O(1)-row
+    driver read — the standard iterative-fixpoint shape, not a data
+    collect).  Near-dup graphs are overwhelmingly tiny star/clique
+    components, so diameters are single-digit; at 100 TB with
+    pathological chain components, switch the round body to the
+    large-star/small-star rewrite (alternating min-neighbor grafting),
+    which converges in O(log n) rounds over the same edge frame.
+    The oracle computes the same components via a recursive-CTE
+    transitive closure."""
+    pairs = _jaccard_pair_frame(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    rev = pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    edges = fwd.union(rev).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(50):  # safeguard; real bound is diameter(G)
+        neigh = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy(F.col("a").alias("n_doc"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.n_doc, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+                F.col("label").alias("old_label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.filter(F.col("label") != F.col("old_label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.drop("old_label")
+        if changed == 0:
+            break
+    wc = Window.partitionBy("component_id")
+    return labels.select(
+        "doc_id", F.col("label").alias("component_id")
+    ).withColumn("n_members", F.count(F.lit(1)).over(wc))

@@ -291,3 +291,66 @@ def scalar_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("nonpos")
         .alias("bal_sign"),
     )
+
+
+@query(
+    "scalar_hash",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name)                         AS name_md5,
+           sha256(c_name || '/' || c_mktsegment) AS keyed_sha,
+           substr(md5(c_name), 1, 8)           AS md5_prefix
+    FROM customer
+    WHERE c_custkey % 3 = 0
+    """,
+)
+def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash functions (md5 / sha2-256) — the content-
+    addressing primitives under exact dedup and shuffle-key shrinking
+    (`dedup_exact`'s 100 TB note).  Both engines emit lowercase hex, so
+    digests are hash-checkable strings.  Pure projection, codegen,
+    no shuffle."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    return c.select(
+        "c_custkey",
+        F.md5(F.col("c_name")).alias("name_md5"),
+        F.sha2(F.concat_ws("/", "c_name", "c_mktsegment"), 256).alias("keyed_sha"),
+        F.substring(F.md5(F.col("c_name")), 1, 8).alias("md5_prefix"),
+    )
+
+
+@query(
+    "scalar_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           (l_orderkey << 3)                          AS key_shl,
+           (l_orderkey >> 1)                          AS key_shr,
+           CAST(l_orderkey & 255 AS BIGINT)           AS key_low_byte,
+           CAST(l_orderkey | 4096 AS BIGINT)          AS key_or,
+           CAST(xor(l_orderkey, l_partkey) AS BIGINT) AS key_xor,
+           CAST(bit_count(l_orderkey) AS INTEGER)     AS key_popcount,
+           ~l_orderkey                                AS key_not
+    FROM lineitem
+    WHERE l_orderkey % 13 = 0
+    """,
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator surface (shifts, and/or/xor, popcount,
+    complement) on 64-bit keys — the machinery of the engine's own
+    simhash/LSH operators, exposed as scalars.  Two's-complement BIGINT
+    semantics are identical across engines; results cast to a common
+    width where default return types differ (DuckDB bit_count →
+    TINYINT, Spark → INT)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 13 == 0)
+    k = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.shiftleft(k, 3).alias("key_shl"),
+        F.shiftright(k, 1).alias("key_shr"),
+        (k.bitwiseAND(F.lit(255))).cast("bigint").alias("key_low_byte"),
+        (k.bitwiseOR(F.lit(4096))).cast("bigint").alias("key_or"),
+        (k.bitwiseXOR(F.col("l_partkey"))).cast("bigint").alias("key_xor"),
+        F.bit_count(k).cast("int").alias("key_popcount"),
+        F.bitwise_not(k).alias("key_not"),
+    )

@@ -163,3 +163,51 @@ def join_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.join(latest, e.user_id == latest.o_custkey, "left").select(
         "event_id", "user_id", F.col("o_orderkey").alias("last_orderkey")
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    SELECT event_id, user_id, nearest_orderkey, diff_us
+    FROM (
+      SELECT e.event_id, e.user_id,
+             o.o_orderkey AS nearest_orderkey,
+             abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)) AS diff_us,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)),
+                        o.o_orderkey) AS rn
+      FROM events e JOIN orders o ON o.o_custkey = e.user_id
+      WHERE e.event_type = 'signup'
+    ) t
+    WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join: each signup event matched to the SAME
+    user's temporally closest order (absolute time distance, orderkey
+    tie-break).  Equi-join on the user key then a per-event argmin
+    window — candidate volume is orders-per-user, which the data model
+    bounds (tens), so the join output is O(events × orders/user), not a
+    cross product; the window's WindowGroupLimit keeps one row per
+    event.  Time distance is exact integer microseconds on both
+    engines."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    o = table(spark, sf_dir, "orders")
+    joined = e.join(o, o.o_custkey == e.user_id)
+    # o_orderdate is parquet TIMESTAMP_NTZ; the session runs UTC, so the
+    # cast to (LTZ) timestamp is value-preserving and unix_micros exact.
+    odate = F.col("o_orderdate").cast("timestamp")
+    diff = F.abs(F.unix_micros(F.col("ts")) - F.unix_micros(odate))
+    w = Window.partitionBy("event_id").orderBy(diff.asc(), F.col("o_orderkey"))
+    return (
+        joined.select(
+            "event_id",
+            "user_id",
+            F.col("o_orderkey").alias("nearest_orderkey"),
+            diff.alias("diff_us"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

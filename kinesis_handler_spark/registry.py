@@ -78,6 +78,8 @@ _TIER_NEW = [
     "join_exists_correlated", "agg_distinct_multi", "agg_histogram",
     "set_intersect_all", "scalar_struct", "text_normalize",
     "source_csv_scan", "source_json_scan",
+    "scalar_hash", "scalar_bitwise", "join_asof_nearest",
+    "dedup_components",
 ]
 _TIER0 = [
     "agg_stats_moments", "agg_percentiles", "agg_string_concat",
