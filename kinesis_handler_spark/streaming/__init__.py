@@ -9,6 +9,7 @@ execution + state store.
 
 from kinesis_handler_spark.streaming.windows import (
     session_aggregate,
+    stream_static_enrich,
     stream_stream_interval_join,
     sliding_aggregate,
     stream_dedup,
@@ -19,6 +20,7 @@ from kinesis_handler_spark.streaming.windows import (
 
 __all__ = [
     "tumbling_aggregate",
+    "stream_static_enrich",
     "stream_stream_interval_join",
     "sliding_aggregate",
     "session_aggregate",

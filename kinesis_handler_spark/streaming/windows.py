@@ -259,3 +259,28 @@ def stream_stream_interval_join(
         & (rts <= lts + F.expr(f"INTERVAL {interval_seconds} SECONDS"))
     )
     return lw.join(rw, cond, how)
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    *,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a slowly-changing /
+    static dimension table (the streaming analogue of the batch star
+    join).  The static side is re-planned every micro-batch — so a dim
+    refreshed in place is picked up on the next trigger without
+    restarting the query — and is broadcast by default: no shuffle, no
+    state store, unlike a stream-stream join.  Stateless, so any output
+    mode works and watermarks are not required.
+
+    At 100 TB of stream volume the dim broadcast is per-executor
+    constant cost; for dims too big to broadcast, pass
+    ``broadcast_dim=False`` to let AQE pick a shuffled join (the stream
+    side then shuffles on the key every micro-batch — prefer pre-bucketing
+    the dim in that regime)."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on=key, how=how)

@@ -336,3 +336,56 @@ def test_stream_stream_join_streaming(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("select * from ssj").collect()
     assert [(r["imp_id"], r["click_id"]) for r in rows] == [(1, 10)]
+
+
+# -- stream-static join ------------------------------------------------------
+
+def _dim_df(spark):
+    return spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+
+
+def test_stream_static_enrich_batch_values(spark):
+    from kinesis_handler_spark.streaming import stream_static_enrich
+
+    events = _batch_df(spark, [
+        _ev(1, "2024-01-01T00:01:00", uid=1),
+        _ev(2, "2024-01-01T00:02:00", uid=2),
+        _ev(3, "2024-01-01T00:03:00", uid=7),   # no dim row
+    ])
+    out = stream_static_enrich(events, _dim_df(spark), "user_id").select(
+        "event_id", "tier"
+    )
+    got = {(r["event_id"], r["tier"]) for r in out.collect()}
+    assert got == {(1, "gold"), (2, "silver"), (3, None)}
+    # the default path must be a broadcast join: no shuffle of the stream
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stream_static_enrich_streaming(spark, tmp_path):
+    from kinesis_handler_spark.streaming import stream_static_enrich
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(src / "b0.json", [
+        _ev(1, "2024-01-01T00:01:00", uid=1),
+        _ev(2, "2024-01-01T00:02:00", uid=2),
+    ])
+    _write(src / "b1.json", [_ev(3, "2024-01-01T00:03:00", uid=7)])
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(str(src))
+    out_dir = str(tmp_path / "out")
+    q = (
+        stream_static_enrich(stream, _dim_df(spark), "user_id")
+        .select("event_id", "user_id", "tier")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r["event_id"], r["tier"]) for r in spark.read.parquet(out_dir).collect()}
+    assert got == {(1, "gold"), (2, "silver"), (3, None)}
