@@ -607,3 +607,104 @@ def agg_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dec_sum("o_totalprice").alias("total_price"),
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (
+      SELECT nullif(c_nationkey % 5, 2) AS k, COUNT(*) AS n_cust
+      FROM customer GROUP BY 1
+    ),
+    s AS (
+      SELECT nullif(s_nationkey % 5, 2) AS k, COUNT(*) AS n_supp
+      FROM supplier GROUP BY 1
+    )
+    SELECT COALESCE(c.k, s.k) AS k, c.n_cust, s.n_supp
+    FROM c FULL OUTER JOIN s ON c.k IS NOT DISTINCT FROM s.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of null-extending both sides — the
+    semantics needed when joining on optional attributes.  Both inputs
+    are pre-aggregated to one row per key BEFORE the join (reduce-then-
+    join), so the NULL group meets as 1×1, never the N×M blow-up a
+    null-matching join invites on raw rows.  COALESCE exposes one key
+    column, as an outer join requires."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.nullif(F.col("c_nationkey") % 5, F.lit(2)).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.nullif(F.col("s_nationkey") % 5, F.lit(2)).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c["k"].eqNullSafe(s["k"]), "full").select(
+        F.coalesce(c["k"], s["k"]).alias("k"), "n_cust", "n_supp"
+    )
+
+
+@query(
+    "profile_table",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             COUNT(o_orderstatus) AS nn_s,
+             COUNT(DISTINCT o_orderstatus) AS nd_s,
+             CAST(MIN(o_orderstatus) AS VARCHAR) AS mn_s,
+             CAST(MAX(o_orderstatus) AS VARCHAR) AS mx_s,
+             COUNT(o_custkey) AS nn_c,
+             COUNT(DISTINCT o_custkey) AS nd_c,
+             CAST(MIN(o_custkey) AS VARCHAR) AS mn_c,
+             CAST(MAX(o_custkey) AS VARCHAR) AS mx_c,
+             COUNT(o_totalprice) AS nn_p,
+             COUNT(DISTINCT o_totalprice) AS nd_p,
+             printf('%.2f', MIN(o_totalprice)) AS mn_p,
+             printf('%.2f', MAX(o_totalprice)) AS mx_p
+      FROM orders
+    )
+    SELECT 'o_orderstatus' AS column_name, n AS n_rows, n - nn_s AS n_nulls,
+           nd_s AS n_distinct, mn_s AS min_val, mx_s AS max_val FROM m
+    UNION ALL
+    SELECT 'o_custkey', n, n - nn_c, nd_c, mn_c, mx_c FROM m
+    UNION ALL
+    SELECT 'o_totalprice', n, n - nn_p, nd_p, mn_p, mx_p FROM m
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling (DESCRIBE-style) in ONE pass: row count and
+    per-column null count / exact distinct count / min / max for three
+    orders columns, stacked wide→long so the output is one row per
+    column.  A single aggregate scan computes every metric (map-side
+    partial aggregation; the multi-distinct goes through one Expand) —
+    at 100 TB this is the shape of a schema-quality sweep, vs. the N
+    scans of per-column DESCRIBE loops.  Doubles are surfaced through a
+    fixed printf format so min/max strings are engine-independent."""
+    o = table(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderstatus").alias("nn_s"),
+        F.countDistinct("o_orderstatus").alias("nd_s"),
+        F.min("o_orderstatus").cast("string").alias("mn_s"),
+        F.max("o_orderstatus").cast("string").alias("mx_s"),
+        F.count("o_custkey").alias("nn_c"),
+        F.countDistinct("o_custkey").alias("nd_c"),
+        F.min("o_custkey").cast("string").alias("mn_c"),
+        F.max("o_custkey").cast("string").alias("mx_c"),
+        F.count("o_totalprice").alias("nn_p"),
+        F.countDistinct("o_totalprice").alias("nd_p"),
+        F.format_string("%.2f", F.min("o_totalprice")).alias("mn_p"),
+        F.format_string("%.2f", F.max("o_totalprice")).alias("mx_p"),
+    )
+    return m.select(
+        F.expr(
+            "stack(3,"
+            " 'o_orderstatus', n, n - nn_s, nd_s, mn_s, mx_s,"
+            " 'o_custkey',     n, n - nn_c, nd_c, mn_c, mx_c,"
+            " 'o_totalprice',  n, n - nn_p, nd_p, mn_p, mx_p)"
+            " AS (column_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+        )
+    )
