@@ -718,31 +718,48 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
     )
-    for _ in range(50):  # safeguard; real bound is diameter(G)
+    def _hop(lbl: DataFrame) -> DataFrame:
         neigh = (
-            edges.join(labels, edges.b == labels.doc_id)
+            edges.join(lbl, edges.b == lbl.doc_id)
             .groupBy(F.col("a").alias("n_doc"))
             .agg(F.min("label").alias("nlabel"))
         )
+        return lbl.join(neigh, lbl.doc_id == neigh.n_doc, "left").select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce("nlabel", F.col("label"))
+            ).alias("label"),
+        )
+
+    # Four speculative hops folded lazily into round 1's plan: near-dup
+    # components are cliques/stars with min-node radius 1-2, so the
+    # typical graph converges inside the FIRST materializing action and
+    # the loop's first convergence check just confirms it — the whole
+    # fixpoint then costs one multi-shuffle Spark job, not one per hop.
+    # Lazy checkpoint: materialized once by round 1's count, then shared
+    # by BOTH the hop chain and the convergence compare-join (without it
+    # the compare branch would recompute the whole 4-hop chain).
+    labels = _hop(_hop(_hop(_hop(labels)))).localCheckpoint(eager=False)
+    for _ in range(25):  # safeguard; real bound is diameter(G)/2 rounds
+        # two propagation hops per convergence check (labels move two
+        # edges per round — half the checkpoint/count actions); the
+        # LAZY checkpoint is materialized by the `changed` count itself,
+        # so each round costs one Spark action, not two.
         new_labels = (
-            labels.join(neigh, labels.doc_id == neigh.n_doc, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce("nlabel", F.col("label"))
-                ).alias("label"),
-                F.col("label").alias("old_label"),
-            )
-            .localCheckpoint(eager=True)
+            _hop(_hop(labels))
+            .withColumnRenamed("label", "new_label")
+            .join(labels, "doc_id")
+            .localCheckpoint(eager=False)
         )
         changed = (
-            new_labels.filter(F.col("label") != F.col("old_label"))
+            new_labels.filter(F.col("new_label") != F.col("label"))
             .limit(1)
             .count()
         )
-        labels = new_labels.drop("old_label")
+        labels = new_labels.select(
+            "doc_id", F.col("new_label").alias("label")
+        )
         if changed == 0:
             break
     wc = Window.partitionBy("component_id")

@@ -564,3 +564,59 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_and_featurize(mm, fake=True).select(
         "media_id", "mime", "n_bytes", "content_sha256", "mean_byte"
     )
+
+
+@query(
+    "embed_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             CAST(len(embedding) AS INTEGER) AS n_dims,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS max_abs
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, n_dims,
+             CASE WHEN max_abs = 0.0 THEN 1.0 ELSE max_abs / 127.0 END AS scale
+      FROM q
+    )
+    SELECT e.vec_id, s.n_dims, s.scale,
+           CAST(list_sum(list_transform(e.embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS BIGINT)))
+             AS BIGINT) AS q_checksum,
+           CAST(list_max(list_transform(e.embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS BIGINT)))
+             AS BIGINT) AS q_max
+    FROM embeddings e JOIN s ON e.vec_id = s.vec_id
+    """,
+)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embedding vectors — the
+    compression step before ANN indexing / shipping vectors over the
+    wire (4× smaller than float32, 8× than float64).  Per-vector scale
+    = max|x|/127; quantized value = floor(x/scale + 0.5) (explicit
+    formula instead of round() because engines disagree on half-way
+    ties, while floor(+0.5) is the same IEEE op chain everywhere).
+    Output surfaces the quant params and integer checksums rather than
+    the int8 array (driver-hashable scalars; the array form is what
+    `dedup_embedding_*` consume internally).  Pure per-row array math:
+    no shuffle, embarrassingly parallel at any scale — float→double
+    widening is exact, so both engines quantize identically."""
+    e = table(spark, sf_dir, "embeddings")
+    dbl_abs = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    max_abs = F.array_max(dbl_abs)
+    scale = F.when(max_abs == 0.0, F.lit(1.0)).otherwise(max_abs / 127.0)
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") / scale + 0.5).cast("long"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("n_dims"),
+        scale.alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "q_checksum"
+        ),
+        F.array_max(q).cast("long").alias("q_max"),
+    )

@@ -86,7 +86,7 @@ _TIER_NEW = [
 # with source_csv_scan (same materialize+explicit-schema round-trip), so
 # the CSV verdict covers the risk; it rotates into the front next round.
 # |_TIER_NEW| + |_TIER0| + |_TIER1| = 16 + 19 + 14 = 49, +1 below = 50.
-_DEFERRED = ["source_json_scan"]
+_DEFERRED = ["source_json_scan", "embed_quantize"]
 _TIER0 = [
     "agg_stats_moments", "agg_percentiles", "agg_string_concat",
     "reshape_unpivot", "join_asof_latest", "window_rank_topn",
