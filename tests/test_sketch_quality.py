@@ -140,10 +140,13 @@ def test_approx_distinct_within_sketch_error(spark, sf_dir):
 def test_lsh_recall_floor_and_candidate_quality(spark, sf_dir):
     # Multi-table LSH on structureless gaussian embeddings is the
     # worst case (true neighbors sit near the ambient cosine noise
-    # floor) — recall is honestly modest.  Pin (a) a floor well above
-    # the single-table design it replaced (0.02 measured) and (b) that
-    # returned pairs are far better than random: their mean cosine must
-    # exceed the corpus mean by a wide margin.
+    # floor).  With L=12 tables at r=log2(N)-3 bits, measured top-3
+    # recall is ~0.45 at sf0.001 / ~0.5 at sf0.01 / ~0.36 at sf0.1
+    # (the r=log2(N)+1 single-probe design this replaced measured
+    # 0.02-0.12).  Pin (a) a regression floor at roughly half the
+    # measured value and (b) that returned pairs are far better than
+    # random: their mean cosine must exceed the corpus mean by a wide
+    # margin.
     rows = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", _quantized().alias("q"))
@@ -165,7 +168,7 @@ def test_lsh_recall_floor_and_candidate_quality(spark, sf_dir):
         for r in all_queries()["sim_ann_lsh"](spark, sf_dir).collect()
     }
     recall = len(got & top3) / len(top3)
-    assert recall >= 0.04, f"recall {recall}"
+    assert recall >= 0.25, f"recall {recall}"
     # Random SIGNED cosine averages ~0; |cosine| averages ~0.10 on this
     # corpus.  Returned pairs average ~0.15 (measured) — require they
     # clearly beat the absolute-value noise floor.
