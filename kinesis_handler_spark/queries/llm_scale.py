@@ -420,7 +420,7 @@ def _ivf_cells(n: int) -> int:
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via IVF (inverted-file index):
     K≈√N coarse centroids (``_ivf_assign``), each vector probes its
-    nprobe=3 nearest cells and is exactly re-ranked (top-3 by
+    nprobe=5 nearest cells and is exactly re-ranked (top-3 by
     quantized-integer cosine) against only those cells' members.
 
     The scale shape: assignment is a broadcast N×K scoring pass, and
@@ -431,7 +431,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-GB row and an executor OOM at 100× scale).  Per-query local
     top-k truncation inside the kernel keeps the post-scoring shuffle at
     nprobe×k rows per query, not the candidate set."""
-    n_probe, top_k = 3, 3
+    n_probe, top_k = 5, 3
     emb = table(spark, sf_dir, "embeddings")
     qv = emb.select("vec_id", _quantized().alias("qvec"))
     # An IVF build knows its corpus size; one count against the (tiny)

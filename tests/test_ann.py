@@ -43,16 +43,16 @@ def test_ivf_structural_contract(spark, sf_dir):
 
 
 def test_ivf_recall_beats_scan_share(spark, sf_dir, exact_top3):
-    # nprobe=3 of K=sqrt(N) cells scans ~3*sqrt(N)/N of the corpus
-    # (~13% at sf0.01); on structureless uniform-random embeddings
-    # recall lands ~3.5x that share (~0.47 measured). A regression
-    # below 0.3 means assignment/probing broke.
+    # nprobe=5 of K=sqrt(N) cells scans ~5*sqrt(N)/N of the corpus;
+    # on structureless uniform-random embeddings measured top-k recall
+    # is ~0.54 at sf0.01 (nprobe=3 measured 0.38-0.47). A regression
+    # below 0.4 means assignment/probing broke.
     got = {
         (r.q_id, r.nbr_id)
         for r in all_queries()["sim_ann_ivf"](spark, sf_dir).collect()
     }
     recall = len(got & exact_top3) / len(exact_top3)
-    assert recall > 0.3
+    assert recall > 0.4
 
 
 @pytest.fixture(scope="module")
