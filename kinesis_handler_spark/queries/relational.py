@@ -708,3 +708,57 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (column_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
         )
     )
+
+
+@query(
+    "join_agg_topk",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+                  AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def join_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped composite: segment-filtered customers ⋈ orders ⋈
+    lineitem, exact-decimal revenue per order, global top-10.  The
+    end-to-end shape every mart query hits: both join filters are
+    pushed into their scans BEFORE the joins (the customer side reduces
+    to a key list — broadcastable), revenue aggregates partial+final on
+    the join key already in hand, and ORDER+LIMIT compiles to
+    TakeOrderedAndProject, so the top-10 never materializes a global
+    sort.  Scale-12 product sums are quantized to DECIMAL(38,6) before
+    the one double conversion (both engines round identically)."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(revenue).cast("decimal(38,6)").cast("double").alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )

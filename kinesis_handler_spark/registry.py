@@ -81,12 +81,13 @@ _TIER_NEW = [
     "scalar_hash", "scalar_bitwise", "join_asof_nearest",
     "dedup_components", "join_null_safe", "profile_table",
 ]
-# Deferred to just past the 50-query cap so no previously-red (tier 1)
-# query loses its verdict slot: source_json_scan shares its mechanism
-# with source_csv_scan (same materialize+explicit-schema round-trip), so
-# the CSV verdict covers the risk; it rotates into the front next round.
-# |_TIER_NEW| + |_TIER0| + |_TIER1| = 16 + 19 + 14 = 49, +1 below = 50.
-_DEFERRED = ["source_json_scan", "embed_quantize"]
+# Deferred to the 50-query-cap boundary so no previously-red (tier 1)
+# query loses its verdict slot.  |_TIER_NEW| + |_TIER0| + |_TIER1| =
+# 16 + 19 + 14 = 49, so slot #50 is source_json_scan (its mechanism is
+# covered by source_csv_scan's verdict anyway); embed_quantize and
+# join_agg_topk land just past the cap and rotate to the front next
+# round together with the least-recently-verified tier-2 queries.
+_DEFERRED = ["source_json_scan", "embed_quantize", "join_agg_topk"]
 _TIER0 = [
     "agg_stats_moments", "agg_percentiles", "agg_string_concat",
     "reshape_unpivot", "join_asof_latest", "window_rank_topn",
