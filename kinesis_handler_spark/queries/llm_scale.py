@@ -609,21 +609,37 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the int8 array (driver-hashable scalars; the array form is what
     `dedup_embedding_*` consume internally).  Pure per-row array math:
     no shuffle, embarrassingly parallel at any scale — float→double
-    widening is exact, so both engines quantize identically."""
-    e = table(spark, sf_dir, "embeddings")
-    dbl_abs = F.transform("embedding", lambda x: F.abs(x.cast("double")))
-    max_abs = F.array_max(dbl_abs)
-    scale = F.when(max_abs == 0.0, F.lit(1.0)).otherwise(max_abs / 127.0)
-    q = F.transform(
-        "embedding",
-        lambda x: F.floor(x.cast("double") / scale + 0.5).cast("long"),
-    )
-    return e.select(
-        "vec_id",
-        F.size("embedding").cast("int").alias("n_dims"),
-        scale.alias("scale"),
-        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias(
-            "q_checksum"
-        ),
-        F.array_max(q).cast("long").alias("q_max"),
+    widening is exact, so both engines quantize identically.
+
+    Kernel choice: the dense per-element math runs as a numpy
+    ``mapInPandas`` batch kernel, not interpreted higher-order
+    functions — the same float64 op chain, vectorized (HOF form
+    measured ~6× slower at sf0.1; this repo's standing rule that
+    dense array math goes through Arrow+numpy)."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def quantize(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            max_abs = np.abs(v).max(axis=1)
+            scale = np.where(max_abs == 0.0, 1.0, max_abs / 127.0)
+            q = np.floor(v / scale[:, None] + 0.5).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "n_dims": np.full(len(v), v.shape[1], dtype=np.int32),
+                    "scale": scale,
+                    "q_checksum": q.sum(axis=1),
+                    "q_max": q.max(axis=1),
+                }
+            )
+
+    return e.mapInPandas(
+        quantize,
+        "vec_id BIGINT, n_dims INT, scale DOUBLE, q_checksum BIGINT, q_max BIGINT",
     )
