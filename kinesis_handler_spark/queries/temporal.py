@@ -147,3 +147,102 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1d"),
         F.sum(dec("value")).over(w).cast("double").alias("value_1d"),
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup'
+      GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.signup_ts,
+           (p.user_id IS NOT NULL) AS converted,
+           epoch_us(p.first_purchase_ts) - epoch_us(s.signup_ts) AS lag_us
+    FROM s LEFT JOIN p ON p.user_id = s.user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel (signup → first purchase at-or-after signup):
+    per signed-up user, whether they converted and the exact conversion
+    lag in integer microseconds.  Each step is a filtered pre-aggregation
+    to ONE row per user before any join (reduce-then-join), so the funnel
+    costs two narrow shuffles on user_id regardless of events-per-user —
+    the sequential-pattern shape every product-analytics pipeline runs.
+    """
+    e = table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return s.join(p, "user_id", "left").select(
+        "user_id",
+        "signup_ts",
+        F.col("first_purchase_ts").isNotNull().alias("converted"),
+        (
+            F.unix_micros(F.col("first_purchase_ts"))
+            - F.unix_micros(F.col("signup_ts"))
+        ).alias("lag_us"),
+    )
+
+
+@query(
+    "events_retention",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, date_trunc('day', e.ts))
+               AS offset_days
+      FROM events e JOIN first_day f ON f.user_id = e.user_id
+    )
+    SELECT cohort_day, CAST(offset_days AS BIGINT) AS offset_days,
+           COUNT(*) AS n_users
+    FROM active
+    GROUP BY cohort_day, offset_days
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, and
+    for each (cohort, day-offset) the count of users active that day —
+    the table behind every retention curve.  Two aggregations and one
+    equi-join, all keyed on user_id / (cohort, offset); the DISTINCT
+    collapses per-day activity BEFORE the final count so the last
+    shuffle carries at most users×active-days rows.  Day arithmetic is
+    integer (date_trunc + day diff), identical in both engines."""
+    e = table(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    active = (
+        e.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")), F.col("cohort_day")
+            ).cast("long").alias("offset_days"),
+        )
+        .distinct()
+    )
+    return active.groupBy("cohort_day", "offset_days").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

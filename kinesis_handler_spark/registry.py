@@ -87,7 +87,10 @@ _TIER_NEW = [
 # covered by source_csv_scan's verdict anyway); embed_quantize and
 # join_agg_topk land just past the cap and rotate to the front next
 # round together with the least-recently-verified tier-2 queries.
-_DEFERRED = ["source_json_scan", "embed_quantize", "join_agg_topk"]
+_DEFERRED = [
+    "source_json_scan", "embed_quantize", "join_agg_topk",
+    "events_funnel", "events_retention",
+]
 _TIER0 = [
     "agg_stats_moments", "agg_percentiles", "agg_string_concat",
     "reshape_unpivot", "join_asof_latest", "window_rank_topn",
