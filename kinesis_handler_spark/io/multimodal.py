@@ -199,3 +199,31 @@ def sample_frames(
             )
 
     return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+PNG_MAGIC_HEX = "89504E470D0A1A0A"
+
+
+def make_headered_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media fixture with a REAL parseable header: content = PNG magic
+    (8 bytes) ‖ width ‖ height (4-byte big-endian each, derived
+    deterministically from doc_id) ‖ payload bytes.  Unlike
+    ``make_multimodal_df``'s opaque blobs, these bytes carry structure
+    the engine can sniff without any codec library — the header-probe
+    stage every multimodal ingest runs BEFORE deciding to decode."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def be4(col: F.Column) -> F.Column:
+        return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+    width = (F.lit(64) + F.col("doc_id") % 192).cast("int")
+    height = (F.lit(64) + (F.col("doc_id") * 7) % 192).cast("int")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.unhex(F.lit(PNG_MAGIC_HEX)),
+            be4(width),
+            be4(height),
+            F.encode("text", "UTF-8"),
+        ).alias("content"),
+    )

@@ -643,3 +643,46 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize,
         "vec_id BIGINT, n_dims INT, scale DOUBLE, q_checksum BIGINT, q_max BIGINT",
     )
+
+
+@query(
+    "multimodal_header_parse",
+    oracle="""
+    SELECT doc_id AS media_id,
+           TRUE AS is_png,
+           CAST(64 + doc_id % 192 AS INTEGER) AS width,
+           CAST(64 + (doc_id * 7) % 192 AS INTEGER) AS height,
+           CAST(16 + octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary header sniffing WITHOUT a codec: the fixture blobs carry a
+    PNG-style header (magic ‖ width ‖ height, big-endian — built by
+    `io.multimodal.make_headered_media_df`), and this operator parses it
+    back with pure JVM byte slicing (`substring` on BINARY → `hex` →
+    `conv`).  The oracle computes the SAME fields independently from
+    doc_id arithmetic, so a hash match proves the byte-level
+    construction and the parse agree exactly.  This is the probe stage
+    of a multimodal ingest at 100 TB: filter/route on magic + dims
+    (corrupt or oversized media to dead-letter) BEFORE paying for
+    decode; whole-stage codegen, no shuffle, no Python."""
+    from kinesis_handler_spark.io.multimodal import (
+        PNG_MAGIC_HEX,
+        make_headered_media_df,
+    )
+
+    m = make_headered_media_df(spark, sf_dir)
+    return m.select(
+        "media_id",
+        (F.hex(F.expr("substring(content, 1, 8)")) == PNG_MAGIC_HEX).alias(
+            "is_png"
+        ),
+        F.conv(F.hex(F.expr("substring(content, 9, 4)")), 16, 10)
+        .cast("int")
+        .alias("width"),
+        F.conv(F.hex(F.expr("substring(content, 13, 4)")), 16, 10)
+        .cast("int")
+        .alias("height"),
+        F.length("content").cast("bigint").alias("n_bytes"),
+    )

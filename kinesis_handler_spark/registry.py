@@ -89,7 +89,7 @@ _TIER_NEW = [
 # round together with the least-recently-verified tier-2 queries.
 _DEFERRED = [
     "source_json_scan", "embed_quantize", "join_agg_topk",
-    "events_funnel", "events_retention",
+    "events_funnel", "events_retention", "multimodal_header_parse",
 ]
 _TIER0 = [
     "agg_stats_moments", "agg_percentiles", "agg_string_concat",
