@@ -206,3 +206,49 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,3))
+                     * CAST(l_extendedprice AS DECIMAL(12,3)))
+                   AS DECIMAL(38,6)) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,3)))
+                   AS DECIMAL(38,6)) AS DOUBLE) AS wavg_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,3))
+                     * CAST(l_discount AS DECIMAL(8,6)))
+                   AS DECIMAL(38,6)) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,3)))
+                   AS DECIMAL(38,6)) AS DOUBLE) AS wavg_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted averages (quantity-weighted unit price, revenue-weighted
+    discount) — the aggregate every pricing mart needs that plain AVG
+    gets wrong.  Numerator and denominator are each an exact decimal
+    sum quantized to DECIMAL(38,6) and converted to double once; the
+    final value is then ONE IEEE division — fully order-independent on
+    both engines.  Same single-shuffle partial+final shape as any hash
+    aggregate.
+
+    Decimal widths are sized to the DATA (quantity fits DECIMAL(8,3),
+    price DECIMAL(12,3), discount DECIMAL(8,6)) so cross products stay
+    inside engines' 64-bit decimal fast path — DECIMAL(18,6) inputs
+    overflow DuckDB's int64 multiplication here.  The fixture values
+    carry <=2 fractional digits, so scale 3/6 is exact."""
+    li = table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(8,3)")
+    price = F.col("l_extendedprice").cast("decimal(12,3)")
+    disc = F.col("l_discount").cast("decimal(8,6)")
+
+    def dsum(col):
+        return F.sum(col).cast("decimal(38,6)").cast("double")
+
+    return li.groupBy("l_returnflag").agg(
+        (dsum(qty * price) / dsum(qty)).alias("wavg_price"),
+        (dsum(price * disc) / dsum(price)).alias("wavg_discount"),
+    )
