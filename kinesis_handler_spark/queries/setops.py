@@ -170,3 +170,27 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nationkey")
     )
     return c.intersectAll(s)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): each customer key kept
+    max(0, count_open - count_finished) times — multiplicity-aware
+    difference, the dual of `set_intersect_all`.  One shuffle on the
+    value with per-side counts differenced; no distinct pre-pass, so
+    a customer with 3 open and 1 finished order appears twice."""
+    o = table(spark, sf_dir, "orders")
+    open_k = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    fin_k = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return open_k.exceptAll(fin_k)

@@ -252,3 +252,36 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dsum(qty * price) / dsum(qty)).alias("wavg_price"),
         (dsum(price * disc) / dsum(price)).alias("wavg_discount"),
     )
+
+
+@query(
+    "agg_min_max_by",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, printf('%020.6f|%020d', o_totalprice, o_orderkey))
+             AS biggest_orderkey,
+           arg_min(o_orderkey, printf('%020.6f|%020d', o_totalprice, o_orderkey))
+             AS smallest_orderkey,
+           max(o_totalprice) AS max_price,
+           min(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregates (max_by/min_by): the order key carrying
+    each priority's largest/smallest total.  Neither engine defines
+    tie-breaks for max_by, so the ordering key is a zero-padded
+    fixed-width string `price|orderkey` — lexicographic order equals
+    (price, orderkey) numeric order for these non-negative domains,
+    making the argmax total and deterministic on both engines.  Plain
+    single-shuffle hash agg; max_by keeps one (key, value) pair of
+    state per group."""
+    o = table(spark, sf_dir, "orders")
+    ordkey = F.format_string("%020.6f|%020d", "o_totalprice", "o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", ordkey).alias("biggest_orderkey"),
+        F.min_by("o_orderkey", ordkey).alias("smallest_orderkey"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )

@@ -90,7 +90,7 @@ _TIER_NEW = [
 _DEFERRED = [
     "source_json_scan", "embed_quantize", "join_agg_topk",
     "events_funnel", "events_retention", "multimodal_header_parse",
-    "agg_weighted_avg",
+    "agg_weighted_avg", "set_except_all", "agg_min_max_by",
 ]
 _TIER0 = [
     "agg_stats_moments", "agg_percentiles", "agg_string_concat",
