@@ -285,3 +285,30 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("max_price"),
         F.min("o_totalprice").alias("min_price"),
     )
+
+
+@query(
+    "agg_bool_conditional",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count_if(o_totalprice > 200000.0) AS BIGINT) AS n_big,
+           CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS n_open,
+           bool_and(o_totalprice > 1000.0) AS all_over_1k,
+           bool_or(o_orderstatus = 'F') AS any_finished
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_bool_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregates: count_if (aggregate FILTER
+    shorthand), bool_and / bool_or (universal and existential
+    quantifiers per group) — the predicates-over-groups surface data-
+    quality rules compile to.  Plain hash agg with map-side combine;
+    DuckDB's count_if returns HUGEINT, so the oracle pins BIGINT."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000.0).alias("n_big"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+    )

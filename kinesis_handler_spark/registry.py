@@ -91,6 +91,7 @@ _DEFERRED = [
     "source_json_scan", "embed_quantize", "join_agg_topk",
     "events_funnel", "events_retention", "multimodal_header_parse",
     "agg_weighted_avg", "set_except_all", "agg_min_max_by",
+    "agg_bool_conditional",
 ]
 _TIER0 = [
     "agg_stats_moments", "agg_percentiles", "agg_string_concat",
