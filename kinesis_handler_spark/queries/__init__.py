@@ -18,6 +18,7 @@ from kinesis_handler_spark.queries import (  # noqa: F401
     extras,
     llm,
     llm_scale,
+    pipeline,
     relational,
     routing_q,
     scalars,

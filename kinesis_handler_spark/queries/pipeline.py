@@ -1,0 +1,384 @@
+"""Training-data pipeline operators: chunking, repetition filtering,
+deterministic sampling, event-sequence analytics, and exact statistical
+aggregates.
+
+SURVEY.md §2.B mandates the engine go beyond the reference surface
+(`/root/reference/lib/kinesisHandler.js` has no analytics at all) with
+the operations a large-scale LLM training-data pipeline needs.  This
+module covers the *corpus preparation* steps that sit between raw
+ingestion and dedup/similarity (which live in llm.py / llm_scale.py):
+
+* ``text_chunk_overlap``   — split documents into fixed-size token
+  windows with overlap (the "context window packing" pre-step).
+* ``text_repetition_ratio`` — within-document duplicate-bigram fraction,
+  the standard repetition filter signal (Gopher/C4-style rules).
+* ``sample_hash_stratified`` — deterministic per-stratum downsampling by
+  multiplicative hashing (reproducible corpus subsets, no RNG state).
+* ``events_transition``    — event-type Markov transition counts.
+* ``events_anomaly_zscore`` — per-type z-score outlier flagging from
+  exact-decimal moments.
+* ``agg_corr_regression``  — exact-arithmetic correlation + OLS slope.
+
+100 TB design notes (every query here):
+
+* All token/array work is JVM-side higher-order functions over a single
+  scan — no Python, no explode-then-groupBy round trips where a
+  per-row array expression suffices.
+* The only shuffles are final aggregations on low-cardinality keys
+  (event types, return flags) or a windowed partition by ``user_id`` —
+  each O(rows) once, with map-side partial combine where applicable.
+* Sampling and chunking are stateless per-row transforms: they pipeline
+  into whatever scan precedes them and never materialize the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_handler_spark.registry import query
+from kinesis_handler_spark.tables import table
+
+# ---------------------------------------------------------------------------
+# Document chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK = 32  # tokens per chunk
+_STRIDE = 24  # tokens between chunk starts (CHUNK - STRIDE = 8 overlap)
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, len(toks) - 1, {_STRIDE})) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start // {_STRIDE} AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(toks, start + 1, start + {_CHUNK}), ' ')
+             AS chunk_text,
+           CAST(least(start + {_CHUNK}, len(toks)) - start AS BIGINT)
+             AS n_tokens
+    FROM s
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token chunks ({_CHUNK} tokens, stride
+    {_STRIDE}) — the packing step that turns documents into
+    training-window-sized pieces while preserving cross-boundary
+    context in the 8-token overlap.
+
+    Spark-first shape: tokenize once with ``split``, derive chunk
+    starts with ``sequence`` (per-row array, no join against a numbers
+    table), ``explode`` the starts, then ``slice``+``array_join`` —
+    all whole-stage-codegen expressions on a single scan.  Output size
+    is ~len/stride rows per doc; nothing shuffles (chunking is
+    embarrassingly parallel), so at 100 TB this runs at scan speed."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    d = d.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice("toks", F.col("start") + 1, F.lit(_CHUNK))
+    return d.select(
+        "doc_id",
+        (F.col("start") / _STRIDE).cast("bigint").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition filter signal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < 2 THEN []
+                  ELSE list_transform(generate_series(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i + 1])
+             END AS bigrams
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(bigrams) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                           / CAST(len(bigrams) AS DOUBLE)
+           END AS dup_ratio
+    FROM b
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signal: fraction of token bigrams
+    that are duplicates (1 - distinct/total).  The classic C4/Gopher
+    repetition-filter feature for dropping boilerplate and degenerate
+    generations from a training corpus.
+
+    Spark-first: bigrams, their count, and their distinct count are all
+    per-row array expressions (``transform`` + ``array_distinct``) —
+    no explode, no groupBy, no shuffle.  One scan, one narrow stage,
+    scan-speed at any corpus size.  The ratio is a single IEEE division
+    so both engines agree bit-for-bit."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    d = d.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(toks) < 2 THEN array() "
+            "ELSE transform(sequence(1, size(toks) - 1), "
+            "     i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) "
+            "END"
+        ).alias("bigrams"),
+    )
+    n = F.size("bigrams").cast("bigint")
+    nd = F.size(F.array_distinct("bigrams")).cast("bigint")
+    return d.select(
+        "doc_id",
+        n.alias("n_bigrams"),
+        nd.alias("n_distinct"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(F.lit(1.0) - nd.cast("double") / n.cast("double"))
+        .alias("dup_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+# Knuth multiplicative hash: uniform enough for rate-based sampling and
+# expressible as plain 64-bit integer arithmetic in ANY engine — the
+# point is a *portable* deterministic sample (same subset from Spark,
+# DuckDB, or a resumed pipeline run), unlike RNG-based df.sample whose
+# output depends on partitioning.
+_KNUTH = 2654435761
+_MOD = 4294967296  # 2^32
+
+
+@query(
+    "sample_hash_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           (doc_id * {_KNUTH}) % {_MOD} % 1000 AS bucket
+    FROM documents
+    WHERE (doc_id * {_KNUTH}) % {_MOD} % 1000
+          < CASE WHEN lang = 'en' THEN 100 ELSE 200 END
+    """,
+)
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: keep 10% of English docs
+    and 20% of every other language (rebalancing a skewed corpus), with
+    membership decided by a multiplicative hash of the stable key —
+    reproducible across engines, runs, and partitionings, unlike
+    ``df.sample`` (partitioning-dependent RNG).
+
+    At 100 TB this is a stateless per-row filter fused into the scan:
+    no shuffle, no sort, no sampling state, and adding strata or
+    re-rates only changes the CASE table."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_MOD) % F.lit(1000)
+    rate = F.when(F.col("lang") == "en", F.lit(100)).otherwise(F.lit(200))
+    return (
+        d.filter(bucket < rate)
+        .select("doc_id", "lang", "source", bucket.alias("bucket"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence analytics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_transition",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM o
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def events_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type Markov transition matrix: per user, order events by
+    time and count (state -> next state) pairs — the building block for
+    session-flow and funnel-discovery analytics.
+
+    One shuffle partitions by ``user_id`` for the window (lead), then
+    the transition count is a low-cardinality hash aggregate with
+    map-side combine.  Ordering is on integer microseconds + event_id
+    so Spark (micros) and nanosecond-native engines sort identically."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    return (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,6))
+                  AS DOUBLE) AS s1,
+             CAST(CAST(FLOOR(SUM(CAST(value AS DECIMAL(12,4))
+                                 * CAST(value AS DECIMAL(12,4))))
+                       AS DECIMAL(38,0)) AS DOUBLE) AS s2
+      FROM events
+      GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - m.s1 / m.n)
+             / sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1)) AS z
+    FROM events e JOIN m ON m.event_type = e.event_type
+    WHERE abs((e.value - m.s1 / m.n)
+              / sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1))) > 2.5
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event type: flag events more than
+    2.5 sample standard deviations from their type's mean value.
+
+    Moments come from EXACT decimal sums (sum and sum-of-squares are
+    order-independent), then mean/variance/z are one fixed sequence of
+    IEEE double ops both engines evaluate identically — so even the
+    float threshold comparison agrees.  The sum-of-squares is
+    FLOOR-quantized to whole units before the double cast (see
+    ``agg_corr_regression`` — wide-decimal→double rounding is not
+    engine-portable past 2^53).  The stats table is a handful of
+    rows and broadcast back onto the events scan: one aggregate pass +
+    one broadcast join, no O(rows) shuffle at any scale."""
+    e = table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(12,4)")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(v).cast("decimal(38,6)").cast("double").alias("s1"),
+        F.floor(F.sum(v * v)).cast("decimal(38,0)").cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    sd = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1))
+    z = (F.col("value") - mean) / sd
+    return (
+        e.join(F.broadcast(m), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact statistical aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_corr_regression",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(8,3))))
+                       AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+             CAST(CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,3))))
+                       AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+             CAST(CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(8,3))
+                                 * CAST(l_quantity AS DECIMAL(8,3))))
+                       AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
+             CAST(CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,3))
+                                 * CAST(l_extendedprice AS DECIMAL(12,3))))
+                       AS DECIMAL(38,0)) AS DOUBLE) AS syy,
+             CAST(CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(8,3))
+                                 * CAST(l_extendedprice AS DECIMAL(12,3))))
+                       AS DECIMAL(38,0)) AS DOUBLE) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS corr_qty_price,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS intercept
+    FROM m
+    """,
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation and OLS regression (quantity vs price) per
+    return flag, computed from exact decimal co-moments rather than the
+    engines' built-in CORR/REGR_* (whose streaming update order makes
+    results engine- and partitioning-dependent).
+
+    Five exact sums in ONE hash-aggregate pass (map-side combine, 3
+    groups), then the closed-form corr/slope/intercept as a fixed IEEE
+    op sequence — deterministic across engines and cluster sizes.
+
+    The co-moment sums are FLOOR-quantized to whole units before the
+    double cast: a scale-6 decimal whose integer representation exceeds
+    2^53 rounds differently across engines (Spark casts the exact
+    BigDecimal, DuckDB converts int128 then divides by 10^scale — two
+    roundings), and decimal *downscale* itself truncates in DuckDB but
+    rounds in Spark.  FLOOR is unambiguous, and integer→double is a
+    single correctly-rounded conversion everywhere, at any magnitude —
+    verified bit-equal at sf0.01 and sf0.1.  The quantization perturbs
+    corr/slope by <1e-12 relative and is part of the operator spec."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(8,3)")
+    y = F.col("l_extendedprice").cast("decimal(12,3)")
+
+    def dsum(col):
+        return F.floor(F.sum(col)).cast("decimal(38,0)").cast("double")
+
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+        dsum(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov_n = n * sxy - sx * sy
+    slope = cov_n / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        (cov_n / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)))
+        .alias("corr_qty_price"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
