@@ -762,3 +762,116 @@ def join_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
+
+
+@query(
+    "join_multi_star",
+    oracle="""
+    SELECT n.n_name,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+                  AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM region r
+    JOIN nation n    ON n.n_regionkey = r.r_regionkey
+    JOIN customer c  ON c.c_nationkey = n.n_nationkey
+    JOIN orders o    ON o.o_custkey = c.c_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+                    AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def join_multi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped five-way star join: revenue by nation for one
+    region where the supplier is LOCAL to the customer's nation (the
+    extra non-key equi-condition s_nationkey = c_nationkey that makes
+    Q5 a join-ordering stress test).
+
+    100 TB shape: region/nation/supplier are broadcast (bounded dims —
+    region and nation by geography, supplier small relative to facts),
+    so the only shuffles are orders ⋈ customer and lineitem ⋈ orders on
+    their natural keys; the date filter is pushed into the orders scan
+    (row-group pruning), and the final aggregate is a handful of
+    nations with map-side combine.  Catalyst + AQE pick the join order;
+    the declared plan just states the joins."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("decimal(38,6)").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "agg_having_join_back",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,3)))
+                       AS DECIMAL(38,6)) AS DOUBLE) AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,3)))
+                       AS DECIMAL(38,6)) AS DOUBLE) > 250.0
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           big.total_qty
+    FROM big
+    JOIN orders o   ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def agg_having_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped "large volume customer" query: aggregate the
+    fact table per order, HAVING-filter to the heavy tail (total
+    quantity > 250 ≈ top percentile), then join the survivors back to
+    orders and customer for their attributes.
+
+    The scale property: the expensive aggregate runs FIRST and the
+    HAVING cut reduces the join input from O(orders) to a sliver, so
+    the two enrichment joins move almost nothing — aggregate-then-join,
+    never join-then-aggregate.  At 100 TB the post-HAVING side is small
+    enough that AQE converts both joins to broadcasts at runtime."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(8,3)"))
+            .cast("decimal(38,6)").cast("double").alias("total_qty")
+        )
+        .filter(F.col("total_qty") > 250.0)
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+    )

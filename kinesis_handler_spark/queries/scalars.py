@@ -354,3 +354,35 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(k).cast("int").alias("key_popcount"),
         F.bitwise_not(k).alias("key_not"),
     )
+
+
+@query(
+    "scalar_regex_redact",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+           CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS parsed_key,
+           (CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) = c_custkey)
+             AS key_consistent
+    FROM customer
+    """,
+)
+def scalar_regex_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-based PII-style redaction: mask every digit in the
+    customer name, extract the embedded numeric id, and cross-check it
+    against the key column — the anonymize-and-audit pattern every
+    compliance pipeline runs before text lands in a training corpus.
+
+    Pure JVM regex expressions fused into the scan (Spark replaces all
+    matches by default; DuckDB needs the 'g' flag — the oracle says so
+    explicitly).  Patterns stick to character classes + groups, which
+    Java and RE2 regex dialects interpret identically.  Stateless
+    per-row transform: scan-speed at any corpus size, no shuffle."""
+    c = table(spark, sf_dir, "customer")
+    digits = F.regexp_extract("c_name", r"([0-9]+)", 1)
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]", "#").alias("masked_name"),
+        digits.cast("bigint").alias("parsed_key"),
+        (digits.cast("bigint") == F.col("c_custkey")).alias("key_consistent"),
+    )

@@ -132,3 +132,36 @@ def source_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("n_customers"),
         dec_sum("o_totalprice").alias("total_price"),
     )
+
+
+@query(
+    "source_orc_scan",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source connector: orders round-tripped parquet→ORC→DataFrame,
+    then aggregated per status against the parquet-backed oracle.  ORC
+    is the other columnar format a lake-house engine must read natively
+    (Hive-era tables); like parquet it carries its own schema plus
+    min/max stripe statistics, so predicate pushdown and column pruning
+    work the same way — the scan here reads only the four projected
+    columns.  A hash match proves the ORC encode/decode round-trip is
+    value-exact including doubles."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _materialize(orders, sf_dir, "orders_orc", "orc")
+    df = spark.read.schema(_ORDERS_SCHEMA).orc(path)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        dec_sum("o_totalprice").alias("total_price"),
+    )
