@@ -875,3 +875,31 @@ def agg_having_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+_Q6_SQL = """
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                     * CAST(l_discount AS DECIMAL(18,6)))
+                 AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("sql_scan_agg_q6", oracle=_Q6_SQL)
+def sql_scan_agg_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped revenue-forecast aggregate executed through the
+    engine's SQL ENTRY POINT: the fixture table is registered as a temp
+    view and the query text runs via ``spark.sql`` — the exact same
+    ANSI string the DuckDB oracle runs (one source of truth, two
+    engines).  Proves the SQL surface is first-class, not just the
+    DataFrame DSL: Catalyst plans the text into the same
+    pushed-filters + partial/final agg pipeline as the DSL twin
+    (`PLANS.md` shows identical physical shape), because both compile
+    to the same logical plan."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q6_SQL)

@@ -165,3 +165,46 @@ def source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("n_customers"),
         dec_sum("o_totalprice").alias("total_price"),
     )
+
+
+@query(
+    "source_range_spine",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                                         DATE '2024-02-29',
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+    ),
+    c AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events
+      GROUP BY 1
+    )
+    SELECT s.day, COALESCE(c.n, 0) AS n_events
+    FROM spine s LEFT JOIN c ON c.day = s.day
+    """,
+)
+def source_range_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator source + gap-filling date spine: synthesize a 60-day
+    calendar with ``spark.range`` (a parallel generator, no input
+    files), left-join daily event counts onto it, and surface explicit
+    zero days — the dimension-spine pattern that makes time series
+    dense so downstream windows/charts don't silently skip empty days.
+
+    ``range`` partitions the spine across executors like any other
+    source; the day counts reduce to one row per day BEFORE the join
+    (reduce-then-join), and the spine side is trivially broadcastable
+    at any horizon (a century is 36,525 rows)."""
+    spine = spark.range(0, 60).select(
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int"))
+        .alias("day")
+    )
+    ev = table(spark, sf_dir, "events")
+    counts = (
+        ev.select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return spine.join(counts, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n_events")
+    )

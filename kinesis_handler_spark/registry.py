@@ -25,6 +25,13 @@ Cross-engine determinism rules (why oracle hashes match):
   Decimal arithmetic stays INTERNAL; convert once at the end, and
   quantize scale-12 product sums to ``DECIMAL(38,6)`` before the double
   cast so both engines round identically (see functions/numeric.py).
+* A decimal whose INTEGER REPRESENTATION (value × 10^scale) can exceed
+  2^53 must be FLOOR-quantized to ``DECIMAL(38,0)`` before the double
+  cast: past 2^53 Spark casts the exact BigDecimal but DuckDB converts
+  int128 then divides by 10^scale (two roundings), and decimal
+  DOWNSCALE itself truncates in DuckDB while Spark rounds half-up.
+  FLOOR + integer→double is single-rounded everywhere (see
+  ``agg_corr_regression``).
   ``tools/check_oracle.py`` enforces all of this type-strictly.
 """
 
