@@ -382,3 +382,105 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((sy - slope * sx) / n).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus preparation (operator composition)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_corpus_prep",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(regexp_replace(lower(text),
+                                                '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g')) AS ntext
+      FROM documents
+      WHERE lang IN ('en', 'de')
+    ),
+    quality AS (
+      SELECT doc_id, lang, ntext,
+             string_split(ntext, ' ') AS toks
+      FROM norm
+      WHERE len(string_split(ntext, ' ')) >= 20
+    ),
+    dedup AS (
+      SELECT doc_id, lang, toks,
+             row_number() OVER (PARTITION BY ntext ORDER BY doc_id) AS rn
+      FROM quality
+    ),
+    sampled AS (
+      SELECT doc_id, lang, toks
+      FROM dedup
+      WHERE rn = 1
+        AND (doc_id * {_KNUTH}) % {_MOD} % 1000 < 500
+    ),
+    chunks AS (
+      SELECT doc_id, lang, toks,
+             unnest(generate_series(0, len(toks) - 1, {_STRIDE})) AS start
+      FROM sampled
+    )
+    SELECT doc_id, lang,
+           CAST(start // {_STRIDE} AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(toks, start + 1, start + {_CHUNK}), ' ')
+             AS chunk_text,
+           CAST(least(start + {_CHUNK}, len(toks)) - start AS BIGINT)
+             AS n_tokens
+    FROM chunks
+    """,
+)
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus preparation — the composition every training
+    run executes, as ONE declared query: language filter → normalize
+    (lowercase / strip / collapse) → quality gate (≥20 tokens) → exact
+    dedup on normalized text (keep lowest doc_id) → deterministic 50%
+    hash sample → overlapping chunking.  Proves the pipeline operators
+    COMPOSE: the whole thing is one Catalyst plan, so filters still
+    push to the scan, the normalize/chunk stages stay whole-stage
+    codegen, and the only shuffle is the dedup window on the normalized
+    text key.
+
+    100 TB notes: stage order is chosen so the shuffle sees the least
+    data — language + length gates drop rows before the dedup exchange,
+    and sampling halves chunk output before it is generated (the
+    sample predicate runs on doc_id, pre-chunk).  At production scale
+    the dedup key would be ``xxhash64(ntext)`` (32-byte shuffle keys,
+    not full documents); the full-text key is kept here so the oracle
+    can replicate it exactly."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "de")
+    )
+    ntext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    norm = d.select("doc_id", "lang", ntext.alias("ntext"))
+    quality = norm.filter(F.size(F.split("ntext", " ")) >= 20)
+    w = Window.partitionBy("ntext").orderBy("doc_id")
+    bucket = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_MOD) % F.lit(1000)
+    sampled = (
+        quality.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (bucket < 500))
+        .select("doc_id", "lang", F.split("ntext", " ").alias("toks"))
+    )
+    chunks = sampled.select(
+        "doc_id",
+        "lang",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice("toks", F.col("start") + 1, F.lit(_CHUNK))
+    return chunks.select(
+        "doc_id",
+        "lang",
+        (F.col("start") / _STRIDE).cast("bigint").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+    )
