@@ -28,9 +28,12 @@ def run_bench(sf_dir: str) -> dict:
     qs = all_queries()
     # Warm the JVM + parquet footer caches with the flagship query so
     # per-query numbers measure the plan, not first-run JIT.
-    qs["agg_groupby_pricing"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    try:
+        qs["agg_groupby_pricing"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:  # noqa: BLE001 - warm-up only; real run is isolated below
+        pass
     # Warm the Python/Arrow worker pool too — otherwise the first
     # pandas-UDF query is charged ~6 s of one-time worker spin-up.
     spark.range(32).repartition(32).mapInPandas(
@@ -40,21 +43,34 @@ def run_bench(sf_dir: str) -> dict:
     # (single-run totals on this box swing ±30%, heavy queries ±2×).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(qs):
+        # Per-query isolation: one broken query must never zero the whole
+        # round's perf artifact — record its error and keep timing the rest.
         best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 - per-query fault boundary
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
         timings[name] = round(best, 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    return {
+    out = {
         "metric": "total_declared_query_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
+    if errors:
+        out["errors"] = errors
+        out["error_count"] = len(errors)
+    return out
 
 
 if __name__ == "__main__":

@@ -69,67 +69,51 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# The external driver checks queries() entries in dict order and capped the
-# round-1 run at the first 50 of 70, leaving 20 queries with no verdict at
-# all.  Order the registry to maximize verdict information per round:
-#   tier NEW — oracle-backed queries added this round (never had any verdict);
-#   tier 0 — oracle-backed queries the round-1 driver never reached;
-#   tier 1 — queries red in round 1 (output-type fixes to prove green);
-#   tier 2 — previously-green oracle-backed queries;
-#   tier 3 — rows-only queries (no oracle; weakest driver signal) last.
-# With a 50-query cap and >50 oracle-backed queries, full verification
-# rotates across rounds: each round, promote the least-recently-verified
-# tier-2 queries ahead of recently-green ones.
-_TIER_NEW = [
-    "window_time_slide", "window_session_batch", "window_range_interval",
-    "join_exists_correlated", "agg_distinct_multi", "agg_histogram",
-    "set_intersect_all", "scalar_struct", "text_normalize",
-    "source_csv_scan",
-    "scalar_hash", "scalar_bitwise", "join_asof_nearest",
-    "dedup_components", "join_null_safe", "profile_table",
+# The external driver hash-checks only the FIRST 50 queries() entries per
+# round; with >50 oracle-backed queries, full verification rotates across
+# rounds.  _FRONT is regenerated each round from tools/rotate_tiers.py
+# (verdict history across all CORRECTNESS_r*.json):
+#   1. oracle-backed queries with NO green verdict in any round — the 6
+#      formerly NTZ-broken queries (fixed in tables.py this round) plus the
+#      22 that never received a driver slot;
+#   2. oracle-backed queries by last-green round ascending (stalest first);
+#   3. everything else (recently-green, then rows-only) in registration
+#      order via _driver_order.
+# Round-4 rotation (rotate_tiers.py output, post-r3 history):
+_FRONT = [
+    # never green (25): 6 NTZ-fixed + 19 never-slotted
+    "window_range_interval", "join_asof_nearest", "window_lag_lead",
+    "embed_quantize", "join_agg_topk", "events_funnel", "events_retention",
+    "multimodal_header_parse", "agg_weighted_avg", "set_except_all",
+    "agg_min_max_by", "agg_bool_conditional", "text_chunk_overlap",
+    "text_repetition_ratio", "sample_hash_stratified", "events_transition",
+    "events_anomaly_zscore", "agg_corr_regression", "pipeline_corpus_prep",
+    "join_multi_star", "agg_having_join_back", "sql_scan_agg_q6",
+    "scalar_regex_redact", "source_orc_scan", "source_range_spine",
+    # stalest green (last green r1; 29 — first 25 make the 50-cap)
+    "text_tfidf_topterms", "text_quality_score", "text_lang_profile",
+    "dedup_near_jaccard", "sim_cosine_topk", "multimodal_binary_meta",
+    "udf_transformer", "udaf_grouped_pandas", "sessionize_gap",
+    "window_first_last", "agg_median_mode", "join_scalar_subquery",
+    "text_ngram_bigrams", "embed_vector_stats", "dedup_keep_latest",
+    "dedup_embedding_cosine", "scan_filter_project", "filter_pushdown_dates",
+    "agg_count_distinct", "agg_count_distinct_salted", "join_left_outer",
+    "join_full_outer", "join_semi", "join_anti", "join_range_theta",
+    "json_extract_props", "validate_predicate", "scalar_date", "scalar_math",
 ]
-# Deferred to the 50-query-cap boundary so no previously-red (tier 1)
-# query loses its verdict slot.  |_TIER_NEW| + |_TIER0| + |_TIER1| =
-# 16 + 19 + 14 = 49, so slot #50 is source_json_scan (its mechanism is
-# covered by source_csv_scan's verdict anyway); embed_quantize and
-# join_agg_topk land just past the cap and rotate to the front next
-# round together with the least-recently-verified tier-2 queries.
-_DEFERRED = [
-    "source_json_scan", "embed_quantize", "join_agg_topk",
-    "events_funnel", "events_retention", "multimodal_header_parse",
-    "agg_weighted_avg", "set_except_all", "agg_min_max_by",
-    "agg_bool_conditional",
-]
-_TIER0 = [
-    "agg_stats_moments", "agg_percentiles", "agg_string_concat",
-    "reshape_unpivot", "join_asof_latest", "window_rank_topn",
-    "window_lag_lead", "window_running_frame", "window_ntile_percent",
-    "sort_multi_key", "limit_topk", "topk_per_group", "set_union_all",
-    "set_intersect", "set_except", "dedup_exact", "scalar_array_explode",
-    "scalar_map_json", "scalar_conditional_null",
-]
-_TIER1 = [
-    "project_compute", "agg_global", "agg_groupby_pricing", "agg_rollup",
-    "agg_cube", "agg_grouping_sets", "agg_filtered_pivot", "join_inner_equi",
-    "join_broadcast_dims", "route_case_tag", "window_time_bucket",
-    "text_stats", "scalar_string", "scalar_array",
-]
-_EXPLICIT = {*_TIER_NEW, *_TIER0, *_TIER1, *_DEFERRED}
 
 
 def _driver_order() -> list[str]:
     names = list(QUERIES)
-    tier2 = [
+    front = [n for n in _FRONT if n in names]
+    rest_oracle = [
         n for n in names
-        if n not in _EXPLICIT and QUERIES[n].oracle is not None
+        if n not in front and QUERIES[n].oracle is not None
     ]
-    tier3 = [
-        n for n in names if n not in _EXPLICIT and QUERIES[n].oracle is None
+    rest_rows_only = [
+        n for n in names if n not in front and QUERIES[n].oracle is None
     ]
-    known = [
-        n for n in _TIER_NEW + _TIER0 + _TIER1 + _DEFERRED if n in QUERIES
-    ]
-    return known + tier2 + tier3
+    return front + rest_oracle + rest_rows_only
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -31,10 +31,17 @@ ALWAYS_BROADCAST = frozenset({"region", "nation"})
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads as long
-    nanos (``spark.sql.legacy.parquet.nanosAsLong``, session.py); convert
-    to a proper timestamp with integer-division truncation to micros —
-    the same ns→us truncation DuckDB applies, so oracle values agree.
+    ``events.ts`` has shipped in two physical shapes across fixture
+    generations; both are normalized here to a session-TZ-independent
+    ``TIMESTAMP`` column whose ``unix_micros`` equals DuckDB's
+    ``epoch_us``:
+
+    * parquet TIMESTAMP(NANOS) → Spark reads long nanos
+      (``spark.sql.legacy.parquet.nanosAsLong``, session.py); converted
+      with integer-division truncation to micros (DuckDB's ns→us rule);
+    * parquet timestamp[us] with no timezone → Spark reads
+      ``TIMESTAMP_NTZ`` (which ``unix_micros`` rejects); cast to
+      ``TIMESTAMP`` under a UTC session timezone.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -46,8 +53,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except Exception:  # noqa: BLE001 - leave read to fail with real error
             pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Fixtures written as parquet timestamp[us] WITHOUT a timezone
+            # read as TIMESTAMP_NTZ, which unix_micros() rejects.  Pin the
+            # session timezone to UTC first (runtime-settable, same pattern
+            # as the nanosAsLong guard above) so the NTZ->TIMESTAMP cast is
+            # wall-clock-preserving under ANY host timezone; unix_micros of
+            # the cast column is then bit-identical to DuckDB's epoch_us.
+            try:
+                spark.conf.set("spark.sql.session.timeZone", "UTC")
+            except Exception:  # noqa: BLE001 - non-settable: fall through
+                pass
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

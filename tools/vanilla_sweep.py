@@ -1,0 +1,98 @@
+"""Run every declared query under a VANILLA SparkSession.
+
+The external driver builds its own bare ``SparkSession`` with none of
+``session.py``'s engine confs (UTC timezone, nanosAsLong, AQE, Arrow,
+16g heap).  Rounds 2-3 proved that environment drift between our
+configured session and the driver's vanilla one (the TIMESTAMP_NTZ
+fixture change) can break queries that are green locally.  This sweep
+reproduces the driver's environment — and goes one step harsher by
+pinning a NON-UTC session timezone — so drift is caught locally first.
+
+Checks per query: the DataFrame builds (analysis succeeds) and executes
+(noop write).  Plus one value check: ``unix_micros(events.ts)`` must be
+bit-identical to DuckDB's ``epoch_us`` on the same parquet, proving the
+timestamp normalization in ``tables.table`` is session-TZ-independent.
+
+Prints ONE JSON line: {"failures": {...}, "checked": N, "ts_ok": bool}.
+Exit code 0 iff no failures and the value check passed.
+
+Usage: python tools/vanilla_sweep.py [sf_dir]
+Run from a FRESH process — an already-configured JVM in the same
+process would defeat the point.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def main(sf_dir: str) -> int:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    # Deliberately NOT get_spark(): bare session, hostile timezone.
+    spark = (
+        SparkSession.builder.appName("khs-vanilla-sweep")
+        .master("local[8]")
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from kinesis_handler_spark.registry import all_queries
+    from kinesis_handler_spark.tables import table
+
+    failures: dict[str, str] = {}
+
+    # Value check: timestamp normalization must be TZ-independent.
+    ts_ok = False
+    try:
+        import duckdb
+
+        got = (
+            table(spark, sf_dir, "events")
+            .orderBy("event_id")
+            .select(F.unix_micros("ts").alias("us"))
+            .limit(3)
+            .collect()
+        )
+        spark_us = [r["us"] for r in got]
+        duck_us = [
+            r[0]
+            for r in duckdb.sql(
+                "SELECT epoch_us(ts) FROM read_parquet("
+                f"'{sf_dir}/events.parquet') ORDER BY event_id LIMIT 3"
+            ).fetchall()
+        ]
+        ts_ok = spark_us == duck_us
+        if not ts_ok:
+            failures["__ts_value__"] = f"spark={spark_us} duckdb={duck_us}"
+    except Exception as exc:  # noqa: BLE001
+        failures["__ts_value__"] = f"{type(exc).__name__}: {exc}"[:300]
+
+    qs = all_queries()
+    for name, fn in qs.items():
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 - per-query fault boundary
+            failures[name] = f"{type(exc).__name__}: {exc}"[:300]
+
+    print(json.dumps({
+        "failures": failures,
+        "checked": len(qs),
+        "ts_ok": ts_ok,
+    }))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else
+                  os.environ.get("KHS_TEST_SF_DIR", "/root/testdata/sf0.001")))
