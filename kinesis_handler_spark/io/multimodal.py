@@ -202,6 +202,7 @@ def sample_frames(
 
 
 PNG_MAGIC_HEX = "89504E470D0A1A0A"
+PNG_MAGIC = bytes.fromhex(PNG_MAGIC_HEX)
 
 
 def make_headered_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:

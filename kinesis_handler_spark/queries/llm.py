@@ -724,9 +724,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver read — the standard iterative-fixpoint shape, not a data
     collect).  Near-dup graphs are overwhelmingly tiny star/clique
     components, so diameters are single-digit; at 100 TB with
-    pathological chain components, switch the round body to the
-    large-star/small-star rewrite (alternating min-neighbor grafting),
-    which converges in O(log n) rounds over the same edge frame.
+    pathological chain components, switch to
+    ``functions.graph.star_connected_components`` — the implemented
+    large-star/small-star alternation, O(log n) rounds regardless of
+    diameter, proven output-identical to this propagation on the same
+    pair graph (tests/test_graph_components.py).
     The oracle computes the same components via a recursive-CTE
     transitive closure."""
     pairs = _jaccard_pair_frame(spark, sf_dir).select("doc_a", "doc_b")

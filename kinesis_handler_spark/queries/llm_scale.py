@@ -12,7 +12,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kinesis_handler_spark.io.multimodal import decode_and_featurize, make_multimodal_df
 from kinesis_handler_spark.queries.llm import _quantized
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
@@ -560,16 +559,90 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.alias("fingerprint"))
 
 
-@query("multimodal_features")  # rows-only: sha256-derived fake decode
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             hex(encode(text)) AS h,
+             octet_length(encode(text)) AS plen
+      FROM documents
+    ),
+    heads AS (
+      SELECT doc_id, plen,
+             list_transform(
+               range(0, LEAST(plen, 64)),
+               i -> (strpos('0123456789ABCDEF',
+                            substr(h, CAST(2*i+1 AS INTEGER), 1)) - 1) * 16
+                  + (strpos('0123456789ABCDEF',
+                            substr(h, CAST(2*i+2 AS INTEGER), 1)) - 1)
+             ) AS bytes
+      FROM b
+    )
+    SELECT doc_id AS media_id,
+           TRUE AS is_png,
+           CAST(64 + doc_id % 192 AS INTEGER) AS width,
+           CAST(64 + (doc_id * 7) % 192 AS INTEGER) AS height,
+           CAST(16 + plen AS BIGINT) AS n_bytes,
+           CAST(len(bytes) AS INTEGER) AS head_n,
+           CAST(list_sum(bytes) AS BIGINT) AS head_sum,
+           CAST(list_sum(bytes) AS DOUBLE) / len(bytes) AS head_mean,
+           CAST(list_min(bytes) AS INTEGER) AS head_min,
+           CAST(list_max(bytes) AS INTEGER) AS head_max
+    FROM heads
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode/feature pipeline: binary content + meta struct →
-    mapInPandas (Arrow-batched) → per-media features.  Decode is a
-    deterministic stub (no codec libs in this container) but the Spark
-    plumbing — BinaryType column, struct metadata, batch iteration,
-    output schema — is the real 100 TB shape."""
-    mm = make_multimodal_df(spark, sf_dir)
-    return decode_and_featurize(mm, fake=True).select(
-        "media_id", "mime", "n_bytes", "content_sha256", "mean_byte"
+    """Multimodal decode/feature pipeline over the codec-free PNG-style
+    rasters (header built by `io.multimodal.make_headered_media_df`,
+    cf. `multimodal_header_parse`): binary content → mapInPandas
+    (Arrow-batched) → per-media features.  The decode stage does REAL
+    byte-level work — magic check, big-endian dimension parse, and
+    exact statistics (sum/mean/min/max) over the first 64 payload
+    bytes — all executor-side per Arrow batch, no driver round-trip.
+    The DuckDB oracle recomputes every field independently (dims from
+    doc_id arithmetic, byte stats from the hex expansion of the encoded
+    text), so the hash match proves the binary plumbing end-to-end.
+    Full-image codec decode (JPEG/PNG zlib) still needs external libs
+    (`io/multimodal.py` stubs); the byte-feature tier here is what runs
+    BEFORE decode at 100 TB: cheap stats for routing/filtering."""
+    from kinesis_handler_spark.io.multimodal import (
+        PNG_MAGIC,
+        make_headered_media_df,
+    )
+
+    m = make_headered_media_df(spark, sf_dir)
+
+    def featurize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "media_id": [], "is_png": [], "width": [], "height": [],
+                "n_bytes": [], "head_n": [], "head_sum": [],
+                "head_mean": [], "head_min": [], "head_max": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                head = b[16:80]  # first 64 payload bytes after the header
+                rows["media_id"].append(int(mid))
+                rows["is_png"].append(b[:8] == PNG_MAGIC)
+                rows["width"].append(int.from_bytes(b[8:12], "big"))
+                rows["height"].append(int.from_bytes(b[12:16], "big"))
+                rows["n_bytes"].append(len(b))
+                rows["head_n"].append(len(head))
+                s = sum(head)
+                rows["head_sum"].append(s)
+                rows["head_mean"].append(s / len(head) if head else 0.0)
+                rows["head_min"].append(min(head) if head else 0)
+                rows["head_max"].append(max(head) if head else 0)
+            yield pd.DataFrame(rows)
+
+    return m.mapInPandas(
+        featurize,
+        "media_id BIGINT, is_png BOOLEAN, width INT, height INT, "
+        "n_bytes BIGINT, head_n INT, head_sum BIGINT, head_mean DOUBLE, "
+        "head_min INT, head_max INT",
     )
 
 

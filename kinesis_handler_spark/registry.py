@@ -90,7 +90,9 @@ _FRONT = [
     "events_anomaly_zscore", "agg_corr_regression", "pipeline_corpus_prep",
     "join_multi_star", "agg_having_join_back", "sql_scan_agg_q6",
     "scalar_regex_redact", "source_orc_scan", "source_range_spine",
-    # stalest green (last green r1; 29 — first 25 make the 50-cap)
+    # newly oracle-backed this round (was rows-only; never driver-checked)
+    "multimodal_features",
+    # stalest green (last green r1; 29 — first 24 make the 50-cap)
     "text_tfidf_topterms", "text_quality_score", "text_lang_profile",
     "dedup_near_jaccard", "sim_cosine_topk", "multimodal_binary_meta",
     "udf_transformer", "udaf_grouped_pandas", "sessionize_gap",
