@@ -15,6 +15,7 @@ Module map (mirrors SURVEY.md §2.B sections):
 """
 
 from kinesis_handler_spark.queries import (  # noqa: F401
+    composites,
     extras,
     llm,
     llm_scale,

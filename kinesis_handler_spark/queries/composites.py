@@ -1,0 +1,290 @@
+"""Composite mart queries + scale-pipeline compositions (round 4).
+
+More of the end-to-end shapes a warehouse user actually runs: TPC-H
+Q10/Q12/Q14-style join+aggregate reports, a gap-filled moving average,
+a deterministic cross-engine stratified sampler, and the full
+100 TB dedup composition (MinHash LSH candidates → large-star/
+small-star components → keep-min-per-cluster) surfaced as one declared
+query.  All oracle-backed except the dedup composition (engine-specific
+hashing ⇒ rows-only; gated by pytest against the exact-tier pipeline).
+
+Reference note: the reference library (lib/kinesisHandler.js) has no
+relational surface — these are north-star mandates (SURVEY.md §2.B)
+following the same determinism rules as queries/relational.py
+(decimal-exact sums, single IEEE division, aliased columns, total
+orderings; registry.py docstring)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_handler_spark.functions.numeric import dec
+from kinesis_handler_spark.registry import query
+from kinesis_handler_spark.tables import table
+
+
+@query(
+    "join_returns_by_customer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+                  AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def join_returns_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: revenue lost to returns
+    per customer (with nation attribute), top 20.  The returnflag
+    filter is pushed into the lineitem scan (the fact table shrinks
+    BEFORE any join); nation broadcasts (bounded dim); the only
+    shuffles are the two fact-key joins; ORDER+LIMIT compiles to
+    TakeOrderedAndProject so the top-20 never sorts globally."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(revenue).cast("decimal(38,6)").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "agg_promo_share",
+    oracle="""
+    SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS month,
+           CAST(COALESCE(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(18,6))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,6))) END)
+                  AS DECIMAL(38,6)), 0) AS DOUBLE) AS promo_revenue,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+                  AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue,
+           100.0 * CAST(COALESCE(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(18,6))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,6))) END)
+                  AS DECIMAL(38,6)), 0) AS DOUBLE)
+               / CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+                  AS DECIMAL(38,6)) AS DOUBLE) AS promo_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1
+    """,
+)
+def agg_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion-effect report: share of monthly
+    revenue from PROMO-type parts.  Part joins broadcast (dimension
+    bounded relative to the fact side); the conditional sum is one
+    pass (SUM(CASE) — no second scan for the numerator); both sums
+    stay exact DECIMAL until one double cast each, and the share is a
+    single IEEE multiply+divide, so both engines agree bit-for-bit."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    promo = F.coalesce(
+        F.sum(F.when(F.col("p_type") == "PROMO", revenue)).cast(
+            "decimal(38,6)"
+        ),
+        F.lit(0).cast("decimal(38,6)"),
+    ).cast("double")
+    total = F.sum(revenue).cast("decimal(38,6)").cast("double")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("month"))
+        .agg(
+            promo.alias("promo_revenue"),
+            total.alias("total_revenue"),
+            (F.lit(100.0) * promo / total).alias("promo_pct"),
+        )
+    )
+
+
+@query(
+    "agg_late_shipment_priority",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CASE WHEN CAST(l.l_shipdate AS DATE)
+                              - CAST(o.o_orderdate AS DATE) > 60
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(SUM(CASE WHEN CAST(l.l_shipdate AS DATE)
+                              - CAST(o.o_orderdate AS DATE) <= 60
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def agg_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped shipping-SLA report: per order priority, how
+    many line items shipped late (>60 days after the order date) vs on
+    time — the conditional-count join shape of every operational SLA
+    dashboard.  Day arithmetic is integer (DATE minus DATE) in both
+    engines; one fact-key shuffle join, map-side partial aggregation
+    into 5 priority groups."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    days_late = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.when(days_late > 60, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_late"),
+            F.sum(F.when(days_late <= 60, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ontime"),
+        )
+    )
+
+
+@query(
+    "events_daily_ma",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                                         DATE '2024-02-29',
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+    ),
+    c AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT s.day, COALESCE(c.n, 0) AS n_events
+      FROM spine s LEFT JOIN c ON c.day = s.day
+    )
+    SELECT day, n_events,
+           CAST(SUM(n_events) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS ma_7d
+    FROM d
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_daily_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled 7-day trailing moving average of daily event volume —
+    the time-series smoothing every ops dashboard runs, done correctly:
+    the spine join first makes the series DENSE (zero days present), so
+    the ROWS frame equals the intended RANGE-of-7-days frame.  The
+    global-order window runs on the O(days) rollup (60 rows here,
+    36,525 rows even for a century), never on raw events — the raw side
+    is reduced per day with map-side combine before the join.  The
+    average is one integer window sum and one IEEE division, identical
+    cross-engine."""
+    spine = spark.range(0, 60).select(
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int"))
+        .alias("day")
+    )
+    counts = (
+        table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    daily = spine.join(counts, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "n_events",
+        (
+            F.sum("n_events").over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("ma_7d"),
+    )
+
+
+@query(
+    "sample_uniform_per_stratum",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_custkey,
+             row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey
+             ) AS rn
+      FROM customer
+    )
+    SELECT c_mktsegment, c_custkey, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def sample_uniform_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT-k-per-stratum sample: keep the 5 customers
+    per market segment with the smallest md5 of their key — a
+    reproducible cross-engine "random" draw (md5 scrambles key order
+    uniformly; any engine recomputes the identical sample, unlike
+    rand()-based sampling).  Complements `sample_hash_stratified`
+    (hash-threshold FRACTION per stratum, no shuffle) with the
+    exact-quota variant: the rank<=k filter compiles to
+    WindowGroupLimit, so per-group state is k rows, not the group —
+    the scalable per-key reservoir."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment", "c_custkey", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@query("dedup_pipeline_scale")  # rows-only: minhash candidates are engine hashes
+def dedup_pipeline_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE 100 TB near-dedup pipeline as one declared query:
+    MinHash-LSH candidate pairs (`dedup_near_minhash` — linear in docs
+    + candidates, never all-pairs) → large-star/small-star connected
+    components (`functions.graph` — O(log n) rounds regardless of
+    cluster-chain diameter) → keep-min-per-cluster verdict for every
+    document.  Output: (doc_id, component_id, n_members, keep) for the
+    full corpus, singletons included — exactly the frame a corpus-prep
+    job anti-joins against before tokenization.
+
+    This is the composed scale tier of the dedup family: the exact
+    tiers (`dedup_near_jaccard` + `dedup_components`) verify it in
+    pytest (candidate recall + identical clustering on planted dups);
+    engine-specific hashing makes it rows-only for the driver."""
+    from kinesis_handler_spark.functions.graph import (
+        attach_component_sizes,
+        star_connected_components,
+    )
+    from kinesis_handler_spark.queries.llm import dedup_near_minhash
+
+    pairs = dedup_near_minhash(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    comps = attach_component_sizes(star_connected_components(pairs))
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", F.col("doc_id")).alias("component_id"),
+            F.coalesce("n_members", F.lit(1)).alias("n_members"),
+        )
+        .withColumn(
+            "keep", F.col("component_id") == F.col("doc_id")
+        )
+    )

@@ -92,7 +92,11 @@ _FRONT = [
     "scalar_regex_redact", "source_orc_scan", "source_range_spine",
     # newly oracle-backed this round (was rows-only; never driver-checked)
     "multimodal_features",
-    # stalest green (last green r1; 29 — first 24 make the 50-cap)
+    # new this round (never had any verdict)
+    "join_returns_by_customer", "agg_promo_share",
+    "agg_late_shipment_priority", "events_daily_ma",
+    "sample_uniform_per_stratum",
+    # stalest green (last green r1; 29 — first 19 make the 50-cap)
     "text_tfidf_topterms", "text_quality_score", "text_lang_profile",
     "dedup_near_jaccard", "sim_cosine_topk", "multimodal_binary_meta",
     "udf_transformer", "udaf_grouped_pandas", "sessionize_gap",

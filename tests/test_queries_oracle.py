@@ -40,6 +40,7 @@ def test_rows_only_queries_are_marked():
         "sim_ann_ivf",           # IVF cell assignment is engine-specific
         "dedup_embedding_ann",   # IVF candidate generation (scale tier)
         "text_fingerprint",      # xxhash64 rolling hash
+        "dedup_pipeline_scale",  # minhash candidates are engine hashes
     }
 
 
