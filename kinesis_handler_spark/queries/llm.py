@@ -299,7 +299,13 @@ def _jaccard_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     the materialized index instead of re-running shingle+self-join —
     the same artifact-reuse contract as the shingle checkpoint below,
     one level up.  Keyed by the JVM session hash so a new SparkSession
-    (whose checkpoint blocks are gone) rebuilds cleanly."""
+    (whose checkpoint blocks are gone) rebuilds cleanly.
+
+    Staleness contract: the cache assumes fixture files under a given
+    ``sf_dir`` are immutable for the life of the session (true for the
+    driver's run shape and for pytest).  A pipeline that REWRITES its
+    corpus mid-session must drop the entry (or start a new session),
+    else the pair index serves pre-rewrite candidates."""
     key = (hash(spark.sparkContext.applicationId), sf_dir)
     cached = _PAIR_CACHE.get(key)
     if cached is not None:
