@@ -289,16 +289,32 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()  # collide-in-any-table union, each pair scored once
         .join(qv.select(F.col("vec_id").alias("id_a"), F.col("qvec").alias("qa")), "id_a")
         .join(qv.select(F.col("vec_id").alias("id_b"), F.col("qvec").alias("qb")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.aggregate(
-                F.zip_with("qa", "qb", lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("dot"),
-        )
     )
+
+    # Exact re-rank dot as a vectorized numpy kernel (row-wise einsum)
+    # rather than the interpreted aggregate/zip_with fold — same exact
+    # integer math (|q| <= 1000, 64 dims: products <= 1e6, sums <= 6.4e7,
+    # all exact in float64) at candidate volume ~2% of all-pairs; the
+    # repo's standing rule that dense per-element array math goes
+    # through Arrow+numpy, not per-element Catalyst interpretation.
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qa = np.stack(pdf["qa"].to_numpy()).astype(np.float64)
+            qb = np.stack(pdf["qb"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy(dtype=np.int64),
+                    "id_b": pdf["id_b"].to_numpy(dtype=np.int64),
+                    "dot": np.einsum("ij,ij->i", qa, qb).astype(np.int64),
+                }
+            )
+
+    pairs = pairs.mapInPandas(score, "id_a BIGINT, id_b BIGINT, dot BIGINT")
     w = Window.partitionBy("id_a").orderBy(F.col("dot").desc(), F.col("id_b"))
     return (
         pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
@@ -759,3 +775,79 @@ def multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("height"),
         F.length("content").cast("bigint").alias("n_bytes"),
     )
+
+
+def _rp_sign(k: int, j: int) -> int:
+    """Deterministic ±1 from md5 — the SAME derivation both engines use:
+    +1 iff the first hex digit of md5("<k>_<j>") is < '8' (the digest's
+    top bit).  Cross-engine because md5 is bit-identical everywhere,
+    unbiased because the top bit of a cryptographic hash is."""
+    import hashlib
+
+    return 1 if hashlib.md5(f"{k}_{j}".encode()).hexdigest()[0] < "8" else -1
+
+
+_RP_OUT_DIMS = 8
+
+_RP_ORACLE = "SELECT vec_id,\n" + ",\n".join(
+    f"""  CAST(list_sum(list_transform(range(1, len(q)+1),
+    j -> q[CAST(j AS INTEGER)]
+         * CASE WHEN substr(md5('{k}_' || CAST(j-1 AS VARCHAR)), 1, 1) < '8'
+                THEN 1 ELSE -1 END)) AS BIGINT) AS y{k}"""
+    for k in range(_RP_OUT_DIMS)
+) + """
+FROM (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))
+           AS q
+  FROM embeddings
+)"""
+
+
+@query("embed_random_projection", oracle=_RP_ORACLE)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketch: project every embedding 64 -> 8
+    dims through a DETERMINISTIC ±1 matrix (signs derived from md5, so
+    DuckDB regenerates the identical matrix inside the oracle SQL) —
+    the dimensionality-reduction step before coarse ANN indexing or
+    shipping vectors to a downstream store (8× smaller, pairwise
+    distances preserved within JL bounds).
+
+    Exactness: inputs are the standard ×1000 integer quantization and
+    the matrix is ±1, so every output coordinate is an exact integer
+    sum (|y| <= 64 × 1000 — nowhere near 2^53), bit-identical across
+    engines and BLAS summation orders.  Execution is one numpy GEMM
+    per Arrow batch against the broadcast 8×64 sign matrix: no shuffle,
+    embarrassingly parallel, the same broadcast-index shape as the IVF
+    coarse quantizer."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.select("vec_id", _quantized().alias("q"))
+    dim = len(qv.select("q").first()["q"])
+    signs = np.array(
+        [[_rp_sign(k, j) for j in range(dim)] for k in range(_RP_OUT_DIMS)],
+        dtype=np.float64,
+    )
+    bc = spark.sparkContext.broadcast(signs)
+
+    def project(batches):
+        import numpy as np
+        import pandas as pd
+
+        s = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["q"].to_numpy()).astype(np.float64)
+            y = (v @ s.T).astype(np.int64)  # N × 8, exact in float64
+            out = {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64)}
+            for k in range(_RP_OUT_DIMS):
+                out[f"y{k}"] = y[:, k]
+            yield pd.DataFrame(out)
+
+    schema = "vec_id BIGINT, " + ", ".join(
+        f"y{k} BIGINT" for k in range(_RP_OUT_DIMS)
+    )
+    return qv.mapInPandas(project, schema)

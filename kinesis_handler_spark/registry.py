@@ -95,7 +95,7 @@ _FRONT = [
     # new this round (never had any verdict)
     "join_returns_by_customer", "agg_promo_share",
     "agg_late_shipment_priority", "events_daily_ma",
-    "sample_uniform_per_stratum",
+    "sample_uniform_per_stratum", "embed_random_projection",
     # stalest green (last green r1; 29 — first 19 make the 50-cap)
     "text_tfidf_topterms", "text_quality_score", "text_lang_profile",
     "dedup_near_jaccard", "sim_cosine_topk", "multimodal_binary_meta",

@@ -88,6 +88,8 @@ def test_jvm_only_queries_have_no_python_stage(spark, sf_dir):
         "sim_ann_ivf",  # IVF assignment + exact re-rank are GEMMs
         "dedup_embedding_ann",  # IVF candidates + exact in-cell GEMM
         "embed_quantize",  # dense per-element math (numpy via mapInPandas)
+        "sim_ann_lsh",  # signature GEMM + numpy re-rank dot
+        "embed_random_projection",  # JL sign-matrix GEMM (numpy via mapInPandas)
     }
     offenders = []
     for name in sorted(all_queries()):
