@@ -903,3 +903,32 @@ def sql_scan_agg_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the same logical plan."""
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_Q6_SQL)
+
+
+_SQL_WINDOW_TOPN = """
+SELECT c_mktsegment, c_custkey, c_acctbal, rnk
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         CAST(RANK() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY c_acctbal DESC, c_custkey
+         ) AS INTEGER) AS rnk
+  FROM customer
+) ranked
+WHERE rnk <= 3
+"""
+
+
+@query("sql_window_topn", oracle=_SQL_WINDOW_TOPN)
+def sql_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions through the SQL ENTRY POINT: top-3 customers by
+    account balance per market segment, the identical ANSI text run by
+    ``spark.sql`` and the DuckDB oracle (one source of truth, two
+    engines — the same contract as ``sql_scan_agg_q6``, extended to
+    the window-function surface).  The rank<=3 predicate over the
+    subquery compiles to WindowGroupLimit exactly like the DSL twin
+    (`topk_per_group`), so per-group state is k rows; RANK is cast to
+    INTEGER in the shared text because the engines' native rank types
+    differ (int vs bigint) while the values do not."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_SQL_WINDOW_TOPN)

@@ -71,41 +71,66 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # The external driver hash-checks only the FIRST 50 queries() entries per
 # round; with >50 oracle-backed queries, full verification rotates across
-# rounds.  _FRONT is regenerated each round from tools/rotate_tiers.py
-# (verdict history across all CORRECTNESS_r*.json):
-#   1. oracle-backed queries with NO green verdict in any round — the 6
-#      formerly NTZ-broken queries (fixed in tables.py this round) plus the
-#      22 that never received a driver slot;
+# rounds.  _FRONT is REGENERATED each round by
+# ``PYTHONPATH=. python tools/rotate_tiers.py --write`` from the verdict
+# history across all CORRECTNESS_r*.json:
+#   1. oracle-backed queries with NO green verdict in any round (new or
+#      previously broken) — these need a verdict most;
 #   2. oracle-backed queries by last-green round ascending (stalest first);
-#   3. everything else (recently-green, then rows-only) in registration
-#      order via _driver_order.
-# Round-4 rotation (rotate_tiers.py output, post-r3 history):
+#   3. rows-only queries never occupy a verdict slot (no hash check).
+# Everything past _FRONT follows in registration order via _driver_order.
+# Round-4 rotation (post-r3 history + this round's additions):
 _FRONT = [
-    # never green (25): 6 NTZ-fixed + 19 never-slotted
-    "window_range_interval", "join_asof_nearest", "window_lag_lead",
-    "embed_quantize", "join_agg_topk", "events_funnel", "events_retention",
-    "multimodal_header_parse", "agg_weighted_avg", "set_except_all",
-    "agg_min_max_by", "agg_bool_conditional", "text_chunk_overlap",
-    "text_repetition_ratio", "sample_hash_stratified", "events_transition",
-    "events_anomaly_zscore", "agg_corr_regression", "pipeline_corpus_prep",
-    "join_multi_star", "agg_having_join_back", "sql_scan_agg_q6",
-    "scalar_regex_redact", "source_orc_scan", "source_range_spine",
-    # newly oracle-backed this round (was rows-only; never driver-checked)
-    "multimodal_features",
-    # new this round (never had any verdict)
-    "join_returns_by_customer", "agg_promo_share",
-    "agg_late_shipment_priority", "events_daily_ma",
-    "sample_uniform_per_stratum", "embed_random_projection",
-    # stalest green (last green r1; 29 — first 19 make the 50-cap)
-    "text_tfidf_topterms", "text_quality_score", "text_lang_profile",
-    "dedup_near_jaccard", "sim_cosine_topk", "multimodal_binary_meta",
-    "udf_transformer", "udaf_grouped_pandas", "sessionize_gap",
-    "window_first_last", "agg_median_mode", "join_scalar_subquery",
-    "text_ngram_bigrams", "embed_vector_stats", "dedup_keep_latest",
-    "dedup_embedding_cosine", "scan_filter_project", "filter_pushdown_dates",
-    "agg_count_distinct", "agg_count_distinct_salted", "join_left_outer",
-    "join_full_outer", "join_semi", "join_anti", "join_range_theta",
-    "json_extract_props", "validate_predicate", "scalar_date", "scalar_math",
+    "window_range_interval",  # NEVER GREEN
+    "join_asof_nearest",  # NEVER GREEN
+    "window_lag_lead",  # NEVER GREEN
+    "embed_quantize",  # NEVER GREEN
+    "join_agg_topk",  # NEVER GREEN
+    "events_funnel",  # NEVER GREEN
+    "events_retention",  # NEVER GREEN
+    "multimodal_header_parse",  # NEVER GREEN
+    "agg_weighted_avg",  # NEVER GREEN
+    "set_except_all",  # NEVER GREEN
+    "agg_min_max_by",  # NEVER GREEN
+    "agg_bool_conditional",  # NEVER GREEN
+    "text_chunk_overlap",  # NEVER GREEN
+    "text_repetition_ratio",  # NEVER GREEN
+    "sample_hash_stratified",  # NEVER GREEN
+    "events_transition",  # NEVER GREEN
+    "events_anomaly_zscore",  # NEVER GREEN
+    "agg_corr_regression",  # NEVER GREEN
+    "pipeline_corpus_prep",  # NEVER GREEN
+    "join_multi_star",  # NEVER GREEN
+    "agg_having_join_back",  # NEVER GREEN
+    "sql_scan_agg_q6",  # NEVER GREEN
+    "scalar_regex_redact",  # NEVER GREEN
+    "source_orc_scan",  # NEVER GREEN
+    "source_range_spine",  # NEVER GREEN
+    "multimodal_features",  # NEVER GREEN
+    "join_returns_by_customer",  # NEVER GREEN
+    "agg_promo_share",  # NEVER GREEN
+    "agg_late_shipment_priority",  # NEVER GREEN
+    "events_daily_ma",  # NEVER GREEN
+    "sample_uniform_per_stratum",  # NEVER GREEN
+    "embed_random_projection",  # NEVER GREEN
+    "sql_window_topn",  # NEVER GREEN
+    "text_tfidf_topterms",  # last green r1
+    "text_quality_score",  # last green r1
+    "text_lang_profile",  # last green r1
+    "dedup_near_jaccard",  # last green r1
+    "sim_cosine_topk",  # last green r1
+    "multimodal_binary_meta",  # last green r1
+    "udf_transformer",  # last green r1
+    "udaf_grouped_pandas",  # last green r1
+    "sessionize_gap",  # last green r1
+    "window_first_last",  # last green r1
+    "agg_median_mode",  # last green r1
+    "join_scalar_subquery",  # last green r1
+    "text_ngram_bigrams",  # last green r1
+    "embed_vector_stats",  # last green r1
+    "dedup_keep_latest",  # last green r1
+    "dedup_embedding_cosine",  # last green r1
+    "scan_filter_project",  # last green r1
 ]
 
 

@@ -12,9 +12,12 @@ ordering for the next round:
 2. oracle-backed queries by last-green round ASCENDING (stalest first);
 3. rows-only queries last (no hash verdict either way).
 
-Paste the cut at 50 into ``registry._TIER*`` at round start.
+Paste the cut at 50 into ``registry._FRONT`` at round start — or pass
+``--write`` to rewrite the ``_FRONT = [...]`` block in registry.py in
+place (round 3 was lost partly because the rotation was never applied;
+--write makes it one command: rotate, run pytest, commit).
 
-Usage: PYTHONPATH=. python tools/rotate_tiers.py
+Usage: PYTHONPATH=. python tools/rotate_tiers.py [--write]
 """
 
 from __future__ import annotations
@@ -23,6 +26,7 @@ import glob
 import json
 import os
 import re
+import sys
 
 from kinesis_handler_spark.registry import QUERIES, all_queries
 
@@ -48,7 +52,7 @@ def verdict_history() -> dict[str, dict[int, bool]]:
     return hist
 
 
-def main() -> None:
+def suggested_order() -> tuple[list[str], dict[str, str]]:
     hist = verdict_history()
     names = list(all_queries())  # current driver order
     oracle = {n for n, q in QUERIES.items() if q.oracle is not None}
@@ -63,16 +67,42 @@ def main() -> None:
         key=lambda n: (last_green(n), names.index(n)),
     )
     rows_only = [n for n in names if n not in oracle]
-
+    tags = {}
+    for n in names:
+        lg = last_green(n)
+        tags[n] = ("rows-only" if n not in oracle
+                   else f"last green r{lg}" if lg >= 0 else "NEVER GREEN")
     print(f"# {len(names)} queries: {len(never)} never-green oracle, "
           f"{len(green)} green at least once, {len(rows_only)} rows-only")
-    order = never + green + rows_only
+    return never + green + rows_only, tags
+
+
+def write_front(order: list[str], tags: dict[str, str], cap: int = 50) -> None:
+    """Rewrite registry.py's ``_FRONT = [...]`` block with the first
+    ``cap`` suggested names (rows-only excluded — they carry no hash
+    verdict and must never consume a verdict slot)."""
+    front = [n for n in order if tags[n] != "rows-only"][:cap]
+    path = os.path.join(_REPO, "kinesis_handler_spark", "registry.py")
+    with open(path) as fh:
+        src = fh.read()
+    start = src.index("_FRONT = [")
+    end = src.index("]", start) + 1
+    lines = ["_FRONT = ["]
+    for n in front:
+        lines.append(f'    "{n}",  # {tags[n]}')
+    lines.append("]")
+    with open(path, "w") as fh:
+        fh.write(src[:start] + "\n".join(lines) + src[end:])
+    print(f"wrote {len(front)} names to registry._FRONT ({path})")
+
+
+def main() -> None:
+    order, tags = suggested_order()
     for i, n in enumerate(order, 1):
-        lg = last_green(n)
-        tag = ("rows-only" if n not in oracle
-               else f"last green r{lg}" if lg >= 0 else "NEVER GREEN")
         marker = " <-- cap" if i == 50 else ""
-        print(f"{i:3d}. {n:28s} {tag}{marker}")
+        print(f"{i:3d}. {n:28s} {tags[n]}{marker}")
+    if "--write" in sys.argv[1:]:
+        write_front(order, tags)
 
 
 if __name__ == "__main__":
