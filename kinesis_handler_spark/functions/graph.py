@@ -91,21 +91,24 @@ def star_connected_components(
     is never the binding constraint on real graphs; hitting it means
     the input violated the schema contract (e.g. NaN ids).
     """
+    # Lazy checkpoints throughout: each round's frame is materialized BY
+    # the fingerprint collect (one Spark action per round, not two), and
+    # later consumers reuse the materialized blocks.
     cur = (
         edges.filter(F.col("u") != F.col("v"))
         .select("u", "v")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     all_nodes = (
         cur.select(F.col("u").alias("doc_id"))
         .union(cur.select(F.col("v").alias("doc_id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_fp = _fingerprint(cur)
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         fp = _fingerprint(nxt)
         cur = nxt
         if fp == prev_fp:
