@@ -7,12 +7,18 @@ batched ``mapInPandas`` stages so bytes never round-trip through
 driver-side Python and partitions stream batch-by-batch (bounded
 memory even with large blobs).
 
-The actual codec step is STUBBED: image/audio libraries are not in this
-container.  ``_decode_stub`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decoder (bytes →
-pseudo-pixel stats) exercises the real plumbing — schema, batch shape,
-partitioning — end-to-end.  Swapping in PIL/libav later only replaces
-the inner function.
+Decode boundary, two tiers:
+
+* **Real, codec-free**: uncompressed formats decode byte-exactly with
+  numpy alone — ``decode_bmp`` below parses 24-bit BMP (magic,
+  little-endian headers, bottom-up padded BGR rows) and is
+  oracle-verified end-to-end by the ``multimodal_decode_bmp`` query.
+* **Stubbed**: compressed codecs (PNG zlib, JPEG, audio/video) need
+  libraries this container lacks; ``_decode_stub`` raises
+  ``NotImplementedError`` unless ``fake=True``, in which case a
+  deterministic stand-in exercises the real plumbing — schema, batch
+  shape, partitioning.  Swapping in PIL/libav later only replaces the
+  inner function.
 """
 
 from __future__ import annotations
@@ -228,3 +234,86 @@ def make_headered_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.encode("text", "UTF-8"),
         ).alias("content"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real (codec-free) image decode: BMP is uncompressed, so a byte-exact
+# decoder needs only numpy — no external codec library.  This upgrades the
+# decode boundary from "stubbed" to "real for uncompressed formats";
+# compressed formats (PNG zlib, JPEG) still require the stubbed libraries.
+# ---------------------------------------------------------------------------
+
+BMP_W, BMP_H = 10, 6  # W*3 = 30 bytes/row -> stride 32: exercises row padding
+
+
+def _bmp_pixel(doc_id: int, x: int, y: int, c: int) -> int:
+    """Deterministic pixel value, c in {0,1,2} = R,G,B — the arithmetic
+    the DuckDB oracle replays to verify the decode end-to-end."""
+    return (doc_id * 7 + x * 3 + y * 5 + c * 11) % 256
+
+
+def make_bmp_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media fixture of VALID 24-bit BMP files built per document id:
+    14-byte file header + 40-byte BITMAPINFOHEADER + bottom-up BGR pixel
+    rows padded to 4-byte boundaries — every structural feature a real
+    BMP decoder must handle.  Built executor-side per Arrow batch (the
+    blobs never touch the driver)."""
+    import struct
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        stride = (BMP_W * 3 + 3) // 4 * 4
+        img_size = stride * BMP_H
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rows = bytearray()
+                for y in reversed(range(BMP_H)):  # bottom-up storage
+                    row = bytearray()
+                    for x in range(BMP_W):
+                        # BGR on disk
+                        row += bytes(
+                            (
+                                _bmp_pixel(doc_id, x, y, 2),
+                                _bmp_pixel(doc_id, x, y, 1),
+                                _bmp_pixel(doc_id, x, y, 0),
+                            )
+                        )
+                    row += b"\x00" * (stride - len(row))
+                    rows += row
+                header = struct.pack(
+                    "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+                ) + struct.pack(
+                    "<IiiHHIIiiII",
+                    40, BMP_W, BMP_H, 1, 24, 0, img_size, 2835, 2835, 0, 0,
+                )
+                blobs.append(bytes(header + rows))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "content": blobs}
+            )
+
+    return d.mapInPandas(build, "media_id long, content binary")
+
+
+def decode_bmp(content: bytes):
+    """REAL BMP decode with numpy: validates the magic, reads the
+    little-endian header fields, un-pads and un-flips the bottom-up BGR
+    rows.  Returns (width, height, bpp, pixels[H,W,3] in RGB order).
+    Raises ValueError on malformed input (the dead-letter contract)."""
+    import numpy as np
+
+    b = np.frombuffer(content, dtype=np.uint8)
+    if len(b) < 54 or bytes(b[:2]) != b"BM":
+        raise ValueError("not a BMP")
+    offset = int(b[10:14].view("<u4")[0])
+    width = int(b[18:22].view("<i4")[0])
+    height = int(b[22:26].view("<i4")[0])
+    bpp = int(b[28:30].view("<u2")[0])
+    if bpp != 24 or height <= 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp})")
+    stride = (width * 3 + 3) // 4 * 4
+    rows = b[offset : offset + stride * height].reshape(height, stride)
+    bgr = rows[:, : width * 3].reshape(height, width, 3)[::-1]  # un-flip
+    return width, height, bpp, bgr[:, :, ::-1]  # BGR -> RGB

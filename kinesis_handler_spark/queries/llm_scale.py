@@ -851,3 +851,72 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"y{k} BIGINT" for k in range(_RP_OUT_DIMS)
     )
     return qv.mapInPandas(project, schema)
+
+
+@query(
+    "multimodal_decode_bmp",
+    oracle="""
+    SELECT doc_id AS media_id,
+           10 AS width, 6 AS height, 24 AS bpp, 60 AS n_pixels,
+           CAST(list_sum(list_transform(range(0, 60),
+             i -> (doc_id*7 + (i % 10)*3 + (i // 10)*5) % 256))
+             AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(range(0, 60),
+             i -> (doc_id*7 + (i % 10)*3 + (i // 10)*5 + 11) % 256))
+             AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(0, 60),
+             i -> (doc_id*7 + (i % 10)*3 + (i // 10)*5 + 22) % 256))
+             AS BIGINT) AS sum_b,
+           CAST((doc_id*7) % 256 AS INTEGER) AS p00_r
+    FROM documents
+    """,
+)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, no codec library: valid 24-bit BMP files are
+    built per document (`io.multimodal.make_bmp_media_df` — file header,
+    BITMAPINFOHEADER, bottom-up BGR rows with 4-byte padding) and
+    decoded byte-for-byte with numpy inside mapInPandas
+    (`io.multimodal.decode_bmp`): magic validation, little-endian header
+    parse, stride un-padding, row un-flip, BGR→RGB.  Output = per-image
+    channel statistics plus the (0,0) RED value — the corner pixel
+    proves the row-order un-flip is correct, not just orientation-
+    invariant sums.  The DuckDB oracle recomputes every field from the
+    generator arithmetic, so a hash match certifies the full
+    construct→serialize→decode→featurize round trip.  This replaces the
+    "decode is stubbed" caveat for uncompressed formats; compressed
+    codecs (PNG/JPEG) still gate on external libraries
+    (io/multimodal.py `_decode_stub`)."""
+    import numpy as np
+
+    from kinesis_handler_spark.io.multimodal import decode_bmp, make_bmp_media_df
+
+    media = make_bmp_media_df(spark, sf_dir)
+
+    def featurize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "media_id": [], "width": [], "height": [], "bpp": [],
+                "n_pixels": [], "sum_r": [], "sum_g": [], "sum_b": [],
+                "p00_r": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, bpp, px = decode_bmp(bytes(content))
+                sums = px.astype(np.int64).sum(axis=(0, 1))
+                rows["media_id"].append(int(mid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["bpp"].append(bpp)
+                rows["n_pixels"].append(w * h)
+                rows["sum_r"].append(int(sums[0]))
+                rows["sum_g"].append(int(sums[1]))
+                rows["sum_b"].append(int(sums[2]))
+                rows["p00_r"].append(int(px[0, 0, 0]))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        featurize,
+        "media_id BIGINT, width INT, height INT, bpp INT, n_pixels INT, "
+        "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT, p00_r INT",
+    )

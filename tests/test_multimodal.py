@@ -105,3 +105,28 @@ def test_codec_boundary_raises_without_fake(spark, sf_dir):
     mm = make_multimodal_df(spark, sf_dir).limit(1)
     with pytest.raises(Exception, match="no image codec"):
         resize_media(mm, 4, 4, fake=False).collect()
+
+
+def test_decode_bmp_roundtrip_and_dead_letter(spark, sf_dir):
+    # real decode: build one BMP executor-side, decode driver-side with
+    # the same function, check a few pixels against the generator
+    from kinesis_handler_spark.io.multimodal import (
+        BMP_H,
+        BMP_W,
+        _bmp_pixel,
+        decode_bmp,
+        make_bmp_media_df,
+    )
+
+    row = make_bmp_media_df(spark, sf_dir).filter("media_id = 3").first()
+    w, h, bpp, px = decode_bmp(bytes(row["content"]))
+    assert (w, h, bpp) == (BMP_W, BMP_H, 24)
+    for x, y in [(0, 0), (9, 5), (4, 2)]:
+        for c in range(3):
+            assert px[y, x, c] == _bmp_pixel(3, x, y, c)
+    # malformed inputs raise (the dead-letter contract), never misparse
+    import pytest as _pytest
+
+    for bad in [b"", b"XX" + bytes(60), bytes(row["content"])[:40]]:
+        with _pytest.raises(ValueError):
+            decode_bmp(bad)
