@@ -10,10 +10,11 @@ memory even with large blobs).
 Decode boundary, two tiers:
 
 * **Real, codec-free**: uncompressed formats decode byte-exactly with
-  numpy alone — ``decode_bmp`` below parses 24-bit BMP (magic,
-  little-endian headers, bottom-up padded BGR rows) and is
-  oracle-verified end-to-end by the ``multimodal_decode_bmp`` query.
-* **Stubbed**: compressed codecs (PNG zlib, JPEG, audio/video) need
+  numpy alone — ``decode_bmp`` parses 24-bit BMP (magic, little-endian
+  headers, bottom-up padded BGR rows) and ``decode_wav`` parses
+  RIFF/WAVE 16-bit PCM; both are oracle-verified end-to-end by the
+  ``multimodal_decode_bmp`` / ``multimodal_decode_wav`` queries.
+* **Stubbed**: compressed codecs (PNG zlib, JPEG, MP3/AAC video) need
   libraries this container lacks; ``_decode_stub`` raises
   ``NotImplementedError`` unless ``fake=True``, in which case a
   deterministic stand-in exercises the real plumbing — schema, batch
@@ -317,3 +318,74 @@ def decode_bmp(content: bytes):
     rows = b[offset : offset + stride * height].reshape(height, stride)
     bgr = rows[:, : width * 3].reshape(height, width, 3)[::-1]  # un-flip
     return width, height, bpp, bgr[:, :, ::-1]  # BGR -> RGB
+
+
+WAV_RATE, WAV_N = 8000, 240  # 30 ms of 16-bit mono PCM
+
+
+def _wav_sample(doc_id: int, i: int) -> int:
+    """Deterministic 16-bit PCM sample in [-32768, 32767] — a ramp the
+    oracle replays: ((doc_id*31 + i*17) % 65536) - 32768."""
+    return ((doc_id * 31 + i * 17) % 65536) - 32768
+
+
+def make_wav_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media fixture of VALID RIFF/WAVE files (16-bit mono PCM) built
+    per document id: RIFF header, fmt chunk, data chunk — the canonical
+    uncompressed audio container, decodable with numpy alone."""
+    import struct
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                pcm = b"".join(
+                    struct.pack("<h", _wav_sample(doc_id, i))
+                    for i in range(WAV_N)
+                )
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(pcm))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack(
+                        "<IHHIIHH",
+                        16, 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16,
+                    )
+                    + b"data"
+                    + struct.pack("<I", len(pcm))
+                )
+                blobs.append(hdr + pcm)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "content": blobs}
+            )
+
+    return d.mapInPandas(build, "media_id long, content binary")
+
+
+def decode_wav(content: bytes):
+    """REAL WAV decode with numpy: validates RIFF/WAVE magic, reads the
+    fmt chunk (PCM only), locates the data chunk, and returns
+    (sample_rate, channels, samples int16 ndarray).  Raises ValueError
+    on malformed/compressed input (the dead-letter contract)."""
+    import numpy as np
+
+    b = np.frombuffer(content, dtype=np.uint8)
+    if len(b) < 44 or bytes(b[:4]) != b"RIFF" or bytes(b[8:12]) != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    if bytes(b[12:16]) != b"fmt ":
+        raise ValueError("fmt chunk not first")
+    audio_format = int(b[20:22].view("<u2")[0])
+    channels = int(b[22:24].view("<u2")[0])
+    rate = int(b[24:28].view("<u4")[0])
+    bits = int(b[34:36].view("<u2")[0])
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    if bytes(b[36:40]) != b"data":
+        raise ValueError("data chunk not found")
+    n_bytes = int(b[40:44].view("<u4")[0])
+    samples = b[44 : 44 + n_bytes].view("<i2")
+    return rate, channels, samples

@@ -920,3 +920,67 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id BIGINT, width INT, height INT, bpp INT, n_pixels INT, "
         "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT, p00_r INT",
     )
+
+
+@query(
+    "multimodal_decode_wav",
+    oracle="""
+    SELECT doc_id AS media_id,
+           8000 AS sample_rate, 1 AS channels, 240 AS n_samples,
+           CAST(list_sum(list_transform(range(0, 240),
+             i -> ((doc_id*31 + i*17) % 65536) - 32768))
+             AS BIGINT) AS sum_amp,
+           CAST(list_max(list_transform(range(0, 240),
+             i -> ((doc_id*31 + i*17) % 65536) - 32768))
+             AS INTEGER) AS max_amp,
+           CAST(list_min(list_transform(range(0, 240),
+             i -> ((doc_id*31 + i*17) % 65536) - 32768))
+             AS INTEGER) AS min_amp,
+           CAST(((doc_id*31) % 65536) - 32768 AS INTEGER) AS s0
+    FROM documents
+    """,
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, no codec library: valid RIFF/WAVE files
+    (16-bit mono PCM) are built per document
+    (`io.multimodal.make_wav_media_df`) and decoded byte-for-byte with
+    numpy inside mapInPandas (`io.multimodal.decode_wav`): RIFF/WAVE
+    magic, fmt-chunk parse (PCM gate), data-chunk location, int16
+    little-endian sample view.  Output = amplitude statistics plus the
+    FIRST sample (proves sample alignment, not just aggregate
+    agreement); the DuckDB oracle replays the generator ramp, so a hash
+    match certifies the audio construct→serialize→decode→featurize
+    round trip — the audio twin of ``multimodal_decode_bmp``."""
+    import numpy as np
+
+    from kinesis_handler_spark.io.multimodal import decode_wav, make_wav_media_df
+
+    media = make_wav_media_df(spark, sf_dir)
+
+    def featurize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "media_id": [], "sample_rate": [], "channels": [],
+                "n_samples": [], "sum_amp": [], "max_amp": [],
+                "min_amp": [], "s0": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rate, ch, s = decode_wav(bytes(content))
+                s64 = s.astype(np.int64)
+                rows["media_id"].append(int(mid))
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(ch)
+                rows["n_samples"].append(len(s))
+                rows["sum_amp"].append(int(s64.sum()))
+                rows["max_amp"].append(int(s64.max()))
+                rows["min_amp"].append(int(s64.min()))
+                rows["s0"].append(int(s[0]))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        featurize,
+        "media_id BIGINT, sample_rate INT, channels INT, n_samples INT, "
+        "sum_amp BIGINT, max_amp INT, min_amp INT, s0 INT",
+    )

@@ -130,3 +130,24 @@ def test_decode_bmp_roundtrip_and_dead_letter(spark, sf_dir):
     for bad in [b"", b"XX" + bytes(60), bytes(row["content"])[:40]]:
         with _pytest.raises(ValueError):
             decode_bmp(bad)
+
+
+def test_decode_wav_roundtrip_and_dead_letter(spark, sf_dir):
+    from kinesis_handler_spark.io.multimodal import (
+        WAV_N,
+        WAV_RATE,
+        _wav_sample,
+        decode_wav,
+        make_wav_media_df,
+    )
+
+    row = make_wav_media_df(spark, sf_dir).filter("media_id = 7").first()
+    rate, ch, s = decode_wav(bytes(row["content"]))
+    assert (rate, ch, len(s)) == (WAV_RATE, 1, WAV_N)
+    for i in [0, 1, 100, WAV_N - 1]:
+        assert int(s[i]) == _wav_sample(7, i)
+    import pytest as _pytest
+
+    for bad in [b"", b"RIFFxxxxWAVX" + bytes(60), bytes(row["content"])[:30]]:
+        with _pytest.raises(ValueError):
+            decode_wav(bad)

@@ -91,6 +91,7 @@ def test_jvm_only_queries_have_no_python_stage(spark, sf_dir):
         "sim_ann_lsh",  # signature GEMM + numpy re-rank dot
         "embed_random_projection",  # JL sign-matrix GEMM (numpy via mapInPandas)
         "multimodal_decode_bmp",  # real numpy BMP decode (mapInPandas)
+        "multimodal_decode_wav",  # real numpy WAV/PCM decode (mapInPandas)
     }
     offenders = []
     for name in sorted(all_queries()):
