@@ -288,3 +288,85 @@ def dedup_pipeline_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep", F.col("component_id") == F.col("doc_id")
         )
     )
+
+
+@query(
+    "audit_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS relationship,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN p.o_orderkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_orphans
+    FROM lineitem c LEFT JOIN orders p ON c.l_orderkey = p.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           COUNT(*),
+           CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem c LEFT JOIN part p ON c.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           COUNT(*),
+           CAST(SUM(CASE WHEN p.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem c LEFT JOIN supplier p ON c.l_suppkey = p.s_suppkey
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           COUNT(*),
+           CAST(SUM(CASE WHEN p.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders c LEFT JOIN customer p ON c.o_custkey = p.c_custkey
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           COUNT(*),
+           CAST(SUM(CASE WHEN p.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer c LEFT JOIN nation p ON c.c_nationkey = p.n_nationkey
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           COUNT(*),
+           CAST(SUM(CASE WHEN p.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM supplier c LEFT JOIN nation p ON c.s_nationkey = p.n_nationkey
+    UNION ALL
+    SELECT 'nation.n_regionkey->region',
+           COUNT(*),
+           CAST(SUM(CASE WHEN p.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM nation c LEFT JOIN region p ON c.n_regionkey = p.r_regionkey
+    """,
+)
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table data-quality audit: orphan counts for every foreign-
+    key relationship in the star schema, one report row each — the
+    pre-flight check a warehouse runs after every load (an orphan count
+    going nonzero means an upstream extract broke).  Each relationship
+    is one left join + null-count aggregate; parents that are bounded
+    dims broadcast, the fact-side joins are plain key shuffles, and
+    every branch reduces to ONE row before the union, so the report
+    costs the joins and nothing else at any scale."""
+    rels = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for child, ck, parent, pk in rels:
+        c = table(spark, sf_dir, child).select(ck)
+        p = table(spark, sf_dir, parent).select(pk)
+        if parent in ("nation", "region"):
+            p = F.broadcast(p)
+        branch = (
+            c.join(p, c[ck] == p[pk], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(p[pk].isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+            .select(
+                F.lit(f"{child}.{ck}->{parent}").alias("relationship"),
+                "n_rows",
+                "n_orphans",
+            )
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out

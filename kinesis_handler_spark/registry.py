@@ -116,6 +116,7 @@ _FRONT = [
     "sql_window_topn",  # NEVER GREEN
     "multimodal_decode_bmp",  # NEVER GREEN
     "multimodal_decode_wav",  # NEVER GREEN
+    "audit_referential_integrity",  # NEVER GREEN
     "text_tfidf_topterms",  # last green r1
     "text_quality_score",  # last green r1
     "text_lang_profile",  # last green r1
@@ -130,7 +131,6 @@ _FRONT = [
     "join_scalar_subquery",  # last green r1
     "text_ngram_bigrams",  # last green r1
     "embed_vector_stats",  # last green r1
-    "dedup_keep_latest",  # last green r1
 ]
 
 
