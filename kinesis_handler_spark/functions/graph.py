@@ -30,7 +30,7 @@ path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -94,15 +94,18 @@ def star_connected_components(
     # Lazy checkpoints throughout: each round's frame is materialized BY
     # the fingerprint collect (one Spark action per round, not two), and
     # later consumers reuse the materialized blocks.
-    cur = (
-        edges.filter(F.col("u") != F.col("v"))
-        .select("u", "v")
+    # all_nodes comes from the UNFILTERED input so a node appearing only
+    # in self-loop edges still gets its (singleton) component row — the
+    # docstring's "every node appearing in edges" promise.
+    all_nodes = (
+        edges.select(F.col("u").alias("doc_id"))
+        .union(edges.select(F.col("v").alias("doc_id")))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    all_nodes = (
-        cur.select(F.col("u").alias("doc_id"))
-        .union(cur.select(F.col("v").alias("doc_id")))
+    cur = (
+        edges.filter(F.col("u") != F.col("v"))
+        .select("u", "v")
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -131,6 +134,15 @@ def star_connected_components(
 
 
 def attach_component_sizes(components: DataFrame) -> DataFrame:
-    """Add ``n_members`` per component (window count, O(components) state)."""
-    wc = Window.partitionBy("component_id")
-    return components.withColumn("n_members", F.count(F.lit(1)).over(wc))
+    """Add ``n_members`` per component via groupBy-count + join — NOT a
+    window partitioned by component_id, which would buffer every member
+    of a component in one task (this module exists precisely for graphs
+    with pathological giant components).  The size frame is O(number of
+    components) and joins back on the component key with bounded
+    per-key state."""
+    sizes = components.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return components.join(sizes, "component_id").select(
+        "doc_id", "component_id", "n_members"
+    )

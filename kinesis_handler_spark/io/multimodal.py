@@ -387,5 +387,10 @@ def decode_wav(content: bytes):
     if bytes(b[36:40]) != b"data":
         raise ValueError("data chunk not found")
     n_bytes = int(b[40:44].view("<u4")[0])
+    if len(b) < 44 + n_bytes:
+        raise ValueError(
+            f"truncated data chunk: header declares {n_bytes} bytes, "
+            f"{len(b) - 44} present"
+        )
     samples = b[44 : 44 + n_bytes].view("<i2")
     return rate, channels, samples

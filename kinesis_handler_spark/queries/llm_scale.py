@@ -818,29 +818,31 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     the matrix is ±1, so every output coordinate is an exact integer
     sum (|y| <= 64 × 1000 — nowhere near 2^53), bit-identical across
     engines and BLAS summation orders.  Execution is one numpy GEMM
-    per Arrow batch against the broadcast 8×64 sign matrix: no shuffle,
-    embarrassingly parallel, the same broadcast-index shape as the IVF
-    coarse quantizer."""
-    import numpy as np
-
+    per Arrow batch against an 8×dim sign matrix regenerated lazily
+    inside each worker from the pure md5 derivation (a few hundred
+    hashes — cheaper than shipping a broadcast, no driver-side job to
+    probe the dimension, and an empty input simply yields nothing):
+    no shuffle, embarrassingly parallel."""
     emb = table(spark, sf_dir, "embeddings")
     qv = emb.select("vec_id", _quantized().alias("q"))
-    dim = len(qv.select("q").first()["q"])
-    signs = np.array(
-        [[_rp_sign(k, j) for j in range(dim)] for k in range(_RP_OUT_DIMS)],
-        dtype=np.float64,
-    )
-    bc = spark.sparkContext.broadcast(signs)
 
     def project(batches):
         import numpy as np
         import pandas as pd
 
-        s = bc.value
+        s = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             v = np.stack(pdf["q"].to_numpy()).astype(np.float64)
+            if s is None or s.shape[1] != v.shape[1]:
+                s = np.array(
+                    [
+                        [_rp_sign(k, j) for j in range(v.shape[1])]
+                        for k in range(_RP_OUT_DIMS)
+                    ],
+                    dtype=np.float64,
+                )
             y = (v @ s.T).astype(np.int64)  # N × 8, exact in float64
             out = {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64)}
             for k in range(_RP_OUT_DIMS):

@@ -64,10 +64,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # as the nanosAsLong guard above) so the NTZ->TIMESTAMP cast is
             # wall-clock-preserving under ANY host timezone; unix_micros of
             # the cast column is then bit-identical to DuckDB's epoch_us.
+            # (Deliberate session-wide side effect: every timestamp the
+            # engine surfaces is UTC-deterministic, cf. session.py.)
             try:
                 spark.conf.set("spark.sql.session.timeZone", "UTC")
-            except Exception:  # noqa: BLE001 - non-settable: fall through
+            except Exception:  # noqa: BLE001 - checked below
                 pass
+            if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+                # Refuse to produce silently TZ-shifted epochs: a cast
+                # under a non-UTC session would yield wrong-but-plausible
+                # values for every events query.  Loud failure is the
+                # dead-letter contract.
+                raise RuntimeError(
+                    "events.ts is TIMESTAMP_NTZ and the session timezone "
+                    "could not be pinned to UTC; cannot normalize "
+                    "timestamps deterministically"
+                )
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

@@ -38,12 +38,12 @@ def test_total_partition_and_keep_consistency(spark, sf_dir):
 
 
 def test_high_jaccard_dups_share_component(spark, sf_dir):
-    # The fixtures plant near-duplicates at Jaccard >= 0.9; LSH banding
-    # (8x4) catches j>=0.9 pairs with p > 0.9998 and the hashes are
-    # deterministic, so on this data EVERY exact-tier pair at j>=0.5
-    # must land in one pipeline component (same hard invariant as
-    # test_sketch_quality's candidate-cover gate, pushed through
-    # clustering).
+    # LSH banding (8x4) catches j>=0.9 pairs with p > 0.9998 and the
+    # hashes are deterministic, so every exact-tier pair at j>=0.9 (the
+    # planted-duplicate band) must land in one pipeline component.  The
+    # gate is deliberately NOT set at j>=0.5: per-band match probability
+    # at j=0.5 is 0.5^4, overall ~0.4 — missing such a pair is expected
+    # LSH behavior, not a pipeline bug.
     from kinesis_handler_spark.queries.llm import _jaccard_pair_frame
 
     out = _pipeline(spark, sf_dir)
@@ -51,7 +51,7 @@ def test_high_jaccard_dups_share_component(spark, sf_dir):
     high = [
         (r["doc_a"], r["doc_b"])
         for r in exact
-        if 2 * r["n_common"] >= r["n_union"]  # jaccard >= 0.5
+        if 10 * r["n_common"] >= 9 * r["n_union"]  # jaccard >= 0.9
     ]
     assert high, "fixture should contain planted near-duplicates"
     for a, b in high:

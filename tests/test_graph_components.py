@@ -61,9 +61,11 @@ def test_chain_diameter_over_8_converges(spark):
 
 
 def test_two_components_and_singleton_edge(spark):
-    edges = [(1, 2), (2, 3), (10, 11), (5, 5)]  # self-loop ignored
+    # self-loop contributes no connectivity but its node still gets a
+    # (singleton) component row — "every node appearing in edges"
+    edges = [(1, 2), (2, 3), (10, 11), (5, 5)]
     got = _components_of(spark, edges)
-    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 5: 5}
 
 
 def test_matches_union_find_on_random_graph(spark):

@@ -52,11 +52,27 @@ def main(sf_dir: str) -> int:
 
     failures: dict[str, str] = {}
 
-    # Value check: timestamp normalization must be TZ-independent.
+    # NOTE on hostile-TZ coverage: reading the events table deliberately
+    # pins the session timezone to UTC (tables.table NTZ guard), so the
+    # hostile zone is RESTORED before every query — otherwise the first
+    # events reader would neutralize the sweep for everything after it.
+    hostile_tz = "America/New_York"
+
+    qs = all_queries()
+    for name, fn in qs.items():
+        try:
+            spark.conf.set("spark.sql.session.timeZone", hostile_tz)
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 - per-query fault boundary
+            failures[name] = f"{type(exc).__name__}: {exc}"[:300]
+
+    # Value check LAST (it pins UTC for its events read): timestamp
+    # normalization must be TZ-independent and match DuckDB exactly.
     ts_ok = False
     try:
         import duckdb
 
+        spark.conf.set("spark.sql.session.timeZone", hostile_tz)
         got = (
             table(spark, sf_dir, "events")
             .orderBy("event_id")
@@ -77,13 +93,6 @@ def main(sf_dir: str) -> int:
             failures["__ts_value__"] = f"spark={spark_us} duckdb={duck_us}"
     except Exception as exc:  # noqa: BLE001
         failures["__ts_value__"] = f"{type(exc).__name__}: {exc}"[:300]
-
-    qs = all_queries()
-    for name, fn in qs.items():
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # noqa: BLE001 - per-query fault boundary
-            failures[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     print(json.dumps({
         "failures": failures,
