@@ -370,3 +370,57 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = branch if out is None else out.unionByName(branch)
     return out
+
+
+@query(
+    "fuzzy_match_blocked",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, COUNT(*) AS n_rows,
+             split_part(p_name, ' ', 2) AS block
+      FROM part GROUP BY 1
+    )
+    SELECT a.block,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+           a.n_rows AS n_a, b.n_rows AS n_b
+    FROM names a
+    JOIN names b ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4
+    """,
+)
+def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (entity resolution by edit distance): find
+    near-identical part names, the dedup step for dirty dimension data.
+    The canonical scale shape, in order: (1) REDUCE to distinct values
+    with their row counts BEFORE anything quadratic — the fuzzy join
+    runs over unique names (64 here), never over fact rows; (2) BLOCK
+    by a cheap key (the noun token) so the pairwise step is per-block,
+    bounding candidates; (3) Levenshtein only within blocks, keeping
+    pairs at distance 1-4 with the affected row counts attached (the
+    merge-impact estimate).  Both engines compute classic edit
+    distance, so the report hash-matches exactly."""
+    names = (
+        table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("block", F.element_at(F.split("p_name", " "), 2))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist.between(1, 4))
+        .select(
+            F.col("a.block").alias("block"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("int").alias("dist"),
+            F.col("a.n_rows").alias("n_a"),
+            F.col("b.n_rows").alias("n_b"),
+        )
+    )

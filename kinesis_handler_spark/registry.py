@@ -117,6 +117,7 @@ _FRONT = [
     "multimodal_decode_bmp",  # NEVER GREEN
     "multimodal_decode_wav",  # NEVER GREEN
     "audit_referential_integrity",  # NEVER GREEN
+    "fuzzy_match_blocked",  # NEVER GREEN
     "text_tfidf_topterms",  # last green r1
     "text_quality_score",  # last green r1
     "text_lang_profile",  # last green r1
@@ -130,7 +131,6 @@ _FRONT = [
     "agg_median_mode",  # last green r1
     "join_scalar_subquery",  # last green r1
     "text_ngram_bigrams",  # last green r1
-    "embed_vector_stats",  # last green r1
 ]
 
 
