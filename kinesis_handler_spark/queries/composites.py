@@ -424,3 +424,207 @@ def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n_rows").alias("n_b"),
         )
     )
+
+
+@query(
+    "agg_custdist",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY 1
+    """,
+)
+def agg_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer-order-count distribution: how many
+    customers placed 0, 1, 2, … orders — the aggregate-of-an-aggregate
+    shape (left outer join keeps zero-order customers, first agg per
+    customer, second agg over the counts).  The first agg reduces the
+    fact side to one row per customer BEFORE the second, so the
+    distribution agg runs over O(customers) rows and the second shuffle
+    moves O(distinct counts)."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@query(
+    "filter_disjunctive",
+    oracle="""
+    SELECT COUNT(*) AS n_items,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+                  AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_type = 'PROMO' AND l.l_discount >= 0.05)
+    """,
+)
+def filter_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate aggregate: an OR of three
+    conjunctive branches mixing columns from BOTH join sides — the
+    predicate shape that separates real optimizers from naive ones.
+    Catalyst extracts the common-column disjuncts it can push (brand /
+    type / size reach the part scan; quantity / discount reach the
+    lineitem scan as an OR filter) and evaluates the residual
+    cross-side OR post-join; revenue stays exact decimal until one
+    double cast."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    branch1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 20)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 30)
+    )
+    branch3 = (F.col("p_type") == "PROMO") & (F.col("l_discount") >= 0.05)
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return joined.filter(branch1 | branch2 | branch3).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(revenue).cast("decimal(38,6)").cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "join_nation_volume",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+                  AS DECIMAL(38,6)) AS DOUBLE) AS volume,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def join_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade volume: revenue shipped between
+    每 (customer nation, supplier nation) pair per year, cross-border
+    only — the self-joined-dimension shape (nation joins twice under
+    two roles).  Both nation sides and supplier broadcast; the two
+    fact-key shuffles (lineitem⋈orders, orders⋈customer) are the only
+    exchanges; the inequality filter runs on broadcast columns after
+    the joins; year bucketing is integer EXTRACT both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum(revenue).cast("decimal(38,6)").cast("double").alias("volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_inactive_rich_customers",
+    oracle="""
+    WITH ab AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT CAST(c.c_custkey % 10 AS INTEGER) AS seg,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_bal
+    FROM customer c, ab
+    WHERE c.c_acctbal > ab.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >=
+                            TIMESTAMP '1998-01-01 00:00:00')
+    GROUP BY 1
+    """,
+)
+def join_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped dormant-account report: customers with
+    above-average balance and NO order since the cutoff date, grouped
+    into segments — the global-scalar-subquery + anti-join shape.  The
+    average is decorrelated into a ONE-ROW frame broadcast against the
+    customer scan; Catalyst folds the constant join key away and plans
+    a BroadcastNestedLoopJoin with a single-row build side — which is
+    the optimal plan for a global scalar (O(rows) work, no shuffle) and
+    is explicitly allowlisted in the no-cartesian plan gate for exactly
+    this single-row-side shape.  The dormancy test is a left anti join
+    against recent order keys (date filter pushed into the orders scan,
+    reduced to distinct custkeys first).  Determinism: the average is
+    one decimal sum and one IEEE division, and per-row comparisons
+    against it are exact."""
+    c = table(spark, sf_dir, "customer")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(dec("c_acctbal")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+        .withColumn("k", F.lit(1))
+    )
+    return (
+        c.withColumn("k", F.lit(1))
+        .join(F.broadcast(avg_bal), "k")
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy((F.col("c_custkey") % 10).cast("int").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )

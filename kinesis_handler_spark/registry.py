@@ -118,6 +118,10 @@ _FRONT = [
     "multimodal_decode_wav",  # NEVER GREEN
     "audit_referential_integrity",  # NEVER GREEN
     "fuzzy_match_blocked",  # NEVER GREEN
+    "agg_custdist",  # NEVER GREEN
+    "filter_disjunctive",  # NEVER GREEN
+    "join_nation_volume",  # NEVER GREEN
+    "join_inactive_rich_customers",  # NEVER GREEN
     "text_tfidf_topterms",  # last green r1
     "text_quality_score",  # last green r1
     "text_lang_profile",  # last green r1
@@ -127,10 +131,6 @@ _FRONT = [
     "udf_transformer",  # last green r1
     "udaf_grouped_pandas",  # last green r1
     "sessionize_gap",  # last green r1
-    "window_first_last",  # last green r1
-    "agg_median_mode",  # last green r1
-    "join_scalar_subquery",  # last green r1
-    "text_ngram_bigrams",  # last green r1
 ]
 
 

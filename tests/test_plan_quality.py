@@ -114,7 +114,14 @@ def test_no_cartesian_product_outside_declared_brute_force(spark, sf_dir):
     # nested-loop marker only.  A CartesianProduct anywhere else is a
     # 100 TB plan bug.
     cartesian_ok = {"sim_cosine_topk"}
-    nested_loop_ok = {"sim_cosine_topk", "dedup_embedding_cosine"}
+    nested_loop_ok = {
+        "sim_cosine_topk",
+        "dedup_embedding_cosine",
+        # global-scalar subquery: ONE-ROW broadcast build side joined to
+        # every probe row — the optimal plan for comparing against a
+        # global aggregate (O(rows), no shuffle), not an N×M product.
+        "join_inactive_rich_customers",
+    }
     offenders = []
     for name in sorted(all_queries()):
         plan = plan_of(spark, name, sf_dir, mode="simple")
