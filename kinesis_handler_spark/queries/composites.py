@@ -1,12 +1,14 @@
 """Composite mart queries + scale-pipeline compositions (round 4).
 
 More of the end-to-end shapes a warehouse user actually runs: TPC-H
-Q10/Q12/Q14-style join+aggregate reports, a gap-filled moving average,
-a deterministic cross-engine stratified sampler, and the full
-100 TB dedup composition (MinHash LSH candidates → large-star/
-small-star components → keep-min-per-cluster) surfaced as one declared
-query.  All oracle-backed except the dedup composition (engine-specific
-hashing ⇒ rows-only; gated by pytest against the exact-tier pipeline).
+Q7/Q10/Q12/Q13/Q14/Q19/Q22-style join+aggregate reports, a gap-filled
+moving average, a deterministic cross-engine stratified sampler,
+blocked fuzzy matching (entity resolution), a cross-table FK-integrity
+audit, and the full 100 TB dedup composition (MinHash LSH candidates →
+large-star/small-star components → keep-min-per-cluster) surfaced as
+one declared query.  All oracle-backed except the dedup composition
+(engine-specific hashing ⇒ rows-only; gated by pytest against the
+exact-tier pipeline).
 
 Reference note: the reference library (lib/kinesisHandler.js) has no
 relational surface — these are north-star mandates (SURVEY.md §2.B)
