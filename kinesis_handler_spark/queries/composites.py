@@ -94,11 +94,15 @@ def join_returns_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-shaped promotion-effect report: share of monthly
-    revenue from PROMO-type parts.  Part joins broadcast (dimension
-    bounded relative to the fact side); the conditional sum is one
-    pass (SUM(CASE) — no second scan for the numerator); both sums
-    stay exact DECIMAL until one double cast each, and the share is a
-    single IEEE multiply+divide, so both engines agree bit-for-bit."""
+    revenue from PROMO-type parts.  Part scales linearly with SF
+    (200 → 20,000 rows across sf0.001→sf0.1; ~10¹⁰ at 100 TB), so no
+    explicit broadcast hint — AQE auto-broadcasts the pruned 2-column
+    projection while it fits and shuffle-joins beyond (SCALE.md
+    broadcast policy: hint only geography-bounded dims).  The
+    conditional sum is one pass (SUM(CASE) — no second scan for the
+    numerator); both sums stay exact DECIMAL until one double cast
+    each, and the share is a single IEEE multiply+divide, so both
+    engines agree bit-for-bit."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
     revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
@@ -110,7 +114,7 @@ def agg_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     total = F.sum(revenue).cast("decimal(38,6)").cast("double")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("month"))
         .agg(
             promo.alias("promo_revenue"),
@@ -483,12 +487,14 @@ def filter_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     type / size reach the part scan; quantity / discount reach the
     lineitem scan as an OR filter) and evaluates the residual
     cross-side OR post-join; revenue stays exact decimal until one
-    double cast."""
+    double cast.  Part is SF-scaling, so the join carries no broadcast
+    hint — AQE decides (auto-broadcast at bench scale, shuffle join at
+    100×)."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_type", "p_size"
     )
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(p, li.l_partkey == p.p_partkey)
     branch1 = (
         (F.col("p_brand") == "Brand#1")
         & F.col("p_size").between(1, 15)
@@ -530,12 +536,14 @@ def filter_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7-shaped bilateral trade volume: revenue shipped between
-    每 (customer nation, supplier nation) pair per year, cross-border
+    each (customer nation, supplier nation) pair per year, cross-border
     only — the self-joined-dimension shape (nation joins twice under
-    two roles).  Both nation sides and supplier broadcast; the two
+    two roles).  Both nation sides broadcast (geography-bounded dim);
+    supplier is SF-scaling so its join carries no hint and AQE decides
+    (auto-broadcast at bench scale, shuffle join at 100×); the two
     fact-key shuffles (lineitem⋈orders, orders⋈customer) are the only
-    exchanges; the inequality filter runs on broadcast columns after
-    the joins; year bucketing is integer EXTRACT both engines."""
+    mandatory exchanges; the inequality filter runs on dim columns
+    after the joins; year bucketing is integer EXTRACT both engines."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -552,7 +560,7 @@ def join_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
         .groupBy(

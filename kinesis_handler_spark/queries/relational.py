@@ -791,13 +791,17 @@ def join_multi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra non-key equi-condition s_nationkey = c_nationkey that makes
     Q5 a join-ordering stress test).
 
-    100 TB shape: region/nation/supplier are broadcast (bounded dims —
-    region and nation by geography, supplier small relative to facts),
-    so the only shuffles are orders ⋈ customer and lineitem ⋈ orders on
-    their natural keys; the date filter is pushed into the orders scan
-    (row-group pruning), and the final aggregate is a handful of
-    nations with map-side combine.  Catalyst + AQE pick the join order;
-    the declared plan just states the joins."""
+    100 TB shape: region and nation are broadcast (geography-bounded
+    dims, SCALE.md broadcast policy).  Supplier scales linearly with SF
+    (10 → 1,000 rows across sf0.001→sf0.1; ~10⁹ at the 100 TB design
+    point), so it carries NO explicit broadcast hint — AQE
+    auto-broadcasts it while it fits under the threshold at bench scale
+    and falls back to a shuffle join beyond, instead of an un-spillable
+    OOM.  The remaining shuffles are orders ⋈ customer and lineitem ⋈
+    orders on their natural keys; the date filter is pushed into the
+    orders scan (row-group pruning), and the final aggregate is a
+    handful of nations with map-side combine.  Catalyst + AQE pick the
+    join order; the declared plan just states the joins."""
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = table(spark, sf_dir, "nation")
     c = table(spark, sf_dir, "customer")
@@ -809,7 +813,7 @@ def join_multi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, (o.o_custkey == c.c_custkey) & (s.s_nationkey == c.c_nationkey))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)

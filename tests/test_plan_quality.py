@@ -106,6 +106,48 @@ def test_jvm_only_queries_have_no_python_stage(spark, sf_dir):
     assert not offenders, f"Python stages in JVM-only queries: {offenders}"
 
 
+def _broadcast_hint_targets(analyzed_plan: str):
+    """For each ResolvedHint(broadcast) node in an analyzed logical
+    plan, yield the first node beneath it that settles what is being
+    broadcast: an ``Aggregate``/``LocalRelation`` (a reduced, bounded
+    derived frame — always fine) or a parquet ``Relation`` (a base
+    table — must be a bounded dim)."""
+    lines = analyzed_plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "ResolvedHint" not in ln or "broadcast" not in ln:
+            continue
+        for nxt in lines[i + 1 :]:
+            if "Aggregate" in nxt or "LocalRelation" in nxt:
+                yield ("derived", nxt)
+                break
+            if "Relation" in nxt and "parquet" in nxt:
+                yield ("relation", nxt)
+                break
+
+
+def test_no_explicit_broadcast_of_sf_scaling_tables(spark, sf_dir):
+    # SCALE.md broadcast policy: an explicit F.broadcast() hint is
+    # allowed only on geography-BOUNDED dims (region: 5 rows, nation:
+    # 25 rows — fixed by the data model at every scale factor) or on
+    # aggregate-reduced derived frames.  part/supplier/customer/orders/
+    # lineitem all grow linearly with SF (part 200→20,000 and supplier
+    # 10→1,000 across sf0.001→sf0.1); a hard hint on them forces an
+    # un-spillable broadcast build at 100× — the exact OOM class AQE
+    # exists to prevent.  Leave those joins unhinted and let AQE
+    # auto-broadcast under threshold.
+    bounded_cols = ("n_nationkey", "r_regionkey")
+    offenders = []
+    for name in sorted(all_queries()):
+        df = all_queries()[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().analyzed().toString()
+        for kind, line in _broadcast_hint_targets(plan):
+            if kind == "derived":
+                continue
+            if not any(col in line for col in bounded_cols):
+                offenders.append(f"{name}: broadcast of {line.strip()[:70]}")
+    assert not offenders, f"broadcast hints on SF-scaling tables: {offenders}"
+
+
 def test_no_cartesian_product_outside_declared_brute_force(spark, sf_dir):
     # The ONLY query allowed a product join over DATA rows is
     # sim_cosine_topk (the declared brute-force correctness tier).
