@@ -79,58 +79,63 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   2. oracle-backed queries by last-green round ascending (stalest first);
 #   3. rows-only queries never occupy a verdict slot (no hash check).
 # Everything past _FRONT follows in registration order via _driver_order.
-# Round-4 rotation (post-r3 history + this round's additions):
+# Round-5 rotation: the 20 r1-stale queries first, then the 4 queries whose
+# broadcast hints were removed this round (need a fresh driver verdict on the
+# changed plans), then a ONE-TIME exception to rule 3: the 3 rows-only queries
+# the driver has never executed (absent from all CORRECTNESS_r1-r4 artifacts)
+# take tail slots so r5 records cold-execution evidence (spark_rows) for them,
+# then r3-stale queries fill the rest.
 _FRONT = [
-    "window_range_interval",  # NEVER GREEN
-    "join_asof_nearest",  # NEVER GREEN
-    "window_lag_lead",  # NEVER GREEN
-    "embed_quantize",  # NEVER GREEN
-    "join_agg_topk",  # NEVER GREEN
-    "events_funnel",  # NEVER GREEN
-    "events_retention",  # NEVER GREEN
-    "multimodal_header_parse",  # NEVER GREEN
-    "agg_weighted_avg",  # NEVER GREEN
-    "set_except_all",  # NEVER GREEN
-    "agg_min_max_by",  # NEVER GREEN
-    "agg_bool_conditional",  # NEVER GREEN
-    "text_chunk_overlap",  # NEVER GREEN
-    "text_repetition_ratio",  # NEVER GREEN
-    "sample_hash_stratified",  # NEVER GREEN
-    "events_transition",  # NEVER GREEN
-    "events_anomaly_zscore",  # NEVER GREEN
-    "agg_corr_regression",  # NEVER GREEN
-    "pipeline_corpus_prep",  # NEVER GREEN
-    "join_multi_star",  # NEVER GREEN
-    "agg_having_join_back",  # NEVER GREEN
-    "sql_scan_agg_q6",  # NEVER GREEN
-    "scalar_regex_redact",  # NEVER GREEN
-    "source_orc_scan",  # NEVER GREEN
-    "source_range_spine",  # NEVER GREEN
-    "multimodal_features",  # NEVER GREEN
-    "join_returns_by_customer",  # NEVER GREEN
-    "agg_promo_share",  # NEVER GREEN
-    "agg_late_shipment_priority",  # NEVER GREEN
-    "events_daily_ma",  # NEVER GREEN
-    "sample_uniform_per_stratum",  # NEVER GREEN
-    "embed_random_projection",  # NEVER GREEN
-    "sql_window_topn",  # NEVER GREEN
-    "multimodal_decode_bmp",  # NEVER GREEN
-    "multimodal_decode_wav",  # NEVER GREEN
-    "audit_referential_integrity",  # NEVER GREEN
-    "fuzzy_match_blocked",  # NEVER GREEN
-    "agg_custdist",  # NEVER GREEN
-    "filter_disjunctive",  # NEVER GREEN
-    "join_nation_volume",  # NEVER GREEN
-    "join_inactive_rich_customers",  # NEVER GREEN
-    "text_tfidf_topterms",  # last green r1
-    "text_quality_score",  # last green r1
-    "text_lang_profile",  # last green r1
-    "dedup_near_jaccard",  # last green r1
-    "sim_cosine_topk",  # last green r1
-    "multimodal_binary_meta",  # last green r1
-    "udf_transformer",  # last green r1
-    "udaf_grouped_pandas",  # last green r1
-    "sessionize_gap",  # last green r1
+    "window_first_last",  # last driver-green r1 (stalest)
+    "agg_median_mode",  # last driver-green r1 (stalest)
+    "join_scalar_subquery",  # last driver-green r1 (stalest)
+    "text_ngram_bigrams",  # last driver-green r1 (stalest)
+    "embed_vector_stats",  # last driver-green r1 (stalest)
+    "dedup_keep_latest",  # last driver-green r1 (stalest)
+    "dedup_embedding_cosine",  # last driver-green r1 (stalest)
+    "scan_filter_project",  # last driver-green r1 (stalest)
+    "filter_pushdown_dates",  # last driver-green r1 (stalest)
+    "agg_count_distinct",  # last driver-green r1 (stalest)
+    "agg_count_distinct_salted",  # last driver-green r1 (stalest)
+    "join_left_outer",  # last driver-green r1 (stalest)
+    "join_full_outer",  # last driver-green r1 (stalest)
+    "join_semi",  # last driver-green r1 (stalest)
+    "join_anti",  # last driver-green r1 (stalest)
+    "join_range_theta",  # last driver-green r1 (stalest)
+    "json_extract_props",  # last driver-green r1 (stalest)
+    "validate_predicate",  # last driver-green r1 (stalest)
+    "scalar_date",  # last driver-green r1 (stalest)
+    "scalar_math",  # last driver-green r1 (stalest)
+    "join_multi_star",  # broadcast hint removed this round - re-verify
+    "agg_promo_share",  # broadcast hint removed this round - re-verify
+    "filter_disjunctive",  # broadcast hint removed this round - re-verify
+    "join_nation_volume",  # broadcast hint removed this round - re-verify
+    "agg_approx_percentile",  # rows-only, never driver-run - one-time cold-exec evidence
+    "dedup_embedding_ann",  # rows-only, never driver-run - one-time cold-exec evidence
+    "dedup_pipeline_scale",  # rows-only, never driver-run - one-time cold-exec evidence
+    "text_stats",  # last driver-green r3
+    "text_normalize",  # last driver-green r3
+    "dedup_components",  # last driver-green r3
+    "window_time_bucket",  # last driver-green r3
+    "project_compute",  # last driver-green r3
+    "agg_global",  # last driver-green r3
+    "agg_groupby_pricing",  # last driver-green r3
+    "agg_rollup",  # last driver-green r3
+    "agg_cube",  # last driver-green r3
+    "agg_grouping_sets",  # last driver-green r3
+    "agg_filtered_pivot",  # last driver-green r3
+    "join_inner_equi",  # last driver-green r3
+    "join_broadcast_dims",  # last driver-green r3
+    "join_exists_correlated",  # last driver-green r3
+    "agg_distinct_multi",  # last driver-green r3
+    "join_null_safe",  # last driver-green r3
+    "profile_table",  # last driver-green r3
+    "route_case_tag",  # last driver-green r3
+    "scalar_string",  # last driver-green r3
+    "scalar_array",  # last driver-green r3
+    "scalar_array_explode",  # last driver-green r3
+    "scalar_map_json",  # last driver-green r3
+    "scalar_conditional_null",  # last driver-green r3
 ]
 
 
