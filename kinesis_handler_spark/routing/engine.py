@@ -236,7 +236,10 @@ class RoutingEngine:
             )
         )
 
-        envelope_ok = self.envelope.predicate(F.col("_env"))
+        # R9: fast-path envelopes evaluate a codegen predicate over the
+        # parsed struct; fallback envelopes (composition keywords) run
+        # jsonschema over the raw payload in an Arrow-batched pandas UDF.
+        envelope_ok = self.envelope.validate(F.col("payload"), F.col("_env"))
         reason = (
             F.when(F.col("data").isNull(), REASON_MISSING_DATA)
             .when(F.col("_payload_bytes").isNull(), REASON_BAD_BASE64)
@@ -255,8 +258,8 @@ class RoutingEngine:
         data_invalid = F.lit(False)
         for sid, (compiled, _) in sorted(self._registry.items()):
             branch_event = F.from_json(F.col("payload"), compiled.struct)
-            branch_bad = (F.col("data_schema") == F.lit(sid)) & ~compiled.predicate(
-                branch_event
+            branch_bad = (F.col("data_schema") == F.lit(sid)) & ~compiled.validate(
+                F.col("payload"), branch_event
             )
             data_invalid = data_invalid | F.coalesce(branch_bad, F.lit(False))
         df = df.withColumn(

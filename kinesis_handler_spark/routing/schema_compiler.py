@@ -15,17 +15,36 @@ Schema documents follow the reference's ``self`` convention: the
 registry ID is ``vendor/name/version`` (makeSchemaId,
 lib/kinesisHandler.js:15-17).
 
-Supported keywords: type (object/string/number/integer/boolean/array),
-properties (nested), required, enum, pattern, minimum/maximum,
-exclusiveMinimum/exclusiveMaximum, minLength/maxLength, items,
-minItems/maxItems, const.  Unsupported keywords raise at registration
-(fail-fast, like a bad schema at AJV compile time).
+Two compilation tiers (SURVEY.md §7 hard part (a)):
+
+* **JVM fast path** — schemas using only the typed subset below compile
+  to a pure ``Column`` predicate (whole-stage codegen, no Python).
+  Fast-path keywords: type (object/string/number/integer/boolean/
+  array), properties (nested), required, enum, pattern, minimum/
+  maximum, exclusiveMinimum/exclusiveMaximum, minLength/maxLength,
+  items, minItems/maxItems, const.
+* **Python fallback** — schemas using draft composition keywords the
+  predicate compiler cannot express (intra-document ``$ref``,
+  ``oneOf``/``anyOf``/``allOf``, ``not``, ``format``, ``multipleOf``,
+  ``uniqueItems``, ``dependencies``, union ``type`` lists) validate the
+  RAW payload text with the ``jsonschema`` library (the Python stand-in
+  for the reference's AJV, lib/kinesisHandler.js:83-84) inside an
+  Arrow-batched pandas UDF — full draft fidelity at Arrow-batch cost,
+  paid only on the branches that need it.  The ``StructType`` for
+  ``from_json`` is still derived (refs inlined, composition branches
+  field-union-merged) so routed handlers see typed columns.
+
+Keywords outside both tiers (external ``$ref``, ``patternProperties``,
+recursive refs) still raise at registration (fail-fast, like a bad
+schema at AJV compile time).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import reduce
+
+import pandas as pd  # noqa: F401 — resolves the fallback UDF's type hints
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -36,6 +55,17 @@ _SUPPORTED_KEYWORDS = {
     "maximum", "exclusiveMinimum", "exclusiveMaximum", "minLength",
     "maxLength", "items", "minItems", "maxItems", "const", "self",
     "$schema", "title", "description", "additionalProperties", "default",
+}
+
+_COMPOSITION_KEYWORDS = ("allOf", "anyOf", "oneOf")
+
+# Keywords that force the jsonschema-in-pandas-UDF fallback tier.  The
+# constraint-predicate compiler cannot express them, but the jsonschema
+# library validates them with full draft fidelity.
+_FALLBACK_KEYWORDS = {
+    "$ref", "$defs", "definitions", "$id", "allOf", "anyOf", "oneOf",
+    "not", "format", "multipleOf", "uniqueItems", "dependencies",
+    "dependentRequired", "dependentSchemas",
 }
 
 _SCALAR_TYPES = {
@@ -76,12 +106,33 @@ class CompiledSchema:
     schema_id: str
     struct: T.StructType
     doc: dict
+    mode: str = "jvm"  # "jvm" fast path | "python" jsonschema fallback
 
     def predicate(self, col: Column) -> Column:
         """Boolean Column: does the parsed struct at ``col`` satisfy all
         value constraints?  Null-safe: violations and absent values both
-        yield False where the schema requires presence."""
+        yield False where the schema requires presence.  JVM fast path
+        only — fallback-mode schemas validate raw text, use
+        ``validate``."""
+        if self.mode != "jvm":
+            raise UnsupportedSchemaError(
+                f"{self.schema_id}: fallback-mode schema has no JVM "
+                "predicate; validate() runs jsonschema on the payload"
+            )
         return _predicate(self.doc, col, required=True)
+
+    def validate(self, payload_col: Column, parsed_col: Column) -> Column:
+        """Boolean validity Column for one record.
+
+        JVM fast path: evaluates the compiled constraint predicate over
+        the parsed struct at ``parsed_col`` (codegen, no Python).
+        Python fallback: runs the full ``jsonschema`` validator over the
+        raw JSON text at ``payload_col`` in an Arrow-batched pandas UDF
+        (``parsed_col`` unused — composition semantics need the exact
+        document, not the struct projection)."""
+        if self.mode == "jvm":
+            return _predicate(self.doc, parsed_col, required=True)
+        return _jsonschema_udf(self.doc)(payload_col)
 
 
 def _check_keywords(doc: dict) -> None:
@@ -180,11 +231,213 @@ def _predicate(doc: dict, col: Column, required: bool) -> Column:
     return ~presence | F.coalesce(node_ok, F.lit(False))
 
 
+# ---------------------------------------------------------------------------
+# Python fallback tier: jsonschema-in-pandas-UDF for composition keywords
+# ---------------------------------------------------------------------------
+
+
+def _walk_schema(doc: dict):
+    """Yield every schema NODE in a document — schema-aware, so property
+    NAMES (keys under ``properties``/``$defs``) are never mistaken for
+    keywords."""
+    yield doc
+    for key in ("properties", "$defs", "definitions"):
+        sub = doc.get(key)
+        if isinstance(sub, dict):
+            for child in sub.values():
+                if isinstance(child, dict):
+                    yield from _walk_schema(child)
+    for key in ("items", "not", "additionalProperties"):
+        child = doc.get(key)
+        if isinstance(child, dict):
+            yield from _walk_schema(child)
+    for key in _COMPOSITION_KEYWORDS:
+        for child in doc.get(key) or ():
+            if isinstance(child, dict):
+                yield from _walk_schema(child)
+
+
+def _needs_fallback(doc: dict) -> bool:
+    for node in _walk_schema(doc):
+        if set(node) & _FALLBACK_KEYWORDS:
+            return True
+        if isinstance(node.get("type"), list):  # union type, e.g. ["string","null"]
+            return True
+    return False
+
+
+def _check_fallback_keywords(doc: dict) -> None:
+    """Fail fast on keywords outside BOTH tiers (external $ref,
+    patternProperties, ...) — the AJV-compile-failure analogue."""
+    allowed = _SUPPORTED_KEYWORDS | _FALLBACK_KEYWORDS
+    for node in _walk_schema(doc):
+        unknown = set(node) - allowed
+        if unknown:
+            raise UnsupportedSchemaError(
+                f"unsupported JSON-Schema keywords: {sorted(unknown)}"
+            )
+        ref = node.get("$ref")
+        if ref is not None and not (isinstance(ref, str) and ref.startswith("#")):
+            raise UnsupportedSchemaError(
+                f"only intra-document $ref supported, got {ref!r}"
+            )
+
+
+def _deref(root: dict, ref: str) -> dict:
+    """Resolve an intra-document JSON-pointer ``$ref`` (``#/a/b``)."""
+    node = root
+    pointer = ref[1:]
+    if pointer and not pointer.startswith("/"):
+        raise UnsupportedSchemaError(f"unsupported $ref form {ref!r}")
+    try:
+        for part in pointer.lstrip("/").split("/") if pointer else ():
+            part = part.replace("~1", "/").replace("~0", "~")
+            node = node[int(part)] if isinstance(node, list) else node[part]
+    except (KeyError, IndexError, ValueError, TypeError):
+        raise UnsupportedSchemaError(f"$ref target not found: {ref!r}") from None
+    if not isinstance(node, dict):
+        raise UnsupportedSchemaError(f"$ref target is not a schema: {ref!r}")
+    return node
+
+
+def _merge_datatypes(types: list[T.DataType]) -> T.DataType:
+    """Union-merge the datatypes of composition branches into the widest
+    struct a router handler can use.  Validation correctness never
+    depends on this — the fallback validates raw text — so conflicts
+    widen (scalar clash → string; from_json reads any atom as text)
+    instead of failing registration."""
+    structs = [t for t in types if isinstance(t, T.StructType)]
+    if structs:
+        fields: dict[str, T.DataType] = {}
+        for st in structs:
+            for f in st.fields:
+                if f.name in fields:
+                    fields[f.name] = _merge_datatypes([fields[f.name], f.dataType])
+                else:
+                    fields[f.name] = f.dataType
+        return T.StructType(
+            [T.StructField(n, dt, True) for n, dt in sorted(fields.items())]
+        )
+    arrays = [t for t in types if isinstance(t, T.ArrayType)]
+    if arrays:
+        if len(arrays) < len(types):
+            return T.StringType()
+        return T.ArrayType(_merge_datatypes([a.elementType for a in arrays]))
+    maps = [t for t in types if isinstance(t, T.MapType)]
+    if maps:
+        return maps[0] if len(maps) == len(types) else T.StringType()
+    if all(t == types[0] for t in types):
+        return types[0]
+    if {t.simpleString() for t in types} == {"bigint", "double"}:
+        return T.DoubleType()
+    return T.StringType()
+
+
+def _fallback_datatype(doc: dict, root: dict, stack: tuple = ()) -> T.DataType:
+    """StructType derivation for the fallback tier: inline intra-document
+    refs (cycles raise — StructType cannot express recursion), then
+    field-union-merge composition branches with the node's own shape."""
+    if "$ref" in doc:
+        ref = doc["$ref"]
+        if ref in stack:
+            raise UnsupportedSchemaError(
+                f"recursive $ref {ref!r} cannot map to a StructType"
+            )
+        target = _deref(root, ref)
+        merged = {**target, **{k: v for k, v in doc.items() if k != "$ref"}}
+        return _fallback_datatype(merged, root, stack + (ref,))
+    branches = [
+        b for kw in _COMPOSITION_KEYWORDS for b in doc.get(kw) or ()
+        if isinstance(b, dict)
+    ]
+    own = {k: v for k, v in doc.items() if k not in _COMPOSITION_KEYWORDS}
+    types: list[T.DataType] = []
+    if "type" in own or "properties" in own or "items" in own:
+        types.append(_own_fallback_datatype(own, root, stack))
+    types.extend(_fallback_datatype(b, root, stack) for b in branches)
+    if not types:
+        return T.MapType(T.StringType(), T.StringType())
+    return _merge_datatypes(types)
+
+
+def _own_fallback_datatype(doc: dict, root: dict, stack: tuple) -> T.DataType:
+    jtype = doc.get("type", "object")
+    if isinstance(jtype, list):
+        non_null = [t for t in jtype if t != "null"]
+        if len(non_null) == 1:
+            jtype = non_null[0]
+        else:
+            return T.StringType()
+    if jtype == "object":
+        fields = [
+            T.StructField(name, _fallback_datatype(sub, root, stack), True)
+            for name, sub in sorted(doc.get("properties", {}).items())
+        ]
+        if not fields:
+            return T.MapType(T.StringType(), T.StringType())
+        return T.StructType(fields)
+    if jtype == "array":
+        item_doc = doc.get("items", {"type": "string"})
+        return T.ArrayType(_fallback_datatype(item_doc, root, stack))
+    if jtype in _SCALAR_TYPES:
+        return _SCALAR_TYPES[jtype]
+    raise UnsupportedSchemaError(f"unsupported type {jtype!r}")
+
+
+def _jsonschema_udf(doc: dict):
+    """Arrow-batched validator over raw JSON text.  The jsonschema
+    validator (draft picked from ``$schema``; the reference's AJV is
+    draft-04) compiles ONCE per Python worker process — ``holder`` is an
+    empty closure cell at ship time and each worker fills it on first
+    batch, then reuses it for every subsequent batch.  ``format`` is
+    asserted (FORMAT_CHECKER), matching AJV's draft-04 default."""
+    from pyspark.sql.functions import pandas_udf
+
+    clean = {k: v for k, v in doc.items() if k != "self"}
+    holder: list = []
+
+    @pandas_udf("boolean")
+    def _validate(payloads: pd.Series) -> pd.Series:
+        import json
+
+        if not holder:
+            import jsonschema
+
+            cls = jsonschema.validators.validator_for(clean)
+            cls.check_schema(clean)
+            holder.append(cls(clean, format_checker=cls.FORMAT_CHECKER))
+        validator = holder[0]
+
+        def ok(s):
+            if s is None:
+                return False
+            try:
+                obj = json.loads(s)
+            except ValueError:
+                return False
+            return validator.is_valid(obj)
+
+        return payloads.map(ok)
+
+    return _validate
+
+
 def compile_schema(doc: dict) -> CompiledSchema:
     """Compile a JSON-Schema document (with ``self`` ID block) into a
-    CompiledSchema.  Raises UnsupportedSchemaError for keywords outside
-    the supported subset — at registration time, not per record."""
+    CompiledSchema.  Schemas inside the typed subset get the JVM
+    fast path; composition schemas ($ref/oneOf/anyOf/allOf/format/...)
+    get the jsonschema-in-pandas-UDF fallback tier.  Keywords outside
+    both tiers raise UnsupportedSchemaError — at registration time, not
+    per record."""
     schema_id = make_schema_id(doc)
+    if _needs_fallback(doc):
+        _check_fallback_keywords(doc)
+        struct = _fallback_datatype(doc, doc)
+        if not isinstance(struct, T.StructType):
+            raise UnsupportedSchemaError("top-level schema must be an object")
+        return CompiledSchema(
+            schema_id=schema_id, struct=struct, doc=doc, mode="python"
+        )
     struct = _to_datatype(doc)
     if not isinstance(struct, T.StructType):
         raise UnsupportedSchemaError("top-level schema must be an object")

@@ -29,11 +29,14 @@ def test_struct_shape():
 
 
 def test_unsupported_keyword_fails_at_compile():
+    # oneOf/$ref/format now route to the jsonschema fallback tier
+    # (test_schema_fallback.py); keywords outside BOTH tiers still
+    # fail fast at registration.
     bad = {
         "self": {"vendor": "v", "name": "n", "version": "1"},
         "type": "object",
         "properties": {"x": {"type": "string"}},
-        "oneOf": [],
+        "patternProperties": {"^x-": {"type": "string"}},
     }
     with pytest.raises(UnsupportedSchemaError):
         compile_schema(bad)

@@ -150,3 +150,132 @@ def test_predicate_matches_jsonschema(spark, compiled, batch):
         (p, g, w) for p, g, w in zip(cleaned, got, want) if g != w
     ]
     assert not mismatches, f"first mismatch: {mismatches[0]}"
+
+
+# -- composition fallback tier ($ref / oneOf / format) --------------------
+# The fallback DELEGATES to jsonschema inside a pandas UDF, so agreement
+# with the library is by construction — what this property pins is the
+# PLUMBING: fallback-mode selection, raw-text (not struct) validation,
+# null/parse-failure handling, and the worker-side validator
+# construction (draft selection + FORMAT_CHECKER) staying equivalent to
+# a driver-side jsonschema run.
+
+FALLBACK_SCHEMA = {
+    "self": {"vendor": "com.example", "name": "prop-fb", "version": "1-0-0"},
+    "type": "object",
+    "required": ["schema", "data"],
+    "properties": {
+        "schema": {"type": "string"},
+        "data": {
+            "type": "object",
+            "required": ["discount"],
+            "properties": {
+                "issued": {"type": "string", "format": "date-time"},
+                "discount": {"$ref": "#/definitions/discount"},
+            },
+        },
+    },
+    "definitions": {
+        "discount": {
+            "oneOf": [
+                {
+                    "type": "object",
+                    "required": ["pct"],
+                    "properties": {
+                        "pct": {"type": "number", "minimum": 0, "maximum": 100}
+                    },
+                },
+                {
+                    "type": "object",
+                    "required": ["amount", "currency"],
+                    "properties": {
+                        "amount": {"type": "number", "exclusiveMinimum": 0},
+                        "currency": {"type": "string", "pattern": "^[A-Z]{3}$"},
+                    },
+                },
+            ]
+        }
+    },
+}
+
+discounts = st.fixed_dictionaries(
+    {},
+    optional={
+        "pct": _maybe(st.floats(-10, 110, allow_nan=False, allow_infinity=False)),
+        "amount": _maybe(st.floats(-1, 10, allow_nan=False, allow_infinity=False)),
+        "currency": _maybe(st.sampled_from(["USD", "EUR", "usd", "US", ""])),
+    },
+)
+
+fallback_payloads = st.fixed_dictionaries(
+    {},
+    optional={
+        "schema": _maybe(_short_text(10)),
+        "data": _maybe(
+            st.fixed_dictionaries(
+                {},
+                optional={
+                    "issued": _maybe(
+                        st.sampled_from(
+                            [
+                                "2024-01-15T12:00:00Z",
+                                "2024-13-45T99:00:00Z",
+                                "yesterday",
+                                "",
+                            ]
+                        )
+                    ),
+                    "discount": _maybe(discounts),
+                },
+            )
+        ),
+    },
+)
+
+
+def _jsonschema_fallback_ok(payload: dict) -> bool:
+    # mirror _jsonschema_udf's construction exactly: strip `self`, pick
+    # the draft validator, assert formats
+    doc = {k: v for k, v in FALLBACK_SCHEMA.items() if k != "self"}
+    cls = jsonschema.validators.validator_for(doc)
+    validator = cls(doc, format_checker=cls.FORMAT_CHECKER)
+    return validator.is_valid(payload)
+
+
+@pytest.fixture(scope="module")
+def compiled_fallback():
+    from kinesis_handler_spark.routing.schema_compiler import compile_schema
+
+    compiled = compile_schema(FALLBACK_SCHEMA)
+    assert compiled.mode == "python"
+    return compiled
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batch=st.lists(fallback_payloads, min_size=10, max_size=25))
+def test_fallback_validate_matches_jsonschema(spark, compiled_fallback, batch):
+    cleaned = [_strip_absent(p) for p in batch]
+    df = spark.createDataFrame(
+        [(json.dumps(p),) for p in cleaned], "payload string"
+    )
+    got = [
+        r.ok
+        for r in df.select(
+            F.coalesce(
+                compiled_fallback.validate(
+                    F.col("payload"),
+                    F.from_json(F.col("payload"), compiled_fallback.struct),
+                ),
+                F.lit(False),
+            ).alias("ok")
+        ).collect()
+    ]
+    want = [_jsonschema_fallback_ok(p) for p in cleaned]
+    mismatches = [
+        (p, g, w) for p, g, w in zip(cleaned, got, want) if g != w
+    ]
+    assert not mismatches, f"first mismatch: {mismatches[0]}"
