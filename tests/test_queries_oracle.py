@@ -38,6 +38,7 @@ def test_rows_only_queries_are_marked():
         "dedup_simhash",         # xxhash64 simhash fingerprints
         "sim_ann_lsh",           # xxhash64-derived hyperplanes
         "sim_ann_ivf",           # IVF cell assignment is engine-specific
+        "sim_ann_ivf_search",    # same pipeline, search-grade nprobe
         "dedup_embedding_ann",   # IVF candidate generation (scale tier)
         "text_fingerprint",      # xxhash64 rolling hash
         "dedup_pipeline_scale",  # minhash candidates are engine hashes
