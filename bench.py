@@ -75,4 +75,17 @@ def run_bench(sf_dir: str) -> dict:
 
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    print(json.dumps(run_bench(sf_dir)))
+    result = run_bench(sf_dir)
+    # Persist the full artifact locally: the driver captures only the tail
+    # of stdout, which truncated round 4's record at 73/126 queries. The
+    # repo copy is the durable per-query baseline.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(_REPO_DIR, "BENCH_LOCAL.json")
+    )
+    try:
+        with open(out_path, "w") as fh:
+            json.dump(result, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass  # stdout line below is still the primary contract
+    print(json.dumps(result))

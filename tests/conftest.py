@@ -14,6 +14,12 @@ from kinesis_handler_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("KHS_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (vanilla-session sweep etc.)"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("khs-tests", cpus=8, shuffle_partitions=8)
