@@ -405,12 +405,22 @@ def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounding candidates; (3) Levenshtein only within blocks, keeping
     pairs at distance 1-4 with the affected row counts attached (the
     merge-impact estimate).  Both engines compute classic edit
-    distance, so the report hash-matches exactly."""
+    distance, so the report hash-matches exactly.
+
+    The blocking key is a TOTAL function on both engines: `F.get`
+    returns NULL (never an ANSI error) for a single-token name and the
+    COALESCE maps it to '' — exactly what DuckDB's split_part yields —
+    so dirty single-token names block into the '' bucket identically
+    instead of erroring/diverging (entity resolution exists for dirty
+    data; the key extractor must not assume clean input)."""
     names = (
         table(spark, sf_dir, "part")
         .groupBy("p_name")
         .agg(F.count(F.lit(1)).alias("n_rows"))
-        .withColumn("block", F.element_at(F.split("p_name", " "), 2))
+        .withColumn(
+            "block",
+            F.coalesce(F.get(F.split("p_name", " "), 1), F.lit("")),
+        )
     )
     a, b = names.alias("a"), names.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))

@@ -636,10 +636,15 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(64 + (doc_id * 7) % 192 AS INTEGER) AS height,
            CAST(16 + plen AS BIGINT) AS n_bytes,
            CAST(len(bytes) AS INTEGER) AS head_n,
-           CAST(list_sum(bytes) AS BIGINT) AS head_sum,
-           CAST(list_sum(bytes) AS DOUBLE) / len(bytes) AS head_mean,
-           CAST(list_min(bytes) AS INTEGER) AS head_min,
-           CAST(list_max(bytes) AS INTEGER) AS head_max
+           -- empty-head guards mirror the impl's defaults (sum=0,
+           -- mean=0.0, min=0, max=0) so a fixture with an empty text
+           -- payload cannot diverge the two engines
+           CAST(COALESCE(list_sum(bytes), 0) AS BIGINT) AS head_sum,
+           CASE WHEN len(bytes) = 0 THEN 0.0
+                ELSE CAST(COALESCE(list_sum(bytes), 0) AS DOUBLE) / len(bytes)
+           END AS head_mean,
+           CAST(COALESCE(list_min(bytes), 0) AS INTEGER) AS head_min,
+           CAST(COALESCE(list_max(bytes), 0) AS INTEGER) AS head_max
     FROM heads
     """,
 )

@@ -40,8 +40,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       (``spark.sql.legacy.parquet.nanosAsLong``, session.py); converted
       with integer-division truncation to micros (DuckDB's ns→us rule);
     * parquet timestamp[us] with no timezone → Spark reads
-      ``TIMESTAMP_NTZ`` (which ``unix_micros`` rejects); cast to
-      ``TIMESTAMP`` under a UTC session timezone.
+      ``TIMESTAMP_NTZ`` (which ``unix_micros`` rejects); rebuilt
+      column-locally from its wall-clock fields (date / hour / minute /
+      fractional second — all session-TZ-independent on NTZ inputs) into
+      the TIMESTAMP whose ``unix_micros`` treats that wall clock as UTC.
+      No session conf is mutated.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -59,28 +62,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             # Fixtures written as parquet timestamp[us] WITHOUT a timezone
-            # read as TIMESTAMP_NTZ, which unix_micros() rejects.  Pin the
-            # session timezone to UTC first (runtime-settable, same pattern
-            # as the nanosAsLong guard above) so the NTZ->TIMESTAMP cast is
-            # wall-clock-preserving under ANY host timezone; unix_micros of
-            # the cast column is then bit-identical to DuckDB's epoch_us.
-            # (Deliberate session-wide side effect: every timestamp the
-            # engine surfaces is UTC-deterministic, cf. session.py.)
-            try:
-                spark.conf.set("spark.sql.session.timeZone", "UTC")
-            except Exception:  # noqa: BLE001 - checked below
-                pass
-            if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
-                # Refuse to produce silently TZ-shifted epochs: a cast
-                # under a non-UTC session would yield wrong-but-plausible
-                # values for every events query.  Loud failure is the
-                # dead-letter contract.
-                raise RuntimeError(
-                    "events.ts is TIMESTAMP_NTZ and the session timezone "
-                    "could not be pinned to UTC; cannot normalize "
-                    "timestamps deterministically"
-                )
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # read as TIMESTAMP_NTZ, which unix_micros() rejects.  A plain
+            # NTZ->TIMESTAMP cast interprets the wall clock in the SESSION
+            # timezone, so earlier revisions pinned the session TZ to UTC
+            # here — a global mutation hidden inside a read.  Instead,
+            # rebuild the instant column-locally: every term below is a
+            # wall-clock FIELD extraction, which on NTZ inputs is
+            # session-TZ-independent by definition, and extract(SECOND)
+            # carries the fractional part exactly (DECIMAL(8,6), ×1e6 is
+            # exact for micro-precision fixtures).  unix_micros of the
+            # rebuilt column is bit-identical to DuckDB's epoch_us under
+            # ANY host/session timezone, with no conf touched.
+            micros = (
+                F.unix_date(F.col("ts").cast("date")).cast("long")
+                * F.lit(86_400_000_000)
+                + F.hour("ts").cast("long") * F.lit(3_600_000_000)
+                + F.minute("ts").cast("long") * F.lit(60_000_000)
+                + F.expr("CAST(extract(SECOND FROM ts) * 1000000 AS BIGINT)")
+            )
+            df = df.withColumn("ts", F.timestamp_micros(micros))
     return df
 
 

@@ -52,10 +52,11 @@ def main(sf_dir: str) -> int:
 
     failures: dict[str, str] = {}
 
-    # NOTE on hostile-TZ coverage: reading the events table deliberately
-    # pins the session timezone to UTC (tables.table NTZ guard), so the
-    # hostile zone is RESTORED before every query — otherwise the first
-    # events reader would neutralize the sweep for everything after it.
+    # NOTE on hostile-TZ coverage: tables.table no longer mutates the
+    # session timezone (the NTZ normalization is column-local), but the
+    # hostile zone is still re-asserted before every query so a future
+    # regression that sneaks a conf mutation back in cannot neutralize
+    # the sweep for everything after it.
     hostile_tz = "America/New_York"
 
     qs = all_queries()
@@ -66,7 +67,7 @@ def main(sf_dir: str) -> int:
         except Exception as exc:  # noqa: BLE001 - per-query fault boundary
             failures[name] = f"{type(exc).__name__}: {exc}"[:300]
 
-    # Value check LAST (it pins UTC for its events read): timestamp
+    # Value check runs UNDER the hostile timezone: the column-local
     # normalization must be TZ-independent and match DuckDB exactly.
     ts_ok = False
     try:
