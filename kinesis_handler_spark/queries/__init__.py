@@ -16,6 +16,7 @@ Module map (mirrors SURVEY.md §2.B sections):
 
 from kinesis_handler_spark.queries import (  # noqa: F401
     composites,
+    corpus,
     extras,
     llm,
     llm_scale,
@@ -26,6 +27,7 @@ from kinesis_handler_spark.queries import (  # noqa: F401
     setops,
     sources_q,
     stats,
+    subqueries,
     temporal,
     windows,
 )

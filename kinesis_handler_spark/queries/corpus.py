@@ -1,0 +1,160 @@
+"""Corpus-hygiene operators (round 5): BPE-style token accounting and
+benchmark-contamination detection — the bookkeeping a training-data
+pipeline runs before any corpus ships.
+
+Both are oracle-backed: the regex tokenizer uses only syntax with
+identical semantics in Java regex (Spark) and RE2 (DuckDB) — no
+lookarounds, no backreferences — and the contamination check reuses the
+integer-exact shingle machinery of `dedup_near_jaccard`.
+
+Reference note: the reference library (lib/kinesisHandler.js) has no
+text surface — these are north-star mandates (SURVEY.md §2.B LLM-scale
+family) following the registry.py determinism rules."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_handler_spark.registry import query
+from kinesis_handler_spark.tables import table
+
+#: GPT-2-style pre-tokenizer pattern, simplified to the lookahead-free
+#: subset RE2 supports (DuckDB) so both engines split identically:
+#: contraction suffixes, space-prefixed letter runs, space-prefixed
+#: digit runs, space-prefixed punctuation runs, whitespace runs.
+_BPE_PATTERN = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+@query(
+    "text_token_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok_ws,
+           CAST(len(regexp_extract_all(text,
+             '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|\\s+'
+           )) AS INTEGER) AS n_tok_bpe,
+           CAST(n_chars AS DOUBLE)
+             / len(regexp_extract_all(text,
+                 '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|\\s+'
+               )) AS chars_per_tok
+    FROM documents
+    """,
+)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both tiers the mandate names: naive whitespace
+    split and a BPE-ish pre-tokenizer regex (GPT-2's pattern minus its
+    `\\s+(?!\\S)` lookahead, which RE2 — and therefore the DuckDB
+    oracle — cannot express; the remaining alternation has identical
+    semantics in Java regex and RE2).  chars-per-token is the standard
+    pre-training corpus health metric (≈4 for clean English; far off
+    means boilerplate, code, or the wrong language).  Pure per-row JVM
+    regex — no shuffle, no Python; scales embarrassingly."""
+    d = table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)
+    n_bpe = F.size(bpe)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("int").alias("n_tok_ws"),
+        n_bpe.cast("int").alias("n_tok_bpe"),
+        (F.col("n_chars").cast("double") / n_bpe).alias("chars_per_tok"),
+    )
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 5
+    ),
+    idx AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM toks
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                  || t[i+3] || ' ' || t[i+4] AS shingle
+      FROM idx
+    ),
+    bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+    ),
+    corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY 1
+    ),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_matched
+      FROM corpus c JOIN bench b ON b.shingle = c.shingle
+      GROUP BY 1
+    )
+    SELECT s.doc_id,
+           CAST(s.n_shingles AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_matched, 0) AS BIGINT) AS n_matched,
+           CAST(COALESCE(h.n_matched, 0) AS DOUBLE) / s.n_shingles
+             AS contamination
+    FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: fraction of each corpus document's
+    distinct 5-word shingles that also appear in the held-out benchmark
+    set (deterministically designated as doc_id % 97 == 0 — in
+    production this side is the actual eval-suite corpus).  The
+    decisive scale property: the join is corpus-shingles AGAINST the
+    benchmark shingle set, never corpus-against-corpus — benchmark
+    suites are tiny relative to training corpora, so the right side
+    broadcasts under AQE (no hint: it still scales with the suite) and
+    the check is one map-side semi-ish join + two aggregates.  Counts
+    are integers and the contamination ratio is one IEEE division, so
+    both engines agree exactly."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 5)
+    sh = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 5),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i + 1),
+                        F.element_at(F.col("t"), i + 2),
+                        F.element_at(F.col("t"), i + 3),
+                        F.element_at(F.col("t"), i + 4),
+                        F.element_at(F.col("t"), i + 5),
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+        # the shingle table feeds both the benchmark and corpus sides —
+        # materialize once instead of re-running explode+distinct twice
+        .localCheckpoint(eager=False)
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % 97 != 0)
+    sizes = corpus.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hits = (
+        corpus.join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    matched = F.coalesce(F.col("n_matched"), F.lit(0))
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            matched.cast("bigint").alias("n_matched"),
+            (matched.cast("double") / F.col("n_shingles")).alias(
+                "contamination"
+            ),
+        )
+    )

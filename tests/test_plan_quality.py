@@ -164,6 +164,8 @@ def test_no_cartesian_product_outside_declared_brute_force(spark, sf_dir):
         # every probe row — the optimal plan for comparing against a
         # global aggregate (O(rows), no shuffle), not an N×M product.
         "join_inactive_rich_customers",
+        "agg_value_share",  # one-row global-revenue scalar (Q11 shape)
+        "join_top_revenue_supplier",  # one-row MAX scalar (Q15 shape)
     }
     offenders = []
     for name in sorted(all_queries()):
