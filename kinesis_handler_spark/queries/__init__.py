@@ -12,6 +12,14 @@ Module map (mirrors SURVEY.md §2.B sections):
 * :mod:`routing_q`   — batch-checkable projections of the routing engine
 * :mod:`llm`         — text analysis, near-dedup, similarity search,
                        multimodal binary columns
+* :mod:`llm_scale`   — scale-tier variants (SimHash, LSH/IVF ANN, JL,
+                       codec-free decodes)
+* :mod:`pipeline`    — corpus-prep compositions, sampling, anomaly/corr
+* :mod:`composites`  — TPC-H-shaped composite reports, dedup pipeline
+* :mod:`subqueries`  — TPC-H subquery-decorrelation shapes (Q2/Q4/Q11/
+                       Q15/Q16/Q17/Q18/Q21)
+* :mod:`corpus`      — BPE-ish token accounting, benchmark contamination
+* :mod:`extras`      — remaining window/dedup/scalar-subquery shapes
 """
 
 from kinesis_handler_spark.queries import (  # noqa: F401
