@@ -36,7 +36,13 @@ from kinesis_handler_spark.tables import table
 _REPO_ROOT = Path(__file__).resolve().parents[2]
 
 
-def _materialize(df: DataFrame, sf_dir: str, name: str, fmt: str) -> str:
+def _materialize(
+    df: DataFrame,
+    sf_dir: str,
+    name: str,
+    fmt: str,
+    partition_by: str | None = None,
+) -> str:
     """Write ``df`` to ``.fixture_cache/<sf>/<name>`` in ``fmt`` once;
     subsequent calls reuse the cached copy (keyed by scale-factor dir
     basename, and testdata is immutable)."""
@@ -45,6 +51,8 @@ def _materialize(df: DataFrame, sf_dir: str, name: str, fmt: str) -> str:
         writer = df.write.mode("overwrite")
         if fmt == "csv":
             writer = writer.option("header", "true")
+        if partition_by is not None:
+            writer = writer.partitionBy(partition_by)
         writer.format(fmt).save(str(out))
     return str(out)
 
@@ -207,4 +215,47 @@ def source_range_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spine.join(counts, "day", "left").select(
         "day", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+
+
+@query(
+    "source_partitioned_scan",
+    oracle="""
+    SELECT CAST(month(l_shipdate) AS INTEGER) AS month,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_price
+    FROM lineitem
+    WHERE year(l_shipdate) = 1996
+    GROUP BY 1
+    """,
+)
+def source_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned lake layout + partition pruning as a declared
+    query: lineitem is written ONCE as parquet partitioned by
+    ``ship_year`` (directory-per-year, the standard lake layout for
+    time-series facts), then read back with a ``ship_year = 1996``
+    filter and aggregated per month.  The filter is a PARTITION filter
+    — Spark prunes every other year's directory at planning time, so
+    the scan touches ~1/7th of the files (``PartitionFilters`` in the
+    plan; pinned by ``tests/test_partition_pruning.py``).  At 100 TB
+    this is THE difference between a full-corpus scan and reading one
+    year: pruning cost is O(partitions) metadata, not data.  The
+    DuckDB oracle applies the same year predicate to the ORIGINAL
+    unpartitioned parquet, so the hash match also proves the
+    partitioned rewrite is row- and value-exact (doubles survive
+    parquet→parquet untouched)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice"
+    )
+    src = li.withColumn("ship_year", F.year("l_shipdate"))
+    path = _materialize(
+        src, sf_dir, "lineitem_by_year", "parquet", partition_by="ship_year"
+    )
+    df = spark.read.parquet(path).filter(F.col("ship_year") == 1996)
+    return df.groupBy(
+        F.month("l_shipdate").cast("int").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("l_extendedprice").alias("total_price"),
     )

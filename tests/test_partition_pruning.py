@@ -56,3 +56,24 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, sf_dir, tmp_pa
     assert after.filter("event_type <> 'error'").count() == n_untouched
     assert after.count() == n_untouched + 1
     assert n_untouched < n_total  # the replaced partition was non-empty
+
+
+def test_source_partitioned_scan_prunes_to_one_year(spark, sf_dir):
+    # the declared query's ship_year=1996 predicate must be a
+    # planning-time PartitionFilter over the hive layout it writes
+    from kinesis_handler_spark.registry import all_queries
+
+    df = all_queries()["source_partitioned_scan"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "ship_year" in pf and "1996" in pf
+    # row counts agree with the same predicate over the unpartitioned
+    # original (the partitioned rewrite lost/duplicated nothing)
+    n = df.agg(F.sum("n").cast("long").alias("t")).collect()[0]["t"]
+    expect = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.year("l_shipdate") == 1996)
+        .count()
+    )
+    assert n == expect
