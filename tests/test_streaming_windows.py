@@ -338,6 +338,60 @@ def test_stream_stream_join_streaming(spark, tmp_path):
     assert [(r["imp_id"], r["click_id"]) for r in rows] == [(1, 10)]
 
 
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    # left-outer variant: an impression with NO click must surface with
+    # null click columns — but only once BOTH watermarks pass the end of
+    # its join interval (before that, a match could still arrive and the
+    # state store must hold the row).  A second file per side advances
+    # event time by 2 h, so the first batch's unmatched row flushes.
+    from kinesis_handler_spark.streaming import stream_stream_interval_join
+
+    lsrc, rsrc = tmp_path / "l", tmp_path / "r"
+    lsrc.mkdir(); rsrc.mkdir()
+    _write(lsrc / "a.json", [
+        {"imp_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 7},
+        {"imp_id": 3, "ts": "2024-01-01T10:00:00", "user_id": 9},  # never clicked
+    ], mtime=1_000)
+    _write(rsrc / "a.json", [
+        {"click_id": 10, "ts": "2024-01-01T10:05:00", "user_id": 7},
+    ], mtime=1_000)
+    # watermark advancers (2 h later; their own match keeps them out of
+    # the assertion window)
+    _write(lsrc / "b.json", [
+        {"imp_id": 99, "ts": "2024-01-01T12:00:00", "user_id": 1},
+    ], mtime=2_000)
+    _write(rsrc / "b.json", [
+        {"click_id": 99, "ts": "2024-01-01T12:00:00", "user_id": 1},
+    ], mtime=2_000)
+    left = (
+        spark.readStream.schema(IMPR_SCHEMA)
+        .option("maxFilesPerTrigger", 1).json(str(lsrc))
+    )
+    right = (
+        spark.readStream.schema(CLICK_SCHEMA)
+        .option("maxFilesPerTrigger", 1).json(str(rsrc))
+    )
+    out = stream_stream_interval_join(
+        left, right, "user_id", interval_seconds=600, how="left_outer"
+    ).select("l.imp_id", "r.click_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["imp_id"], r["click_id"])
+        for r in spark.sql("select * from ssj_outer").collect()
+    }
+    assert (1, 10) in rows          # matched pair
+    assert (3, None) in rows        # unmatched left row, null-extended
+    assert (3, 11) not in rows
+
+
 # -- stream-static join ------------------------------------------------------
 
 def _dim_df(spark):
