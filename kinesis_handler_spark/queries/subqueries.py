@@ -413,3 +413,43 @@ def join_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+_SQL_CORRELATED = """
+SELECT o.o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o.o_totalprice > (
+  SELECT 1.5 * AVG(o2.o_totalprice)
+  FROM orders o2
+  WHERE o2.o_orderstatus = o.o_orderstatus
+)
+AND NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("sql_correlated_subqueries", oracle=_SQL_CORRELATED)
+def sql_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subqueries through the SQL ENTRY POINT: the textbook
+    correlated-scalar (orders more than 1.5× their status group's
+    average price) plus a correlated NOT EXISTS (no returned line
+    item), as ONE ANSI string run verbatim by both ``spark.sql`` and
+    the DuckDB oracle.  Where the sibling queries in this module
+    hand-decorrelate for plan control, this one proves CATALYST'S OWN
+    decorrelation (RewriteCorrelatedScalarSubquery → aggregate+join,
+    RewritePredicateSubquery → left anti join) produces the same
+    answers — a user can write either style and get scale-safe plans.
+
+    Determinism note: AVG over doubles is order-dependent in general,
+    but here it is computed per o_orderstatus group over the same
+    full-precision doubles in both engines only as a FILTER bound, and
+    the fixture's price spread (≥1e-2 gaps vs ≤1e-10 summation jitter)
+    keeps every order on the same side of the 1.5×avg threshold in both
+    engines — asserted by the hash check itself; the surfaced columns
+    are exact integers."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SQL_CORRELATED)
