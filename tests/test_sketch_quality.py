@@ -175,3 +175,29 @@ def test_lsh_recall_floor_and_candidate_quality(spark, sf_dir):
     pair_cos = np.array([cos[idx[a], idx[b]] for a, b in got])
     baseline = np.abs(cos[np.isfinite(cos)]).mean()
     assert pair_cos.mean() > 1.2 * baseline
+
+
+def test_rolling_distinct_hll_tracks_exact(spark, sf_dir):
+    # the HLL tier must agree with the exact day-explode tier within
+    # sketch error on every day the exact tier reports (lgConfigK=12
+    # => ~1.6% RSE; allow 5% plus a +/-2 absolute floor for tiny days).
+    from kinesis_handler_spark.registry import all_queries
+
+    exact = {
+        r["day"]: r["users_7d"]
+        for r in all_queries()["events_rolling_distinct"](
+            spark, sf_dir
+        ).collect()
+    }
+    est = {
+        r["day"]: r["users_7d_est"]
+        for r in all_queries()["events_rolling_distinct_hll"](
+            spark, sf_dir
+        ).collect()
+    }
+    # the sketch tier reports only days with events; every such day must
+    # exist in the exact tier (which also covers trailing empty days)
+    assert set(est) <= set(exact) and est
+    for day, e in est.items():
+        x = exact[day]
+        assert abs(e - x) <= max(2, 0.05 * x), (day, e, x)
