@@ -55,3 +55,50 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()
+
+
+def cluster_conf(
+    *,
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    target_partition_mb: int = 128,
+) -> dict[str, str]:
+    """Recommended conf overrides for a REAL cluster run (the 100 TB
+    design point), as data so deploy tooling can merge them into any
+    submit path.  ``get_spark`` stays local-mode; this is the documented
+    bridge to the target environment.
+
+    Sizing rationale (SCALE.md "Storage layout"):
+
+    * shuffle partitions = 2× total cores — enough tasks to keep every
+      core busy through stragglers, small enough that per-partition
+      shuffle state stays >100 MB at 100 TB; AQE coalesces down when a
+      stage's output is small, and the advisory size keeps post-AQE
+      partitions near the target.
+    * ``maxPartitionBytes`` fixes scan-task input at the target size so
+      100 TB maps to ~800k scan tasks — bounded scheduler pressure,
+      spill-free per-task memory at 4 GB/core heaps.
+    * Kryo + zstd: smaller shuffle/broadcast payloads; at cluster scale
+      network dominates, trading CPU for bytes wins.
+    """
+    total_cores = executors * cores_per_executor
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(2 * total_cores),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": (
+            f"{target_partition_mb}m"
+        ),
+        "spark.sql.files.maxPartitionBytes": f"{target_partition_mb}m",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.compression.codec": "zstd",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        # runtime bloom-filter semi-join reduction (tests/test_runtime_filter.py)
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.shuffle.service.enabled": "true",
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.maxExecutors": str(executors),
+    }

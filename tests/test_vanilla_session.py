@@ -45,3 +45,31 @@ def test_all_queries_run_on_vanilla_session():
     )
     assert report["ts_ok"], "events.ts normalization is session-TZ-dependent"
     assert proc.returncode == 0
+
+
+def test_cluster_conf_is_coherent():
+    from kinesis_handler_spark.session import cluster_conf
+
+    c = cluster_conf(executors=1000, cores_per_executor=4)
+    # 2x total cores, and every value is a string (submit-tool friendly)
+    assert c["spark.sql.shuffle.partitions"] == "8000"
+    assert all(isinstance(v, str) for v in c.values())
+    # scan task sizing consistent with the advisory post-shuffle size
+    assert (
+        c["spark.sql.files.maxPartitionBytes"]
+        == c["spark.sql.adaptive.advisoryPartitionSizeInBytes"]
+    )
+    # the local session must remain able to apply the runtime-settable
+    # subset (sql.* confs) without error
+    from kinesis_handler_spark.session import get_spark
+
+    spark = get_spark("cluster-conf-test", cpus=2, shuffle_partitions=2)
+    for k, v in c.items():
+        if k.startswith("spark.sql.") and k != "spark.sql.shuffle.partitions":
+            before = spark.conf.get(k, None)
+            spark.conf.set(k, v)
+            # restore: the session is shared process-wide in pytest
+            if before is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, before)
