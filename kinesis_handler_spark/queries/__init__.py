@@ -37,5 +37,6 @@ from kinesis_handler_spark.queries import (  # noqa: F401
     stats,
     subqueries,
     temporal,
+    tpch_tail,
     windows,
 )
