@@ -17,7 +17,9 @@ Module map (mirrors SURVEY.md §2.B sections):
 * :mod:`pipeline`    — corpus-prep compositions, sampling, anomaly/corr
 * :mod:`composites`  — TPC-H-shaped composite reports, dedup pipeline
 * :mod:`subqueries`  — TPC-H subquery-decorrelation shapes (Q2/Q4/Q11/
-                       Q15/Q16/Q17/Q18/Q21)
+                       Q15/Q16/Q17/Q18/Q21) + SQL-entry correlated twin
+* :mod:`tpch_tail`   — Q8 market share, Q9 profit, Q20 nested screen
+                       (completing all 22 TPC-H patterns)
 * :mod:`corpus`      — BPE-ish token accounting, benchmark contamination
 * :mod:`extras`      — remaining window/dedup/scalar-subquery shapes
 """
