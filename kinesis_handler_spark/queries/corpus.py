@@ -158,3 +158,48 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text_entropy",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    x AS (
+      SELECT doc_id, unnest(toks) AS tok, len(toks) AS n FROM t
+    ),
+    c AS (
+      SELECT doc_id, tok, n, COUNT(*) AS cnt FROM x GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS INTEGER) AS n_tokens,
+           CAST(COUNT(*) AS INTEGER) AS n_distinct,
+           ROUND(-SUM((cnt * 1.0 / n) * log2(cnt * 1.0 / n)), 6)
+             AS entropy_bits
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document (bits) — the
+    information-density quality signal: boilerplate and template spam
+    sit far below natural text's entropy for the same length, so this
+    column is a standard corpus-filter feature alongside
+    `text_repetition_ratio` (which catches ADJACENT duplication;
+    entropy catches GLOBAL skew).  One explode + one (doc, token)
+    count + one per-doc sum — two shuffles on doc-sized keys.
+    Transcendental outputs are rounded to 6 dp on both engines (the
+    `agg_stats_moments` precedent): double summation-order jitter is
+    ~1e-12 while the rounding grid is 1e-6, so hashes agree."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    x = toks.select(
+        "doc_id", F.explode("t").alias("tok"), F.size("t").alias("n")
+    )
+    c = x.groupBy("doc_id", "tok", "n").agg(F.count(F.lit(1)).alias("cnt"))
+    p = F.col("cnt") * F.lit(1.0) / F.col("n")
+    return c.groupBy("doc_id").agg(
+        F.max("n").cast("int").alias("n_tokens"),
+        F.count(F.lit(1)).cast("int").alias("n_distinct"),
+        F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+    )
