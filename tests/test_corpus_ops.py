@@ -1,0 +1,72 @@
+"""Third-opinion checks for the corpus-hygiene operators: recompute
+each metric in pure Python from the raw fixture and compare against the
+declared query's output.  The DuckDB oracle already cross-checks Spark;
+these tests add an implementation in a THIRD runtime so a shared
+misunderstanding between the two SQL engines can't hide (same strategy
+as the sketch tests' pure-python oracles)."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pyarrow.parquet as pq
+
+from kinesis_handler_spark.queries.corpus import _BPE_PATTERN
+from kinesis_handler_spark.registry import QUERIES
+
+
+def _docs(sf_dir):
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+
+def test_token_bpe_matches_python_re(spark, sf_dir):
+    docs = _docs(sf_dir)
+    got = {
+        r["doc_id"]: (r["n_tok_ws"], r["n_tok_bpe"])
+        for r in QUERIES["text_token_bpe"].fn(spark, sf_dir).collect()
+    }
+    pat = re.compile(_BPE_PATTERN)
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        ws = len(text.split(" "))
+        bpe = len(pat.findall(text))
+        assert got[doc_id] == (ws, bpe), doc_id
+
+
+def test_entropy_matches_pure_python(spark, sf_dir):
+    docs = _docs(sf_dir)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["entropy_bits"])
+        for r in QUERIES["text_entropy"].fn(spark, sf_dir).collect()
+    }
+    for doc_id, text in docs.items():
+        toks = text.split(" ")
+        n = len(toks)
+        counts: dict[str, int] = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        h = -sum((c / n) * math.log2(c / n) for c in counts.values())
+        nt, nd, hb = got[doc_id]
+        assert (nt, nd) == (n, len(counts)), doc_id
+        # query output is 6-dp rounded; allow one grid step of slack for
+        # summation-order jitter at the rounding boundary
+        assert abs(hb - h) <= 1.000001e-6, (doc_id, hb, h)
+    # entropy is bounded by log2(distinct): a structural invariant the
+    # value checks above could both get wrong only by violating math
+    # (slack = one 6-dp rounding step: the stored value is rounded and
+    # may sit just above the exact bound)
+    for doc_id, (nt, nd, hb) in got.items():
+        assert -1e-6 <= hb <= math.log2(max(nd, 2)) + 1e-6
+
+
+def test_contamination_ratio_consistency(spark, sf_dir):
+    # every row: 0 <= n_matched <= n_shingles, ratio exactly
+    # n_matched/n_shingles, and benchmark docs never appear
+    rows = QUERIES["contamination_ngram_overlap"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % 97 != 0
+        assert 0 <= r["n_matched"] <= r["n_shingles"]
+        assert r["contamination"] == r["n_matched"] / r["n_shingles"]
