@@ -241,7 +241,8 @@ def make_headered_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Real (codec-free) image decode: BMP is uncompressed, so a byte-exact
 # decoder needs only numpy — no external codec library.  This upgrades the
 # decode boundary from "stubbed" to "real for uncompressed formats";
-# compressed formats (PNG zlib, JPEG) still require the stubbed libraries.
+# PNG gained a real stdlib-zlib codec below, leaving JPEG-class codecs
+# (DCT + Huffman) as the only stubbed frontier.
 # ---------------------------------------------------------------------------
 
 BMP_W, BMP_H = 10, 6  # W*3 = 30 bytes/row -> stride 32: exercises row padding
@@ -394,3 +395,181 @@ def decode_wav(content: bytes):
         )
     samples = b[44 : 44 + n_bytes].view("<i2")
     return rate, channels, samples
+
+
+# ---------------------------------------------------------------------------
+# Real COMPRESSED-format decode: PNG needs only stdlib zlib + numpy — the
+# container has no codec libraries, but DEFLATE is in the standard library,
+# so a byte-exact PNG codec (all five row filters, CRC-validated chunks)
+# upgrades the decode boundary from "real for uncompressed formats only"
+# to "real for PNG"; JPEG (DCT + Huffman) remains the stubbed frontier.
+# ---------------------------------------------------------------------------
+
+PNG_W, PNG_H = 12, 8
+
+
+def _png_pixel(doc_id: int, x: int, y: int, c: int) -> int:
+    """Deterministic pixel value, c in {0,1,2} = R,G,B — the arithmetic
+    the DuckDB oracle replays: (doc_id*11 + x*7 + y*13 + c*5) % 256."""
+    return (doc_id * 11 + x * 7 + y * 13 + c * 5) % 256
+
+
+def _png_chunk(name: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib as _zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + name
+        + payload
+        + struct.pack(">I", _zlib.crc32(name + payload) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def make_png_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media fixture of VALID compressed PNG files built per document
+    id: signature, IHDR (8-bit RGB, color type 2), one zlib-compressed
+    IDAT whose scanlines CYCLE through all five PNG filter types
+    (y % 5: None/Sub/Up/Average/Paeth — so the decoder's every
+    unfilter path is exercised on every image), and IEND, each chunk
+    CRC32-stamped.  Built executor-side per Arrow batch."""
+    import struct
+    import zlib as _zlib
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bpp = 3
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                raw = [
+                    [
+                        _png_pixel(doc_id, x, y, c)
+                        for x in range(PNG_W)
+                        for c in range(3)
+                    ]
+                    for y in range(PNG_H)
+                ]
+                stream = bytearray()
+                for y in range(PNG_H):
+                    ftype = y % 5
+                    cur, prev = raw[y], raw[y - 1] if y else [0] * PNG_W * 3
+                    stream.append(ftype)
+                    for i, v in enumerate(cur):
+                        a = cur[i - bpp] if i >= bpp else 0
+                        b = prev[i]
+                        cc = prev[i - bpp] if i >= bpp else 0
+                        if ftype == 0:
+                            f = v
+                        elif ftype == 1:
+                            f = (v - a) % 256
+                        elif ftype == 2:
+                            f = (v - b) % 256
+                        elif ftype == 3:
+                            f = (v - (a + b) // 2) % 256
+                        else:
+                            f = (v - _paeth(a, b, cc)) % 256
+                        stream.append(f)
+                ihdr = struct.pack(
+                    ">IIBBBBB", PNG_W, PNG_H, 8, 2, 0, 0, 0
+                )
+                blob = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + _png_chunk(b"IHDR", ihdr)
+                    + _png_chunk(b"IDAT", _zlib.compress(bytes(stream)))
+                    + _png_chunk(b"IEND", b"")
+                )
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "content": blobs}
+            )
+
+    return d.mapInPandas(build, "media_id long, content binary")
+
+
+def decode_png(content: bytes):
+    """REAL PNG decode with stdlib zlib + numpy: validates the
+    signature, walks the chunk stream verifying every CRC32, parses
+    IHDR (8-bit RGB only), inflates the concatenated IDAT payload, and
+    reverses the per-scanline filters (None/Sub/Up/Average/Paeth).
+    Returns (width, height, color_type, pixels[H,W,3] RGB).  Raises
+    ValueError on malformed input (the dead-letter contract)."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    if len(content) < 8 or content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, ihdr = 8, b"", None
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        name = content[pos + 4 : pos + 8]
+        payload = content[pos + 8 : pos + 8 + length]
+        if len(payload) != length or pos + 12 + length > len(content):
+            raise ValueError(f"truncated {name!r} chunk")
+        (crc,) = struct.unpack(
+            ">I", content[pos + 8 + length : pos + 12 + length]
+        )
+        if _zlib.crc32(name + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {name!r} chunk")
+        if name == b"IHDR":
+            ihdr = payload
+        elif name == b"IDAT":
+            idat += payload
+        elif name == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or ctype != 2 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={ctype})"
+        )
+    stream = _zlib.decompress(idat)
+    bpp, stride = 3, w * 3
+    if len(stream) != h * (stride + 1):
+        raise ValueError("inflated size does not match dimensions")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = stream[pos]
+        row = bytearray(stream[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up: vectorized
+            row = bytearray(
+                (np.frombuffer(bytes(row), dtype=np.uint8) + prev).astype(
+                    np.uint8
+                ).tobytes()
+            )
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth: sequential in x
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                if ftype == 1:
+                    row[i] = (row[i] + a) % 256
+                elif ftype == 3:
+                    row[i] = (row[i] + (a + b) // 2) % 256
+                else:
+                    row[i] = (row[i] + _paeth(a, b, c)) % 256
+        else:
+            raise ValueError(f"unknown filter type {ftype}")
+        out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+    return w, h, ctype, out.reshape(h, w, 3)

@@ -659,8 +659,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle recomputes every field independently (dims from
     doc_id arithmetic, byte stats from the hex expansion of the encoded
     text), so the hash match proves the binary plumbing end-to-end.
-    Full-image codec decode (JPEG/PNG zlib) still needs external libs
-    (`io/multimodal.py` stubs); the byte-feature tier here is what runs
+    Full-image JPEG-class decode still needs external libs
+    (`io/multimodal.py` stubs; BMP/WAV/PNG decode for real — see
+    `multimodal_decode_png`); the byte-feature tier here is what runs
     BEFORE decode at 100 TB: cheap stats for routing/filtering."""
     from kinesis_handler_spark.io.multimodal import (
         PNG_MAGIC,
@@ -925,8 +926,9 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant sums.  The DuckDB oracle recomputes every field from the
     generator arithmetic, so a hash match certifies the full
     construct→serialize→decode→featurize round trip.  This replaces the
-    "decode is stubbed" caveat for uncompressed formats; compressed
-    codecs (PNG/JPEG) still gate on external libraries
+    "decode is stubbed" caveat for uncompressed formats; PNG now has a
+    real stdlib-zlib codec too (`multimodal_decode_png`), leaving only
+    JPEG-class codecs gated on external libraries
     (io/multimodal.py `_decode_stub`)."""
     import numpy as np
 
@@ -1025,4 +1027,79 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         featurize,
         "media_id BIGINT, sample_rate INT, channels INT, n_samples INT, "
         "sum_amp BIGINT, max_amp INT, min_amp INT, s0 INT",
+    )
+
+
+@query(
+    "multimodal_decode_png",
+    oracle="""
+    SELECT doc_id AS media_id,
+           12 AS width, 8 AS height, 2 AS color_type, 96 AS n_pixels,
+           CAST(list_sum(list_transform(range(0, 96),
+             i -> (doc_id*11 + (i % 12)*7 + (i // 12)*13) % 256))
+             AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(range(0, 96),
+             i -> (doc_id*11 + (i % 12)*7 + (i // 12)*13 + 5) % 256))
+             AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(0, 96),
+             i -> (doc_id*11 + (i % 12)*7 + (i // 12)*13 + 10) % 256))
+             AS BIGINT) AS sum_b,
+           CAST((doc_id*11) % 256 AS INTEGER) AS p00_r,
+           CAST((doc_id*11 + 11*7 + 7*13 + 10) % 256 AS INTEGER)
+             AS p_last_b
+    FROM documents
+    """,
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-image decode with no codec library: valid PNG
+    files (8-bit RGB, zlib-DEFLATE IDAT, CRC32-stamped chunks) are
+    built per document with scanline filters CYCLING through all five
+    PNG filter types (`io.multimodal.make_png_media_df`), then decoded
+    byte-for-byte inside mapInPandas (`io.multimodal.decode_png`):
+    signature check, per-chunk CRC verification, zlib inflate, and the
+    None/Sub/Up/Average/Paeth unfilter chain.  DEFLATE is in the
+    Python standard library, so unlike the BMP/WAV pair this exercises
+    a genuinely COMPRESSED format end-to-end — the "decode is stubbed"
+    caveat now applies only to JPEG-class codecs (DCT+Huffman).  The
+    oracle replays the generator arithmetic per pixel; the two corner
+    probes (first red byte, last blue byte) prove filter reversal and
+    row order exactly, not just orientation-invariant sums."""
+    import numpy as np
+
+    from kinesis_handler_spark.io.multimodal import (
+        decode_png,
+        make_png_media_df,
+    )
+
+    media = make_png_media_df(spark, sf_dir)
+
+    def featurize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "media_id": [], "width": [], "height": [],
+                "color_type": [], "n_pixels": [], "sum_r": [],
+                "sum_g": [], "sum_b": [], "p00_r": [], "p_last_b": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, ct, px = decode_png(bytes(content))
+                sums = px.astype(np.int64).sum(axis=(0, 1))
+                rows["media_id"].append(int(mid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["color_type"].append(ct)
+                rows["n_pixels"].append(w * h)
+                rows["sum_r"].append(int(sums[0]))
+                rows["sum_g"].append(int(sums[1]))
+                rows["sum_b"].append(int(sums[2]))
+                rows["p00_r"].append(int(px[0, 0, 0]))
+                rows["p_last_b"].append(int(px[h - 1, w - 1, 2]))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        featurize,
+        "media_id BIGINT, width INT, height INT, color_type INT, "
+        "n_pixels INT, sum_r BIGINT, sum_g BIGINT, sum_b BIGINT, "
+        "p00_r INT, p_last_b INT",
     )

@@ -151,3 +151,55 @@ def test_decode_wav_roundtrip_and_dead_letter(spark, sf_dir):
     for bad in [b"", b"RIFFxxxxWAVX" + bytes(60), bytes(row["content"])[:30]]:
         with _pytest.raises(ValueError):
             decode_wav(bad)
+
+
+# -- real PNG codec (stdlib zlib + numpy) ------------------------------------
+
+def test_png_round_trip_is_pixel_exact(spark, sf_dir):
+    import numpy as np
+
+    from kinesis_handler_spark.io.multimodal import (
+        PNG_H,
+        PNG_W,
+        _png_pixel,
+        decode_png,
+        make_png_media_df,
+    )
+
+    rows = make_png_media_df(spark, sf_dir).limit(4).collect()
+    assert rows
+    for r in rows:
+        w, h, ct, px = decode_png(bytes(r["content"]))
+        assert (w, h, ct) == (PNG_W, PNG_H, 2)
+        expect = np.array(
+            [
+                [[_png_pixel(int(r["media_id"]), x, y, c) for c in range(3)]
+                 for x in range(w)]
+                for y in range(h)
+            ],
+            dtype=np.uint8,
+        )
+        # byte-exact through DEFLATE + all five filter types (the encoder
+        # cycles y % 5, so None/Sub/Up/Average/Paeth are all exercised)
+        assert (px == expect).all()
+
+
+def test_png_decode_rejects_corruption(spark, sf_dir):
+    import pytest as _pytest
+
+    from kinesis_handler_spark.io.multimodal import (
+        decode_png,
+        make_png_media_df,
+    )
+
+    blob = bytearray(
+        bytes(make_png_media_df(spark, sf_dir).limit(1).collect()[0]["content"])
+    )
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x89PNX" + bytes(blob[4:]))
+    corrupted = bytearray(blob)
+    corrupted[45] ^= 0xFF  # inside IDAT payload -> CRC must catch it
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(corrupted))
+    with _pytest.raises(ValueError, match="truncated|missing"):
+        decode_png(bytes(blob[:40]))
