@@ -1103,3 +1103,79 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pixels INT, sum_r BIGINT, sum_g BIGINT, sum_b BIGINT, "
         "p00_r INT, p_last_b INT",
     )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, i,
+             ((i % 6) * 2)     AS x0, ((i // 6) * 2) AS y0
+      FROM documents, unnest(generate_series(0, 23)) AS t(i)
+    ),
+    v AS (
+      SELECT doc_id, i,
+             ((doc_id*11 + x0*7     + y0*13)     % 256
+            + (doc_id*11 + (x0+1)*7 + y0*13)     % 256
+            + (doc_id*11 + x0*7     + (y0+1)*13) % 256
+            + (doc_id*11 + (x0+1)*7 + (y0+1)*13) % 256) // 4 AS r
+      FROM px
+    )
+    SELECT doc_id AS media_id,
+           6 AS out_w, 4 AS out_h,
+           CAST(SUM(r) AS BIGINT) AS sum_r_small,
+           CAST(MAX(CASE WHEN i = 0 THEN r END) AS INTEGER) AS p00_r_small,
+           CAST(MAX(CASE WHEN i = 23 THEN r END) AS INTEGER)
+             AS p_last_r_small
+    FROM v GROUP BY doc_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize on REAL decoded pixels: each document's PNG is
+    decoded (`decode_png` — full zlib + unfilter path) and 2×
+    box-downsampled 12×8 → 6×4 with exact INTEGER arithmetic (mean of
+    each 2×2 block, floor division — no float resampling kernels, so
+    both engines agree bit-for-bit).  This upgrades the pipeline's
+    resize stage (`io.multimodal.resize_media`, previously exercised
+    only through the `fake=True` plumbing path) to a real
+    decode→resize computation; the oracle replays generator arithmetic
+    through the same 2×2 mean, with first/last output-pixel probes
+    pinning block alignment.  Per-row numpy over Arrow batches — no
+    shuffle, embarrassingly parallel."""
+    import numpy as np
+
+    from kinesis_handler_spark.io.multimodal import (
+        decode_png,
+        make_png_media_df,
+    )
+
+    media = make_png_media_df(spark, sf_dir)
+
+    def resize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "media_id": [], "out_w": [], "out_h": [],
+                "sum_r_small": [], "p00_r_small": [], "p_last_r_small": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, _ct, px = decode_png(bytes(content))
+                r = px[:, :, 0].astype(np.int64)
+                small = (
+                    r[0::2, 0::2] + r[0::2, 1::2] + r[1::2, 0::2]
+                    + r[1::2, 1::2]
+                ) // 4
+                rows["media_id"].append(int(mid))
+                rows["out_w"].append(w // 2)
+                rows["out_h"].append(h // 2)
+                rows["sum_r_small"].append(int(small.sum()))
+                rows["p00_r_small"].append(int(small[0, 0]))
+                rows["p_last_r_small"].append(int(small[-1, -1]))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        resize,
+        "media_id BIGINT, out_w INT, out_h INT, sum_r_small BIGINT, "
+        "p00_r_small INT, p_last_r_small INT",
+    )
