@@ -34,9 +34,13 @@ Two compilation tiers (SURVEY.md §7 hard part (a)):
   ``from_json`` is still derived (refs inlined, composition branches
   field-union-merged) so routed handlers see typed columns.
 
-Keywords outside both tiers (external ``$ref``, ``patternProperties``,
-recursive refs) still raise at registration (fail-fast, like a bad
-schema at AJV compile time).
+``patternProperties`` (and the other validation-only object/array
+keywords) ride the fallback tier too: validation has full fidelity, and
+the dynamic fields they admit are simply not surfaced as typed columns
+(the struct derives from static ``properties``; with none, the payload
+maps to ``map<string,string>``).  Keywords outside both tiers (external
+``$ref``, recursive refs) still raise at registration (fail-fast, like
+a bad schema at AJV compile time).
 """
 
 from __future__ import annotations
@@ -66,6 +70,12 @@ _FALLBACK_KEYWORDS = {
     "$ref", "$defs", "definitions", "$id", "allOf", "anyOf", "oneOf",
     "not", "format", "multipleOf", "uniqueItems", "dependencies",
     "dependentRequired", "dependentSchemas",
+    # validation-only object/array keywords: full fidelity via the
+    # jsonschema fallback; fields they admit beyond `properties` are
+    # validated but surface untyped (struct derives from `properties`,
+    # or a string->string map when no static properties exist)
+    "patternProperties", "propertyNames", "minProperties",
+    "maxProperties", "contains", "minContains", "maxContains",
 }
 
 _SCALAR_TYPES = {
@@ -247,7 +257,13 @@ def _walk_schema(doc: dict):
             for child in sub.values():
                 if isinstance(child, dict):
                     yield from _walk_schema(child)
-    for key in ("items", "not", "additionalProperties"):
+    sub = doc.get("patternProperties")
+    if isinstance(sub, dict):  # keys are REGEXES, values are schemas
+        for child in sub.values():
+            if isinstance(child, dict):
+                yield from _walk_schema(child)
+    for key in ("items", "not", "additionalProperties", "propertyNames",
+                "contains"):
         child = doc.get(key)
         if isinstance(child, dict):
             yield from _walk_schema(child)

@@ -36,7 +36,8 @@ def test_unsupported_keyword_fails_at_compile():
         "self": {"vendor": "v", "name": "n", "version": "1"},
         "type": "object",
         "properties": {"x": {"type": "string"}},
-        "patternProperties": {"^x-": {"type": "string"}},
+        "if": {"type": "object"},
+        "then": {"required": ["x"]},
     }
     with pytest.raises(UnsupportedSchemaError):
         compile_schema(bad)

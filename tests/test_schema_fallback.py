@@ -139,10 +139,52 @@ def test_keywords_outside_both_tiers_still_fail_fast():
         "self": {"vendor": VENDOR, "name": "pp", "version": "1-0-0"},
         "type": "object",
         "oneOf": [{"type": "object"}],
-        "patternProperties": {"^x-": {"type": "string"}},
+        "if": {"type": "object"},
+        "then": {"type": "object"},
     }
-    with pytest.raises(UnsupportedSchemaError, match="patternProperties"):
+    with pytest.raises(UnsupportedSchemaError, match="if"):
         compile_schema(doc)
+
+
+def test_pattern_properties_rides_the_fallback_tier(spark):
+    doc = {
+        "self": {"vendor": VENDOR, "name": "pp", "version": "1-0-0"},
+        "type": "object",
+        "required": ["schema"],
+        "properties": {"schema": {"type": "string"}},
+        "patternProperties": {"^x_": {"type": "integer"}},
+        "additionalProperties": False,
+    }
+    compiled = compile_schema(doc)
+    assert compiled.mode == "python"
+    # static properties stay typed; pattern-matched fields are validated
+    # (full jsonschema fidelity) but not surfaced as typed columns
+    assert compiled.struct.fieldNames() == ["schema"]
+    import jsonschema
+
+    clean = {k: v for k, v in doc.items() if k != "self"}
+    for obj in (
+        {"schema": "s", "x_a": 1},
+        {"schema": "s", "x_a": "not-an-int"},
+        {"schema": "s", "rogue": 1},
+        {"x_a": 2},
+    ):
+        assert jsonschema.validators.validator_for(clean)(clean).is_valid(
+            obj
+        ) == _fallback_verdict(compiled, obj)
+
+
+def _fallback_verdict(compiled, obj) -> bool:
+    # drive the SAME pandas-UDF validator body the engine ships, via a
+    # local pandas call (no Spark needed for a verdict check)
+    import json
+
+    import pandas as pd
+
+    from kinesis_handler_spark.routing.schema_compiler import _jsonschema_udf
+
+    udf = _jsonschema_udf(compiled.doc)
+    return bool(udf.func(pd.Series([json.dumps(obj)]))[0])
 
 
 def test_fallback_has_no_jvm_predicate(spark):
