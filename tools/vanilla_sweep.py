@@ -67,21 +67,15 @@ def main(sf_dir: str) -> int:
         except Exception as exc:  # noqa: BLE001 - per-query fault boundary
             failures[name] = f"{type(exc).__name__}: {exc}"[:300]
 
-    # Value check runs UNDER the hostile timezone: the column-local
+    # Value check runs UNDER hostile timezones: the column-local
     # normalization must be TZ-independent and match DuckDB exactly.
+    # Two zones on purpose — a whole-hour offset (DST-bearing) and a
+    # HALF-hour offset, which catches any normalization that is
+    # accidentally correct only modulo whole hours.
     ts_ok = False
     try:
         import duckdb
 
-        spark.conf.set("spark.sql.session.timeZone", hostile_tz)
-        got = (
-            table(spark, sf_dir, "events")
-            .orderBy("event_id")
-            .select(F.unix_micros("ts").alias("us"))
-            .limit(3)
-            .collect()
-        )
-        spark_us = [r["us"] for r in got]
         duck_us = [
             r[0]
             for r in duckdb.sql(
@@ -89,9 +83,22 @@ def main(sf_dir: str) -> int:
                 f"'{sf_dir}/events.parquet') ORDER BY event_id LIMIT 3"
             ).fetchall()
         ]
-        ts_ok = spark_us == duck_us
-        if not ts_ok:
-            failures["__ts_value__"] = f"spark={spark_us} duckdb={duck_us}"
+        ts_ok = True
+        for tz in (hostile_tz, "Asia/Kolkata"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = (
+                table(spark, sf_dir, "events")
+                .orderBy("event_id")
+                .select(F.unix_micros("ts").alias("us"))
+                .limit(3)
+                .collect()
+            )
+            spark_us = [r["us"] for r in got]
+            if spark_us != duck_us:
+                ts_ok = False
+                failures["__ts_value__"] = (
+                    f"tz={tz} spark={spark_us} duckdb={duck_us}"
+                )
     except Exception as exc:  # noqa: BLE001
         failures["__ts_value__"] = f"{type(exc).__name__}: {exc}"[:300]
 
