@@ -93,6 +93,8 @@ def test_jvm_only_queries_have_no_python_stage(spark, sf_dir):
         "embed_random_projection",  # JL sign-matrix GEMM (numpy via mapInPandas)
         "multimodal_decode_bmp",  # real numpy BMP decode (mapInPandas)
         "multimodal_decode_wav",  # real numpy WAV/PCM decode (mapInPandas)
+        "multimodal_decode_png",  # real stdlib-zlib PNG decode (mapInPandas)
+        "multimodal_resize",  # PNG decode + numpy box downsample (mapInPandas)
     }
     offenders = []
     for name in sorted(all_queries()):
