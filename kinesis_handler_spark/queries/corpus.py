@@ -203,3 +203,53 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n_distinct"),
         F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
     )
+
+
+@query(
+    "text_unigram_logloss",
+    oracle="""
+    WITH x AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    lm AS (
+      SELECT tok, COUNT(*) AS cnt FROM x GROUP BY 1
+    ),
+    n AS (SELECT SUM(cnt) AS total FROM lm)
+    SELECT x.doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_tokens,
+           ROUND(-SUM(log2(lm.cnt * 1.0 / n.total)) / COUNT(*), 6)
+             AS bits_per_token
+    FROM x JOIN lm ON lm.tok = x.tok, n
+    GROUP BY x.doc_id
+    """,
+)
+def text_unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM log-loss per document (bits/token) — the CCNet-style
+    language-model quality filter, simplified to the unigram case: fit
+    token probabilities on the WHOLE corpus (one aggregate), then score
+    each document by the mean negative log-probability of its tokens.
+    Documents far above the corpus norm are gibberish/noise; far below
+    are boilerplate — the two tails a RefinedWeb-style pipeline trims.
+    Distinct from `text_entropy` (doc-local distribution): this scores
+    each doc against the GLOBAL distribution.  Plan: token explode +
+    one (token) count aggregate (the "LM"), then a token-keyed join
+    back — the LM table is vocabulary-sized, so at 100 TB it broadcasts
+    (vocab ≪ corpus) and the scoring pass is map-side; the global
+    total is a one-row broadcast scalar.  Transcendental output
+    6-dp-rounded on both engines (`agg_stats_moments` precedent)."""
+    d = table(spark, sf_dir, "documents")
+    x = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    lm = x.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = lm.agg(F.sum("cnt").alias("total"))
+    p = F.col("cnt") * F.lit(1.0) / F.col("total")
+    return (
+        x.join(lm, "tok")
+        .crossJoin(total)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.round(-F.sum(F.log2(p)) / F.count(F.lit(1)), 6).alias(
+                "bits_per_token"
+            ),
+        )
+    )

@@ -168,6 +168,7 @@ def test_no_cartesian_product_outside_declared_brute_force(spark, sf_dir):
         "join_inactive_rich_customers",
         "agg_value_share",  # one-row global-revenue scalar (Q11 shape)
         "join_top_revenue_supplier",  # one-row MAX scalar (Q15 shape)
+        "text_unigram_logloss",  # one-row corpus-total scalar (LM norm)
     }
     offenders = []
     for name in sorted(all_queries()):
