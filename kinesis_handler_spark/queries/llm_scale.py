@@ -437,7 +437,7 @@ def _sim_ann_ivf_impl(
     spark: SparkSession, sf_dir: str, n_probe: int, top_k: int = 3
 ) -> DataFrame:
     """Shared IVF ANN pipeline — see ``sim_ann_ivf`` (cheap tier,
-    nprobe=5) and ``sim_ann_ivf_search`` (search tier, nprobe=12) for
+    nprobe=5) and ``sim_ann_ivf_search`` (search tier, nprobe=16) for
     the declared configs and the recall/cost trade they pin."""
     emb = table(spark, sf_dir, "embeddings")
     qv = emb.select("vec_id", _quantized().alias("qvec"))

@@ -307,7 +307,11 @@ def events_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"), "user_id"
     )
     daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
-    w = Window.orderBy("day").rowsBetween(-6, 0)
+    # RANGE over integer day numbers, not ROWS over existing rows: a
+    # calendar day with zero events would make a 7-ROW frame silently
+    # span MORE than 7 calendar days after the gap — the range frame
+    # keeps the trailing window exactly day-6..day regardless of gaps.
+    w = Window.orderBy(F.unix_date("day")).rangeBetween(-6, 0)
     return daily.select(
         "day",
         F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))

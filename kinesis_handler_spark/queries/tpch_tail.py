@@ -205,7 +205,7 @@ def join_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     The two aggregates share one shuffle lineage (per-(part,supplier)
     first, per-part second — the second input is the FIRST's output,
     never a fact re-scan), the part-name filter prunes before the
-    comparison, and 2·qty > total is exact DECIMAL
+    comparison, and 10·qty > total is exact DECIMAL
     cross-multiplication, no division."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity"

@@ -258,8 +258,20 @@ class RoutingEngine:
         data_invalid = F.lit(False)
         for sid, (compiled, _) in sorted(self._registry.items()):
             branch_event = F.from_json(F.col("payload"), compiled.struct)
+            # Gate the payload on the branch condition BEFORE it reaches
+            # the validator: Catalyst extracts pandas UDFs into an
+            # ArrowEvalPython node evaluated for EVERY row regardless of
+            # the enclosing conjunction, so a fallback-tier branch would
+            # otherwise pay json.loads + jsonschema for the whole batch
+            # even when it owns a sliver of it.  With the when(), rows
+            # outside the branch carry NULL payloads through the UDF —
+            # the Python side's null check skips them at ~zero cost.
+            # (The JVM fast path ignores the payload column entirely.)
+            gated_payload = F.when(
+                F.col("data_schema") == F.lit(sid), F.col("payload")
+            )
             branch_bad = (F.col("data_schema") == F.lit(sid)) & ~compiled.validate(
-                F.col("payload"), branch_event
+                gated_payload, branch_event
             )
             data_invalid = data_invalid | F.coalesce(branch_bad, F.lit(False))
         df = df.withColumn(

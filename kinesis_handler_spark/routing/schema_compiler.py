@@ -142,7 +142,15 @@ class CompiledSchema:
         document, not the struct projection)."""
         if self.mode == "jvm":
             return _predicate(self.doc, parsed_col, required=True)
-        return _jsonschema_udf(self.doc)(payload_col)
+        # Build the pandas UDF once per CompiledSchema (not once per
+        # micro-batch): process_batch calls validate() every batch, and
+        # a fresh UDF each time re-ships a new closure and re-pays
+        # plan-side setup.  Frozen dataclass => stash via object.__setattr__.
+        udf = getattr(self, "_py_udf", None)
+        if udf is None:
+            udf = _jsonschema_udf(self.doc)
+            object.__setattr__(self, "_py_udf", udf)
+        return udf(payload_col)
 
 
 def _check_keywords(doc: dict) -> None:
@@ -257,9 +265,17 @@ def _walk_schema(doc: dict):
             for child in sub.values():
                 if isinstance(child, dict):
                     yield from _walk_schema(child)
-    sub = doc.get("patternProperties")
-    if isinstance(sub, dict):  # keys are REGEXES, values are schemas
-        for child in sub.values():
+    for map_key in ("patternProperties", "dependencies", "dependentSchemas"):
+        sub = doc.get(map_key)
+        if isinstance(sub, dict):
+            # patternProperties keys are REGEXES; dependencies values may
+            # be property-name LISTS (skipped) or subschemas (walked)
+            for child in sub.values():
+                if isinstance(child, dict):
+                    yield from _walk_schema(child)
+    items = doc.get("items")
+    if isinstance(items, list):  # draft-4 tuple form: one schema per slot
+        for child in items:
             if isinstance(child, dict):
                 yield from _walk_schema(child)
     for key in ("items", "not", "additionalProperties", "propertyNames",
@@ -278,6 +294,8 @@ def _needs_fallback(doc: dict) -> bool:
         if set(node) & _FALLBACK_KEYWORDS:
             return True
         if isinstance(node.get("type"), list):  # union type, e.g. ["string","null"]
+            return True
+        if isinstance(node.get("items"), list):  # draft-4 tuple form
             return True
     return False
 
@@ -394,6 +412,15 @@ def _own_fallback_datatype(doc: dict, root: dict, stack: tuple) -> T.DataType:
         return T.StructType(fields)
     if jtype == "array":
         item_doc = doc.get("items", {"type": "string"})
+        if isinstance(item_doc, list):  # tuple form: merge the slots
+            slots = [
+                _fallback_datatype(d, root, stack)
+                for d in item_doc
+                if isinstance(d, dict)
+            ]
+            return T.ArrayType(
+                _merge_datatypes(slots) if slots else T.StringType()
+            )
         return T.ArrayType(_fallback_datatype(item_doc, root, stack))
     if jtype in _SCALAR_TYPES:
         return _SCALAR_TYPES[jtype]

@@ -44,7 +44,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       column-locally from its wall-clock fields (date / hour / minute /
       fractional second — all session-TZ-independent on NTZ inputs) into
       the TIMESTAMP whose ``unix_micros`` treats that wall clock as UTC.
-      No session conf is mutated.
+
+    Reading ``events`` ALSO pins the session timezone to UTC (loud
+    RuntimeError if that fails): Spark evaluates ``to_date`` /
+    ``date_trunc`` / ``window`` over TIMESTAMP in the session zone, so
+    without the pin every wall-clock derivation would silently shift
+    under a non-UTC driver session even though the underlying instants
+    are exact.  See the inline comment for the two-layer rationale.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -55,6 +61,31 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:  # noqa: BLE001 - leave read to fail with real error
             pass
+        # Two independent determinism layers for events.ts:
+        #   1. the VALUE layer below rebuilds the instant column-locally
+        #      from wall-clock fields, so unix_micros(ts) is bit-stable
+        #      under any session timezone with no conf dependence;
+        #   2. this WALL-CLOCK layer pins the session timezone to UTC so
+        #      downstream derivations (to_date, date_trunc, window,
+        #      session_window — which Spark evaluates in the SESSION
+        #      zone) match DuckDB's naive-timestamp semantics too.
+        # Layer 2 is a session-wide side effect by necessity: those
+        # functions have no per-column timezone override.  Removing it
+        # (round-5 first attempt) kept unix_micros green but made every
+        # to_date/date_trunc events query silently TZ-dependent — the
+        # exact wrong-but-plausible failure class of rounds 2-3; the
+        # vanilla sweep now value-checks a to_date rollup under hostile
+        # zones so this cannot regress unnoticed.
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:  # noqa: BLE001 - checked below
+            pass
+        if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+            raise RuntimeError(
+                "events wall-clock determinism requires a UTC session "
+                "timezone and it could not be set; refusing to produce "
+                "TZ-shifted date buckets"
+            )
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")

@@ -272,3 +272,38 @@ def test_jvm_only_engine_plan_has_no_python_stage(spark):
         enriched._jdf.queryExecution(), "simple"
     )
     assert "EvalPython" not in plan and "Pandas" not in plan
+
+
+def test_nested_keyword_check_reaches_dependencies_and_tuple_items():
+    # review finding (round 5): keywords hidden under dependencies /
+    # dependentSchemas values or draft-4 tuple-form items must still be
+    # screened at registration - an external $ref there previously
+    # slipped past the fail-fast and exploded per-record at runtime.
+    base = {"self": {"vendor": VENDOR, "name": "dep", "version": "1-0-0"},
+            "type": "object"}
+    with pytest.raises(UnsupportedSchemaError, match="external|intra"):
+        compile_schema({
+            **base,
+            "dependencies": {"a": {"$ref": "https://example.com/ext.json"}},
+        })
+    with pytest.raises(UnsupportedSchemaError, match="external|intra"):
+        compile_schema({
+            **base,
+            "properties": {
+                "xs": {"type": "array",
+                       "items": [{"$ref": "https://example.com/e.json"}]},
+            },
+        })
+    # benign forms of the same shapes compile to the fallback tier with
+    # a usable struct (tuple items merge into one element type)
+    ok = compile_schema({
+        **base,
+        "properties": {
+            "xs": {"type": "array",
+                   "items": [{"type": "integer"}, {"type": "integer"}]},
+            "flag": {"type": "string"},
+        },
+        "dependencies": {"flag": ["xs"]},
+    })
+    assert ok.mode == "python"
+    assert ok.struct["xs"].dataType.simpleString() == "array<bigint>"

@@ -201,3 +201,47 @@ def test_rolling_distinct_hll_tracks_exact(spark, sf_dir):
     for day, e in est.items():
         x = exact[day]
         assert abs(e - x) <= max(2, 0.05 * x), (day, e, x)
+
+
+def test_rolling_distinct_hll_survives_day_gaps(spark, sf_dir):
+    # review finding (round 5): a ROWS frame over existing days widens
+    # silently when a calendar day has zero events; the RANGE frame
+    # must keep the trailing window at exactly day-6..day.  Simulate a
+    # gap by dropping one mid-month day, then compare tiers.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kinesis_handler_spark.tables import table
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .filter(F.dayofmonth("day") != 15)
+    )
+    daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    w = Window.orderBy(F.unix_date("day")).rangeBetween(-6, 0)
+    est = {
+        r["day"]: r["e"]
+        for r in daily.select(
+            "day",
+            F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
+            .cast("bigint")
+            .alias("e"),
+        ).collect()
+    }
+    exact = {
+        r["day"]: r["x"]
+        for r in ev.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add("day", 6))
+            ).alias("day"),
+            "user_id",
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("x"))
+        .collect()
+    }
+    assert est
+    for day, e in est.items():
+        x = exact[day]
+        assert abs(e - x) <= max(2, 0.05 * x), (day, e, x)

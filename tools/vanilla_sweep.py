@@ -52,11 +52,11 @@ def main(sf_dir: str) -> int:
 
     failures: dict[str, str] = {}
 
-    # NOTE on hostile-TZ coverage: tables.table no longer mutates the
-    # session timezone (the NTZ normalization is column-local), but the
-    # hostile zone is still re-asserted before every query so a future
-    # regression that sneaks a conf mutation back in cannot neutralize
-    # the sweep for everything after it.
+    # NOTE on hostile-TZ coverage: reading the events table pins the
+    # session timezone to UTC (tables.table wall-clock layer), so the
+    # hostile zone is RE-ASSERTED before every query — otherwise the
+    # first events reader would neutralize the sweep for everything
+    # after it.
     hostile_tz = "America/New_York"
 
     qs = all_queries()
@@ -83,12 +83,19 @@ def main(sf_dir: str) -> int:
                 f"'{sf_dir}/events.parquet') ORDER BY event_id LIMIT 3"
             ).fetchall()
         ]
+        # wall-clock reference: DuckDB's naive-timestamp date buckets
+        duck_days = dict(
+            duckdb.sql(
+                "SELECT CAST(ts AS DATE), COUNT(*) FROM read_parquet("
+                f"'{sf_dir}/events.parquet') GROUP BY 1"
+            ).fetchall()
+        )
         ts_ok = True
         for tz in (hostile_tz, "Asia/Kolkata"):
             spark.conf.set("spark.sql.session.timeZone", tz)
+            ev = table(spark, sf_dir, "events")
             got = (
-                table(spark, sf_dir, "events")
-                .orderBy("event_id")
+                ev.orderBy("event_id")
                 .select(F.unix_micros("ts").alias("us"))
                 .limit(3)
                 .collect()
@@ -99,6 +106,25 @@ def main(sf_dir: str) -> int:
                 failures["__ts_value__"] = (
                     f"tz={tz} spark={spark_us} duckdb={duck_us}"
                 )
+            # WALL-CLOCK layer: to_date buckets must match DuckDB too —
+            # this is the check that catches a removed UTC pin even
+            # when the instants themselves are exact (review finding,
+            # round 5: to_date shifted a day under America/New_York).
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            ev2 = table(spark, sf_dir, "events")
+            spark_days = {
+                r["d"]: r["n"]
+                for r in ev2.groupBy(F.to_date("ts").alias("d"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            if spark_days != duck_days:
+                ts_ok = False
+                diff = {
+                    k: (spark_days.get(k), duck_days.get(k))
+                    for k in set(spark_days) ^ set(duck_days)
+                } or "count mismatch"
+                failures["__ts_wallclock__"] = f"tz={tz} {diff}"[:300]
     except Exception as exc:  # noqa: BLE001
         failures["__ts_value__"] = f"{type(exc).__name__}: {exc}"[:300]
 
