@@ -58,10 +58,26 @@ FEATURE_SCHEMA = (
 
 
 def _decode_stub(content: bytes, mime: str, fake: bool) -> list[float]:
-    """Codec boundary.  Real decoders (PIL, libav) are not available in
-    this container; ``fake=True`` substitutes a deterministic stand-in
-    (first-16-bytes histogram of the sha256) so pipelines are testable.
-    """
+    """Codec boundary.  Formats the in-repo codecs cover decode for REAL
+    regardless of ``fake``: PNG (stdlib zlib, `decode_png`), BMP and
+    RIFF/WAVE (numpy) — the feature is the normalized per-channel mean
+    (images) or normalized mean |amplitude| (audio).  For everything
+    else (JPEG-class: DCT + Huffman) real decoders (PIL, libav) are not
+    available in this container; ``fake=True`` substitutes a
+    deterministic stand-in (first-16-bytes histogram of the sha256) so
+    pipelines stay testable, and ``fake=False`` raises (dead-letter
+    contract)."""
+    if mime == "image/png" and content[:8] == b"\x89PNG\r\n\x1a\n":
+        _w, _h, _ct, px = decode_png(content)
+        return [float(px[:, :, c].mean()) / 255.0 for c in range(3)]
+    if mime == "image/bmp" and content[:2] == b"BM":
+        _w, _h, _bpp, px = decode_bmp(content)
+        return [float(px[:, :, c].mean()) / 255.0 for c in range(3)]
+    if mime == "audio/wav" and content[:4] == b"RIFF":
+        _rate, _ch, samples = decode_wav(content)
+        import numpy as np
+
+        return [float(np.abs(samples.astype(np.int64)).mean()) / 32768.0]
     if not fake:
         raise NotImplementedError(
             f"no codec for {mime!r} in this environment; pass fake=True "

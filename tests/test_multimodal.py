@@ -203,3 +203,55 @@ def test_png_decode_rejects_corruption(spark, sf_dir):
         decode_png(bytes(corrupted))
     with _pytest.raises(ValueError, match="truncated|missing"):
         decode_png(bytes(blob[:40]))
+
+
+def test_decode_and_featurize_real_png_no_fake(spark, sf_dir):
+    # the generic codec boundary now really decodes PNG (stdlib zlib):
+    # fake=False must succeed for PNG media and the feature must be the
+    # true per-channel mean, not the sha256 stand-in
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kinesis_handler_spark.io.multimodal import (
+        decode_and_featurize,
+        decode_png,
+        make_png_media_df,
+    )
+
+    media = make_png_media_df(spark, sf_dir).limit(3).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.lit(12).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ),
+    )
+    rows = {r["media_id"]: r for r in decode_and_featurize(media, fake=False).collect()}
+    raw = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    for mid, r in rows.items():
+        _w, _h, _ct, px = decode_png(raw[mid])
+        expect = [float(px[:, :, c].mean()) / 255.0 for c in range(3)]
+        assert np.allclose(r["feature"], expect)
+
+
+def test_decode_and_featurize_unknown_mime_still_gates(spark, sf_dir):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from kinesis_handler_spark.io.multimodal import (
+        decode_and_featurize,
+        make_png_media_df,
+    )
+
+    media = make_png_media_df(spark, sf_dir).limit(1).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ),
+    )
+    with _pytest.raises(Exception, match="no codec for 'image/jpeg'"):
+        decode_and_featurize(media, fake=False).collect()
