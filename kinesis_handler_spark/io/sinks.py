@@ -64,12 +64,16 @@ class ParquetChannelSinks:
     def routed(self, schema_id: str, df: DataFrame, batch_id: int) -> None:
         # `event` is a per-schema struct — flatten for a stable, readable
         # columnar layout (struct columns parquet-encode fine, but flat
-        # columns make the routed table directly queryable).
-        flat = df.select(
-            *[c for c in df.columns if c != "event"], F.col("event.data.*")
-        )
+        # columns make the routed table directly queryable).  A handler
+        # is allowed to AGGREGATE and drop the event column entirely
+        # (engine contract); such frames are written as-is.
+        if "event" in df.columns:
+            df = df.select(
+                *[c for c in df.columns if c != "event"],
+                F.col("event.data.*"),
+            )
         _write_batch(
-            flat, batch_id, os.path.join(self.base_dir, "routed", _sanitize(schema_id))
+            df, batch_id, os.path.join(self.base_dir, "routed", _sanitize(schema_id))
         )
 
     def dead_letter(self, df: DataFrame, batch_id: int) -> None:

@@ -61,7 +61,11 @@ def kinesis_source_options(
 
 
 def kinesis_stream(
-    spark: SparkSession, stream_name: str, region: str, **kwargs
+    spark: SparkSession,
+    stream_name: str,
+    region: str,
+    account_id: str = "000000000000",
+    **kwargs,
 ) -> DataFrame:
     """Production Kinesis source → envelope-shaped stream.
 
@@ -76,13 +80,23 @@ def kinesis_stream(
             .options(**kinesis_source_options(stream_name, region, **kwargs))
             .load()
         )
-    except Exception as exc:  # connector jar absent in this container
-        raise RuntimeError(
-            "Kinesis connector not available: add the public "
-            "spark-sql-kinesis-connector jar (format 'aws-kinesis') to "
-            "spark.jars.packages, or use envelope_json_stream / "
-            "rate_envelope_stream for local runs"
-        ) from exc
+    except Exception as exc:
+        # Rewrite ONLY the missing-jar failure; a bad option or endpoint
+        # must surface as itself, or operators debug the classpath
+        # instead of their config.
+        msg = str(exc)
+        if (
+            "Failed to find data source" in msg
+            or "ClassNotFoundException" in msg
+            or "DATA_SOURCE_NOT_FOUND" in msg
+        ):
+            raise RuntimeError(
+                "Kinesis connector not available: add the public "
+                "spark-sql-kinesis-connector jar (format 'aws-kinesis') to "
+                "spark.jars.packages, or use envelope_json_stream / "
+                "rate_envelope_stream for local runs"
+            ) from exc
+        raise
     return raw.select(
         F.col("partitionKey"),
         F.col("sequenceNumber"),
@@ -90,9 +104,14 @@ def kinesis_stream(
         F.col("approximateArrivalTimestamp"),
         F.concat_ws(":", F.col("shardId"), F.col("sequenceNumber")).alias("eventID"),
         F.lit("aws:kinesis").alias("eventSource"),
+        # full 6-part ARN (region:account:stream/name) — the connector
+        # doesn't surface the account, so callers pass account_id; a
+        # 5-part ARN would shift fields for any consumer splitting on ':'
         F.concat(
             F.lit("arn:aws:kinesis:"),
             F.lit(region),
+            F.lit(":"),
+            F.lit(account_id),
             F.lit(":stream/"),
             F.col("streamName"),
         ).alias("eventSourceARN"),

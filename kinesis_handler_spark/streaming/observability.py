@@ -10,6 +10,7 @@ query state from tests or ops tooling instead of scraping logs.
 
 from __future__ import annotations
 
+from collections import deque
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -28,8 +29,12 @@ class RoutingMetricsListener(StreamingQueryListener):
     """Collects per-batch completion metrics (the engine's replacement
     for the reference's `console.log` batch accounting)."""
 
-    def __init__(self) -> None:
-        self.batches: list[BatchMetrics] = []
+    def __init__(self, max_batches: int = 1000) -> None:
+        # Ring buffer, not a list: a 24/7 stream triggering every few
+        # seconds would otherwise grow driver memory without bound.  The
+        # cap keeps the recent window for ops tooling; long-horizon
+        # accounting belongs in a metrics sink, not the listener.
+        self.batches: deque[BatchMetrics] = deque(maxlen=max_batches)
         self.terminated: list[str] = []
 
     # StreamingQueryListener interface ---------------------------------

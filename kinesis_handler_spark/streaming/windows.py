@@ -131,7 +131,10 @@ def stateful_running_totals(
     (the engine's analogue of the reference's per-key handler state in
     ordered mode, R16).  Emits one row per key per micro-batch."""
 
-    output_schema = f"{key_col} long, n_events long, total_value double"
+    # key type derived from the input frame — a hardcoded 'long' would
+    # fail Arrow conversion for string/other keys at runtime
+    key_type = df.schema[key_col].dataType.simpleString()
+    output_schema = f"{key_col} {key_type}, n_events long, total_value double"
     state_schema = "n long, total double"
 
     def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
@@ -159,9 +162,17 @@ class _UserSessionStats(StatefulProcessor):
     TTL, so abandoned keys age out of the state store without a custom
     timeout loop (state hygiene the GroupState API leaves to the user)."""
 
-    def __init__(self, value_col: str, ttl_ms: int | None):
+    def __init__(
+        self,
+        value_col: str,
+        ttl_ms: int | None,
+        key_col: str = "user_id",
+        ts_col: str = "ts",
+    ):
         self._value_col = value_col
         self._ttl_ms = ttl_ms
+        self._key_col = key_col
+        self._ts_col = ts_col
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._state = handle.getValueState(
@@ -176,7 +187,7 @@ class _UserSessionStats(StatefulProcessor):
         else:
             first_us, last_us, n, total = None, None, 0, 0.0
         for pdf in rows:
-            ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
+            ts_us = pdf[self._ts_col].astype("int64") // 1000  # ns → µs
             lo, hi = int(ts_us.min()), int(ts_us.max())
             first_us = lo if first_us is None else min(first_us, lo)
             last_us = hi if last_us is None else max(last_us, hi)
@@ -185,7 +196,7 @@ class _UserSessionStats(StatefulProcessor):
         self._state.update((first_us, last_us, n, total))
         yield pd.DataFrame(
             {
-                "user_id": [key[0]],
+                self._key_col: [key[0]],
                 "first_us": [first_us],
                 "last_us": [last_us],
                 "n_events": [n],
@@ -201,6 +212,7 @@ def stateful_user_stats_tws(
     df: DataFrame,
     key_col: str = "user_id",
     value_col: str = "value",
+    ts_col: str = "ts",
     state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Per-key running stats on the ``transformWithStateInPandas`` API
@@ -214,12 +226,15 @@ def stateful_user_stats_tws(
     the ``protobuf`` package; where absent (this container), the query
     fails at stream start — the pytest gate importorskips accordingly.
     """
+    key_type = df.schema[key_col].dataType.simpleString()
     output_schema = (
-        f"{key_col} long, first_us long, last_us long, "
+        f"{key_col} {key_type}, first_us long, last_us long, "
         "n_events long, total_value double"
     )
     return df.groupBy(key_col).transformWithStateInPandas(
-        statefulProcessor=_UserSessionStats(value_col, state_ttl_ms),
+        statefulProcessor=_UserSessionStats(
+            value_col, state_ttl_ms, key_col=key_col, ts_col=ts_col
+        ),
         outputStructType=output_schema,
         outputMode="Update",
         timeMode="ProcessingTime" if state_ttl_ms else "None",

@@ -40,8 +40,13 @@ def test_decode_and_featurize_fake(spark, sf_dir):
 
 
 def test_real_decode_is_explicitly_stubbed():
+    # JPEG-class mimes remain stub-gated...
     with pytest.raises(NotImplementedError, match="no codec"):
-        _decode_stub(b"\x89PNG", "image/png", fake=False)
+        _decode_stub(b"\xff\xd8\xff", "image/jpeg", fake=False)
+    # ...while a decodable mime with corrupt bytes is a DATA error
+    # (dead-letter ValueError), never silently faked
+    with pytest.raises(ValueError, match="not a PNG"):
+        _decode_stub(b"\x89PNG", "image/png", fake=True)
 
 
 def test_envelope_schema_fields():
@@ -103,8 +108,9 @@ def test_codec_boundary_raises_without_fake(spark, sf_dir):
     from kinesis_handler_spark.io.multimodal import make_multimodal_df, resize_media
 
     mm = make_multimodal_df(spark, sf_dir).limit(1)
-    with pytest.raises(Exception, match="no image codec"):
-        resize_media(mm, 4, 4, fake=False).collect()
+    # fail-fast is DRIVER-side now: the error surfaces before any job runs
+    with pytest.raises(NotImplementedError, match="no real codec path"):
+        resize_media(mm, 4, 4, fake=False)
 
 
 def test_decode_bmp_roundtrip_and_dead_letter(spark, sf_dir):
