@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_handler_spark.functions.text import word_ngrams
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
 
@@ -115,19 +116,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         base.select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - 5),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(F.col("t"), i + 1),
-                        F.element_at(F.col("t"), i + 2),
-                        F.element_at(F.col("t"), i + 3),
-                        F.element_at(F.col("t"), i + 4),
-                        F.element_at(F.col("t"), i + 5),
-                    ),
-                )
-            ).alias("shingle"),
+            F.explode(word_ngrams("t", 5)).alias("shingle"),
         )
         .distinct()
         # the shingle table feeds both the benchmark and corpus sides —

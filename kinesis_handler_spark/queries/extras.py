@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from kinesis_handler_spark.functions.numeric import dec, dec_sum
 from kinesis_handler_spark.queries.llm import _quantized
+from kinesis_handler_spark.functions.text import word_ngrams
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
 
@@ -211,16 +212,7 @@ def text_ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("t") >= 2)
         .select(
             "lang",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(F.col("t"), i + 1),
-                        F.element_at(F.col("t"), i + 2),
-                    ),
-                )
-            ).alias("bigram"),
+            F.explode(word_ngrams("t", 2)).alias("bigram"),
         )
         .groupBy("lang", "bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kinesis_handler_spark.functions.text import normalize_text, word_ngrams
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
 
@@ -284,7 +285,12 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pair_frame(spark, sf_dir)
 
 
-_PAIR_CACHE: dict[tuple[int, str], DataFrame] = {}
+#: Keyed by (applicationId, sf_dir) — the raw id string, not its hash
+#: (a hash collision between two sessions would serve a frame bound to
+#: a stopped session).  Bounded in practice by one live session per
+#: process × a handful of sf dirs; entries from stopped sessions are
+#: evicted on the next lookup.
+_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _jaccard_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,7 +312,12 @@ def _jaccard_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's run shape and for pytest).  A pipeline that REWRITES its
     corpus mid-session must drop the entry (or start a new session),
     else the pair index serves pre-rewrite candidates."""
-    key = (hash(spark.sparkContext.applicationId), sf_dir)
+    app_id = spark.sparkContext.applicationId
+    # evict frames from sessions that no longer exist (dead sessions
+    # would otherwise pin DataFrames for the life of the process)
+    for k in [k for k in _PAIR_CACHE if k[0] != app_id]:
+        del _PAIR_CACHE[k]
+    key = (app_id, sf_dir)
     cached = _PAIR_CACHE.get(key)
     if cached is not None:
         return cached
@@ -317,17 +328,7 @@ def _jaccard_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("t") >= 3)
         .select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - 3),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(F.col("t"), i + 1),
-                        F.element_at(F.col("t"), i + 2),
-                        F.element_at(F.col("t"), i + 3),
-                    ),
-                )
-            ).alias("shingle"),
+            F.explode(word_ngrams("t", 3)).alias("shingle"),
         )
         .distinct()
         # The shingle table feeds FOUR consumers (both self-join sides +
@@ -382,17 +383,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("t") >= 3)
         .select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - 3),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(F.col("t"), i + 1),
-                        F.element_at(F.col("t"), i + 2),
-                        F.element_at(F.col("t"), i + 3),
-                    ),
-                )
-            ).alias("shingle"),
+            F.explode(word_ngrams("t", 3)).alias("shingle"),
         )
         .distinct()
     )
@@ -650,13 +641,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's 'g' flag; the character class is ASCII-only so both
     engines agree on case mapping."""
     d = table(spark, sf_dir, "documents")
-    ntext = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
-            " +",
-            " ",
-        )
-    )
+    ntext = normalize_text("text")
     return d.select(
         "doc_id",
         "lang",
@@ -789,6 +774,18 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if changed == 0:
             break
+    else:
+        # Cap exhausted without convergence: returning the current labels
+        # would be SILENTLY WRONG (far ends of long chains still carry
+        # non-minimal component ids and keep-min dedup keeps duplicates).
+        # Fail loudly like functions/graph.py does; chains deeper than
+        # 4 + 25×2 hops should use star_connected_components (O(log n)
+        # rounds) instead of label propagation.
+        raise RuntimeError(
+            "dedup_components: label propagation did not converge within "
+            "the round cap; use functions.graph.star_connected_components "
+            "for pathological chain-shaped near-dup graphs"
+        )
     wc = Window.partitionBy("component_id")
     return labels.select(
         "doc_id", F.col("label").alias("component_id")

@@ -237,7 +237,12 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hyperplane matrix: ±1 entries from a FIXED-seed PRNG.  The
     # hyperplanes are broadcast index data, not engine expressions, so
     # they only need run-to-run determinism — no Spark job required.
-    dim = len(qv.select("qvec").first()["qvec"])
+    first = qv.select("qvec").first()
+    if first is None:  # empty corpus: degrade to an empty pair frame
+        return spark.createDataFrame(
+            [], "id_a BIGINT, id_b BIGINT, cosine DOUBLE"
+        )
+    dim = len(first["qvec"])
     rng = np.random.RandomState(0xC0FFEE)
     hyper = rng.choice(
         np.array([-1.0, 1.0]), size=(n_tables * n_bits, dim)

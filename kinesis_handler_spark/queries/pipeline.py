@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kinesis_handler_spark.functions.text import normalize_text
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
 
@@ -452,13 +453,7 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").filter(
         F.col("lang").isin("en", "de")
     )
-    ntext = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
-            " +",
-            " ",
-        )
-    )
+    ntext = normalize_text("text")
     norm = d.select("doc_id", "lang", ntext.alias("ntext"))
     quality = norm.filter(F.size(F.split("ntext", " ")) >= 20)
     w = Window.partitionBy("ntext").orderBy("doc_id")

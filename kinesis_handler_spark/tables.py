@@ -45,15 +45,32 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       fractional second — all session-TZ-independent on NTZ inputs) into
       the TIMESTAMP whose ``unix_micros`` treats that wall clock as UTC.
 
-    Reading ``events`` ALSO pins the session timezone to UTC (loud
-    RuntimeError if that fails): Spark evaluates ``to_date`` /
-    ``date_trunc`` / ``window`` over TIMESTAMP in the session zone, so
-    without the pin every wall-clock derivation would silently shift
-    under a non-UTC driver session even though the underlying instants
-    are exact.  See the inline comment for the two-layer rationale.
+    EVERY table load also pins the session timezone to UTC (loud
+    RuntimeError if that fails) — not just events: ``o_orderdate`` and
+    ``l_shipdate`` are parquet timestamp[us]-no-tz too, Spark coerces
+    TIMESTAMP_NTZ through the SESSION zone the moment an expression
+    needs a TIMESTAMP (``date_trunc``, ``to_date``, ``window``...), and
+    a non-UTC driver session would silently shift every wall-clock
+    derivation (confirmed by review repro: ``date_trunc('month',
+    o_orderdate)`` lands at 04:00 under America/New_York).  The pin is
+    a session-wide side effect by necessity — those functions have no
+    per-column timezone override — and the vanilla sweep value-checks
+    wall-clock rollups of both events and orders under hostile zones so
+    its removal cannot regress unnoticed (round-5 tried; it did).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # WALL-CLOCK determinism layer (all tables): see docstring.
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # noqa: BLE001 - checked below
+        pass
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        raise RuntimeError(
+            "wall-clock determinism requires a UTC session timezone and "
+            "it could not be set; refusing to produce TZ-shifted date "
+            "buckets"
+        )
     if name == "events":
         # Defensive: the driver may hand us a session built without this
         # config; it is runtime-settable.
@@ -61,31 +78,6 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:  # noqa: BLE001 - leave read to fail with real error
             pass
-        # Two independent determinism layers for events.ts:
-        #   1. the VALUE layer below rebuilds the instant column-locally
-        #      from wall-clock fields, so unix_micros(ts) is bit-stable
-        #      under any session timezone with no conf dependence;
-        #   2. this WALL-CLOCK layer pins the session timezone to UTC so
-        #      downstream derivations (to_date, date_trunc, window,
-        #      session_window — which Spark evaluates in the SESSION
-        #      zone) match DuckDB's naive-timestamp semantics too.
-        # Layer 2 is a session-wide side effect by necessity: those
-        # functions have no per-column timezone override.  Removing it
-        # (round-5 first attempt) kept unix_micros green but made every
-        # to_date/date_trunc events query silently TZ-dependent — the
-        # exact wrong-but-plausible failure class of rounds 2-3; the
-        # vanilla sweep now value-checks a to_date rollup under hostile
-        # zones so this cannot regress unnoticed.
-        try:
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-        except Exception:  # noqa: BLE001 - checked below
-            pass
-        if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
-            raise RuntimeError(
-                "events wall-clock determinism requires a UTC session "
-                "timezone and it could not be set; refusing to produce "
-                "TZ-shifted date buckets"
-            )
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
@@ -93,17 +85,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             # Fixtures written as parquet timestamp[us] WITHOUT a timezone
-            # read as TIMESTAMP_NTZ, which unix_micros() rejects.  A plain
-            # NTZ->TIMESTAMP cast interprets the wall clock in the SESSION
-            # timezone, so earlier revisions pinned the session TZ to UTC
-            # here — a global mutation hidden inside a read.  Instead,
-            # rebuild the instant column-locally: every term below is a
-            # wall-clock FIELD extraction, which on NTZ inputs is
-            # session-TZ-independent by definition, and extract(SECOND)
-            # carries the fractional part exactly (DECIMAL(8,6), ×1e6 is
-            # exact for micro-precision fixtures).  unix_micros of the
-            # rebuilt column is bit-identical to DuckDB's epoch_us under
-            # ANY host/session timezone, with no conf touched.
+            # read as TIMESTAMP_NTZ, which unix_micros() rejects.  VALUE
+            # determinism layer: rebuild the instant column-locally —
+            # every term below is a wall-clock FIELD extraction, which on
+            # NTZ inputs is session-TZ-independent by definition, and
+            # extract(SECOND) carries the fractional part exactly
+            # (DECIMAL(8,6), ×1e6 is exact for micro-precision fixtures).
+            # unix_micros of the rebuilt column is bit-identical to
+            # DuckDB's epoch_us under ANY session timezone, independently
+            # of the UTC pin above (belt and suspenders: the pin protects
+            # wall-clock DERIVATIONS, this protects the instants).
             micros = (
                 F.unix_date(F.col("ts").cast("date")).cast("long")
                 * F.lit(86_400_000_000)

@@ -125,6 +125,38 @@ def main(sf_dir: str) -> int:
                     for k in set(spark_days) ^ set(duck_days)
                 } or "count mismatch"
                 failures["__ts_wallclock__"] = f"tz={tz} {diff}"[:300]
+            # Orders wall-clock too: o_orderdate is ALSO timestamp-no-tz,
+            # and date_trunc coerces NTZ through the session zone — the
+            # round-5 review repro'd a +04:00 shift on scalar_date when
+            # only events was pinned.  This check fails if table()'s UTC
+            # pin ever stops covering non-events tables.
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            om = table(spark, sf_dir, "orders")
+            # normalize to YYYY-MM-DD: DuckDB's date_trunc returns DATE
+            # while Spark returns TIMESTAMP at midnight — same instant,
+            # different repr.  A TZ shift moves the DATE itself, which
+            # is what this check watches.
+            spark_months = {
+                str(r["m"])[:10]: r["n"]
+                for r in om.groupBy(
+                    F.date_trunc("month", "o_orderdate").alias("m")
+                )
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            duck_months = {
+                str(k)[:10]: v
+                for k, v in duckdb.sql(
+                    "SELECT date_trunc('month', o_orderdate), COUNT(*) "
+                    f"FROM read_parquet('{sf_dir}/orders.parquet') GROUP BY 1"
+                ).fetchall()
+            }
+            if spark_months != duck_months:
+                ts_ok = False
+                failures["__orders_wallclock__"] = (
+                    f"tz={tz} spark={sorted(spark_months)[:2]} "
+                    f"duck={sorted(duck_months)[:2]}"
+                )[:300]
     except Exception as exc:  # noqa: BLE001
         failures["__ts_value__"] = f"{type(exc).__name__}: {exc}"[:300]
 
