@@ -58,8 +58,6 @@ ENVELOPE_SCHEMA = T.StructType(
     ]
 )
 
-_ENVELOPE_COLS = [f.name for f in ENVELOPE_SCHEMA.fields]
-
 # Dead-letter reason taxonomy — one reason per reference bad-message class.
 REASON_MISSING_DATA = "missing-data"          # :163-166,181-183
 REASON_BAD_BASE64 = "undecodable-base64"      # :169 failure
@@ -113,6 +111,12 @@ class RoutingResult:
         unknown_pred = F.col("data_schema").isNull()
         if registered:
             unknown_pred = unknown_pred | ~F.col("data_schema").isin(registered)
+        else:
+            # parity with process_batch: with nothing registered, every
+            # VALID record is channel `unknown` — otherwise a valid row
+            # with a data_schema would be counted under routed.<sid> and
+            # silently dropped from the output dict (sum != batch size)
+            unknown_pred = F.lit(True)
         channel = (
             F.when(
                 F.col("reason").isNotNull(),
@@ -175,19 +179,25 @@ class RoutingEngine:
         compiled = compile_schema(schema)
         if not callable(handler):
             raise TypeError("handler must be callable")
-        params = [
+        sig = inspect.signature(handler)
+        positional = [
             p
-            for p in inspect.signature(handler).parameters.values()
+            for p in sig.parameters.values()
             if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
-            and p.default is p.empty
         ]
-        if len(params) != 1 and not any(
-            p.kind == p.VAR_POSITIONAL
-            for p in inspect.signature(handler).parameters.values()
-        ):
+        required = [p for p in positional if p.default is p.empty]
+        accepts_one = (
+            any(p.kind == p.VAR_POSITIONAL for p in sig.parameters.values())
+            # exactly one required positional, or zero required but at
+            # least one default-valued slot (def handler(df=None) is a
+            # callable accepting one DataFrame)
+            or len(required) == 1
+            or (len(required) == 0 and len(positional) >= 1)
+        )
+        if not accepts_one:
             raise TypeError(
                 f"handler for {compiled.schema_id} must accept exactly one "
-                f"DataFrame argument (got {len(params)} required params)"
+                f"DataFrame argument (got {len(required)} required params)"
             )
         self._registry[compiled.schema_id] = (compiled, handler)
         return self
@@ -218,8 +228,20 @@ class RoutingEngine:
             # R7: user hook reshapes the payload with envelope fields in
             # scope; it must return a DataFrame retaining `payload`.
             df = self.transformer(df)
-            if "payload" not in df.columns:
-                raise ValueError("transformer must keep a 'payload' column")
+            # the reason chain downstream also reads `data` and the
+            # internal `_payload_bytes`; a transformer that selects only
+            # `payload` would otherwise crash later with an
+            # UNRESOLVED_COLUMN naming a private column it never saw
+            missing = [
+                c for c in ("payload", "data", "_payload_bytes")
+                if c not in df.columns
+            ]
+            if missing:
+                raise ValueError(
+                    "transformer must keep the columns "
+                    f"{missing} (reshape the payload, don't project "
+                    "them away)"
+                )
 
         parsed = F.try_parse_json(F.col("payload"))
         env_struct = F.from_json(F.col("payload"), self.envelope.struct)
@@ -302,6 +324,16 @@ class RoutingEngine:
         enriched = self._enrich(records)
         if cache:
             enriched = enriched.persist()
+        try:
+            return self._build_result(records, enriched, cache)
+        except Exception:
+            if cache:
+                enriched.unpersist()  # handler raised: don't leak the cache
+            raise
+
+    def _build_result(
+        self, records: DataFrame, enriched: DataFrame, cache: bool
+    ) -> RoutingResult:
         is_bad = F.col("reason").isNotNull()
         registered = list(self._registry)
 
@@ -451,6 +483,15 @@ class RoutingEngine:
         each key's records as one ordered pandas DataFrame."""
 
         def _sorted_apply(pdf):
-            return fn(pdf.sort_values(order_col, kind="mergesort"))
+            key = pdf[order_col]
+            try:
+                # Kinesis sequence numbers are decimal strings compared
+                # NUMERICALLY (AWS contract); lexicographic order breaks
+                # the guarantee when digit counts differ ('100' < '99')
+                key = key.map(int)
+            except (TypeError, ValueError):
+                pass  # non-numeric order column: natural ordering
+            order = key.sort_values(kind="mergesort").index
+            return fn(pdf.loc[order])
 
         return records.groupBy(key_col).applyInPandas(_sorted_apply, output_schema)

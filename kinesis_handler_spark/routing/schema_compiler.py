@@ -189,14 +189,29 @@ def _scalar_constraints(doc: dict, col: Column) -> list[Column]:
     if "pattern" in doc:
         # JSON-Schema pattern is unanchored; rlike is unanchored too.
         preds.append(col.rlike(doc["pattern"]))
-    if "minimum" in doc:
-        preds.append(col >= F.lit(doc["minimum"]))
-    if "maximum" in doc:
-        preds.append(col <= F.lit(doc["maximum"]))
-    if "exclusiveMinimum" in doc:
-        preds.append(col > F.lit(doc["exclusiveMinimum"]))
-    if "exclusiveMaximum" in doc:
-        preds.append(col < F.lit(doc["exclusiveMaximum"]))
+    # Numeric bounds: exclusiveMinimum/Maximum have TWO spec forms —
+    # draft-4 (the reference's AJV draft) uses a BOOLEAN that modifies
+    # minimum/maximum; draft-6+ uses a standalone number.  Compiling the
+    # boolean as a numeric bound would emit `col > lit(True)` and kill
+    # the first micro-batch with an AnalysisException.
+    mn, ex_mn = doc.get("minimum"), doc.get("exclusiveMinimum")
+    if isinstance(ex_mn, bool):  # draft-4 modifier
+        if mn is not None:
+            preds.append(col > F.lit(mn) if ex_mn else col >= F.lit(mn))
+    else:
+        if ex_mn is not None:
+            preds.append(col > F.lit(ex_mn))
+        if mn is not None:
+            preds.append(col >= F.lit(mn))
+    mx, ex_mx = doc.get("maximum"), doc.get("exclusiveMaximum")
+    if isinstance(ex_mx, bool):  # draft-4 modifier
+        if mx is not None:
+            preds.append(col < F.lit(mx) if ex_mx else col <= F.lit(mx))
+    else:
+        if ex_mx is not None:
+            preds.append(col < F.lit(ex_mx))
+        if mx is not None:
+            preds.append(col <= F.lit(mx))
     if "minLength" in doc:
         preds.append(F.length(col) >= F.lit(doc["minLength"]))
     if "maxLength" in doc:
@@ -232,6 +247,9 @@ def _predicate(doc: dict, col: Column, required: bool) -> Column:
         if item_doc and set(item_doc) & {
             "enum", "pattern", "minimum", "maximum", "const",
             "exclusiveMinimum", "exclusiveMaximum", "minLength", "maxLength",
+            # object-typed items: required/properties recurse through
+            # _predicate over each element (getField works inside forall)
+            "required", "properties", "minItems", "maxItems",
         }:
             preds.append(
                 F.forall(col, lambda x: _predicate(item_doc, x, required=True))
@@ -296,6 +314,13 @@ def _needs_fallback(doc: dict) -> bool:
         if isinstance(node.get("type"), list):  # union type, e.g. ["string","null"]
             return True
         if isinstance(node.get("items"), list):  # draft-4 tuple form
+            return True
+        # additionalProperties:false (or a schema) is a CONSTRAINT the
+        # JVM predicate cannot see — from_json silently drops unknown
+        # fields, so extra-property violations are invisible post-parse.
+        # Only the jsonschema fallback over raw text can enforce it;
+        # absent or `true` means unconstrained and stays fast-path.
+        if node.get("additionalProperties") not in (None, True):
             return True
     return False
 

@@ -214,3 +214,48 @@ def test_metrics_single_pass(spark, engine):
         sc.setJobGroup(None, None)
     jobs = tracker.getJobIdsForGroup("metrics-single-pass") or []
     assert 1 <= len(jobs) <= 2, f"metrics() ran {len(jobs)} jobs, expected <=2"
+
+
+def test_process_ordered_sorts_sequence_numbers_numerically(spark):
+    # Kinesis sequence numbers compare NUMERICALLY; '99' must precede
+    # '100' even though lexicographic order says otherwise (fixtures
+    # zero-pad, so this is pinned with variable-length strings)
+    import pandas as pd
+
+    from kinesis_handler_spark.routing.engine import RoutingEngine
+
+    rows = [
+        ("k", "100", "c"),
+        ("k", "99", "b"),
+        ("k", "9", "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "partitionKey string, sequenceNumber string, tag string"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"partitionKey": [pdf["partitionKey"].iloc[0]],
+             "order": ["".join(pdf["tag"])]}
+        )
+
+    out = RoutingEngine.process_ordered(
+        df, fn, "partitionKey string, order string"
+    ).collect()
+    assert out[0]["order"] == "abc"
+
+
+def test_metrics_match_channels_with_empty_registry(spark):
+    # nothing registered: every VALID record is channel `unknown`, and
+    # metrics() must say so (previously valid rows with a data_schema
+    # were counted as routed.<sid> and dropped from the dict)
+    from tests import fixtures as fx
+
+    eng = RoutingEngine(fx.ENVELOPE_JSON_SCHEMA)
+    df = spark.createDataFrame(fx.batch_ok(), ENVELOPE_SCHEMA)
+    result = eng.process_batch(df)
+    m = result.metrics()
+    n = df.count()
+    assert m["unknown"] == result.unknown.count() == n
+    assert sum(v for k, v in m.items()
+               if k in ("unknown", "dead_letter")) == n

@@ -88,3 +88,64 @@ def test_pattern_predicate(spark):
         ).collect()
     ]
     assert got == [True, False]
+
+
+def test_draft4_boolean_exclusive_bounds_compile():
+    # the reference's AJV is draft-04, where exclusiveMinimum is a
+    # BOOLEAN modifier of minimum; compiling it as a numeric bound
+    # produced `col > lit(True)` and killed the first micro-batch
+    doc = {
+        "self": {"vendor": "v", "name": "d4", "version": "1"},
+        "type": "object",
+        "required": ["q"],
+        "properties": {
+            "q": {"type": "number", "minimum": 0, "exclusiveMinimum": True},
+            "r": {"type": "number", "maximum": 10, "exclusiveMaximum": False},
+        },
+    }
+    compiled = compile_schema(doc)
+    assert compiled.mode == "jvm"
+
+
+def test_object_array_items_are_validated():
+    # object-typed items with required/properties must produce a forall
+    # predicate (previously only scalar item constraints triggered one)
+    doc = {
+        "self": {"vendor": "v", "name": "arr", "version": "1"},
+        "type": "object",
+        "required": ["xs"],
+        "properties": {
+            "xs": {
+                "type": "array",
+                "items": {
+                    "type": "object",
+                    "required": ["id"],
+                    "properties": {
+                        "id": {"type": "string", "minLength": 1},
+                        "q": {"type": "integer", "minimum": 1},
+                    },
+                },
+            },
+        },
+    }
+    compiled = compile_schema(doc)
+    assert compiled.mode == "jvm"
+    pred = str(compiled.predicate(__import__("pyspark.sql.functions",
+                                            fromlist=["col"]).col("x")))
+    assert "forall" in pred
+
+
+def test_constraining_additional_properties_rides_fallback():
+    doc = {
+        "self": {"vendor": "v", "name": "ap", "version": "1"},
+        "type": "object",
+        "required": ["a"],
+        "properties": {"a": {"type": "string"}},
+        "additionalProperties": False,
+    }
+    assert compile_schema(doc).mode == "python"
+    # unconstrained forms keep the fast path
+    doc["additionalProperties"] = True
+    assert compile_schema(doc).mode == "jvm"
+    del doc["additionalProperties"]
+    assert compile_schema(doc).mode == "jvm"
