@@ -79,13 +79,34 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   2. oracle-backed queries by last-green round ascending (stalest first);
 #   3. rows-only queries never occupy a verdict slot (no hash check).
 # Everything past _FRONT follows in registration order via _driver_order.
-# Round-5 rotation: the 20 r1-stale queries first, then the 4 queries whose
-# broadcast hints were removed this round (need a fresh driver verdict on the
-# changed plans), then a ONE-TIME exception to rule 3: the 3 rows-only queries
-# the driver has never executed (absent from all CORRECTNESS_r1-r4 artifacts)
-# take tail slots so r5 records cold-execution evidence (spark_rows) for them,
-# then r3-stale queries fill the rest.
+# Round-5 rotation (refreshed late-round after the suite grew 126->148): the
+# 20 never-driver-checked queries added this round go first, then the 20
+# r1-stale queries, then the 4 queries whose broadcast hints were removed this
+# round (need a fresh driver verdict on the changed plans), then a ONE-TIME
+# exception to rule 3: the 3 rows-only queries the driver has never executed
+# (absent from all CORRECTNESS_r1-r4 artifacts) take slots so r5 records
+# cold-execution evidence (spark_rows) for them, then r3-stale fillers.
 _FRONT = [
+    "text_token_bpe",  # added r5, never driver-checked
+    "contamination_ngram_overlap",  # added r5, never driver-checked
+    "text_entropy",  # added r5, never driver-checked
+    "text_unigram_logloss",  # added r5, never driver-checked
+    "multimodal_decode_png",  # added r5, never driver-checked
+    "multimodal_resize",  # added r5, never driver-checked
+    "source_partitioned_scan",  # added r5, never driver-checked
+    "agg_order_priority_exists",  # added r5, never driver-checked
+    "agg_value_share",  # added r5, never driver-checked
+    "join_top_revenue_supplier",  # added r5, never driver-checked
+    "agg_supplier_cnt",  # added r5, never driver-checked
+    "agg_small_qty_revenue",  # added r5, never driver-checked
+    "join_large_orders",  # added r5, never driver-checked
+    "join_sole_blame_supplier",  # added r5, never driver-checked
+    "join_min_price_supplier",  # added r5, never driver-checked
+    "sql_correlated_subqueries",  # added r5, never driver-checked
+    "events_rolling_distinct",  # added r5, never driver-checked
+    "join_market_share",  # added r5, never driver-checked
+    "agg_profit_by_nation_year",  # added r5, never driver-checked
+    "join_dominant_supplier",  # added r5, never driver-checked
     "window_first_last",  # last driver-green r1 (stalest)
     "agg_median_mode",  # last driver-green r1 (stalest)
     "join_scalar_subquery",  # last driver-green r1 (stalest)
@@ -116,26 +137,6 @@ _FRONT = [
     "text_stats",  # last driver-green r3
     "text_normalize",  # last driver-green r3
     "dedup_components",  # last driver-green r3
-    "window_time_bucket",  # last driver-green r3
-    "project_compute",  # last driver-green r3
-    "agg_global",  # last driver-green r3
-    "agg_groupby_pricing",  # last driver-green r3
-    "agg_rollup",  # last driver-green r3
-    "agg_cube",  # last driver-green r3
-    "agg_grouping_sets",  # last driver-green r3
-    "agg_filtered_pivot",  # last driver-green r3
-    "join_inner_equi",  # last driver-green r3
-    "join_broadcast_dims",  # last driver-green r3
-    "join_exists_correlated",  # last driver-green r3
-    "agg_distinct_multi",  # last driver-green r3
-    "join_null_safe",  # last driver-green r3
-    "profile_table",  # last driver-green r3
-    "route_case_tag",  # last driver-green r3
-    "scalar_string",  # last driver-green r3
-    "scalar_array",  # last driver-green r3
-    "scalar_array_explode",  # last driver-green r3
-    "scalar_map_json",  # last driver-green r3
-    "scalar_conditional_null",  # last driver-green r3
 ]
 
 
