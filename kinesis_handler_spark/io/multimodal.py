@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kinesis_handler_spark.tables import table
+
 MULTIMODAL_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -142,7 +144,7 @@ def make_multimodal_df(
     stand in for media blobs (deterministic), with a typed meta struct.
     At 100 TB the same shape comes straight off parquet with real blobs.
     """
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = table(spark, sf_dir, "documents")
     return d.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("content"),
@@ -262,7 +264,7 @@ def make_headered_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``make_multimodal_df``'s opaque blobs, these bytes carry structure
     the engine can sniff without any codec library — the header-probe
     stage every multimodal ingest runs BEFORE deciding to decode."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = table(spark, sf_dir, "documents")
 
     def be4(col: F.Column) -> F.Column:
         return F.unhex(F.lpad(F.hex(col), 8, "0"))
@@ -305,7 +307,7 @@ def make_bmp_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs never touch the driver)."""
     import struct
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = table(spark, sf_dir, "documents").select("doc_id")
 
     def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         stride = (BMP_W * 3 + 3) // 4 * 4
@@ -379,7 +381,7 @@ def make_wav_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncompressed audio container, decodable with numpy alone."""
     import struct
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = table(spark, sf_dir, "documents").select("doc_id")
 
     def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -487,7 +489,7 @@ def make_png_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     import struct
     import zlib as _zlib
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = table(spark, sf_dir, "documents").select("doc_id")
 
     def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bpp = 3

@@ -22,6 +22,8 @@ Module map (mirrors SURVEY.md §2.B sections):
                        (completing all 22 TPC-H patterns)
 * :mod:`corpus`      — BPE-ish token accounting, benchmark contamination
 * :mod:`extras`      — remaining window/dedup/scalar-subquery shapes
+* :mod:`timeseries`  — gap-fill + interpolation, SCD2 intervals,
+                       GROUPS-frame window emulation
 """
 
 from kinesis_handler_spark.queries import (  # noqa: F401
@@ -39,6 +41,7 @@ from kinesis_handler_spark.queries import (  # noqa: F401
     stats,
     subqueries,
     temporal,
+    timeseries,
     tpch_tail,
     windows,
 )

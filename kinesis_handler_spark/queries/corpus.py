@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_handler_spark.functions.text import word_ngrams
+from kinesis_handler_spark.functions.text import normalize_text, word_ngrams
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
 
@@ -241,4 +241,83 @@ def text_unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bits_per_token"
             ),
         )
+    )
+
+
+def _mg_candidates(batches, cap: int = 2048):
+    """Per-partition Misra-Gries candidate pass for
+    `text_heavy_hitters` (mapInPandas body; see docstring there —
+    mapInPandas passes only the batch iterator, so ``cap`` keeps its
+    default there; tests shrink it to stress the guarantee).
+
+    Mergeable-summary compression (Agarwal et al., "Mergeable
+    Summaries", PODS'12): when the counter table exceeds capacity k,
+    subtract the (k+1)-th largest count from every counter and drop
+    the non-positives.  Total undercount per item is bounded by
+    n_partition/(k+1), so any token with local frequency share above
+    1/(k+1) is guaranteed to survive to the candidate set.
+    """
+    import pandas as pd
+
+    counts: dict[str, int] = {}
+    for pdf in batches:
+        for tok, c in pdf["tok"].value_counts().items():
+            counts[tok] = counts.get(tok, 0) + int(c)
+        if len(counts) > cap:
+            s = pd.Series(counts)
+            s = s - s.nlargest(cap + 1).iloc[-1]
+            counts = s[s > 0].to_dict()
+    yield pd.DataFrame({"tok": list(counts)})
+
+
+@query(
+    "text_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+               ' ')) AS tok
+      FROM documents
+    ),
+    t2 AS (SELECT tok FROM toks WHERE tok <> ''),
+    tot AS (SELECT COUNT(*) AS n FROM t2)
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM t2, tot
+    GROUP BY tok, n
+    HAVING COUNT(*) >= 0.003 * n
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (tokens with frequency share >=
+    0.3%) via the scalable two-phase algorithm: (1) a per-partition
+    Misra-Gries summary (capacity 2048 >> 1/0.003) emits a small
+    candidate set that provably contains every global heavy hitter —
+    if a token's global share is >= theta, by pigeonhole its share is
+    >= theta in at least one partition, and MG keeps everything above
+    1/(k+1) locally; (2) an exact count restricted to the candidates
+    (broadcast left-semi join) + the global total, filtered at the
+    threshold.  The final answer is EXACTLY the true heavy-hitter set
+    — the sketch only prunes, never decides.
+
+    100 TB: a naive groupBy(token) shuffles every token occurrence of
+    the corpus (billions of distinct keys); here the shuffle carries
+    only candidates-per-partition (<= 2048 x partitions rows) plus the
+    candidate-filtered occurrences.  The MG pass is Arrow-batched
+    pandas (value_counts + vectorized compression), the one
+    deliberately-Python stage in this family.
+    Tokenizer = shared `normalize_text` (functions/text.py), mirrored
+    by the oracle's regexp chain."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(normalize_text("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    cand = toks.mapInPandas(_mg_candidates, schema="tok string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(F.broadcast(cand), "tok", "leftsemi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") >= F.lit(0.003) * F.col("n"))
+        .select("tok", "cnt")
     )

@@ -1,0 +1,321 @@
+"""Time-series shaping operators (round 5, session 2): gap-fill with
+linear interpolation, SCD2 validity intervals, and SQL:2011 GROUPS-frame
+window semantics.
+
+These are the series-repair / history-tracking operators every
+warehouse-grade engine ships and the reference library (a per-record
+Lambda router, lib/kinesisHandler.js — no temporal surface at all)
+leaves to the consumer.  All three are oracle-backed and follow the
+registry.py determinism rules: exact DECIMAL arithmetic inside
+aggregates, one final decimal→double conversion, identical IEEE op
+trees for per-row float math, deterministic tie-breaks.
+
+100 TB design notes per query in the docstrings; the common theme is
+that each shuffles once on its entity key and does all sequence logic
+inside the per-key sort (window functions), never via self-joins of a
+table against its own history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_handler_spark.functions.numeric import dec, dec_sum
+from kinesis_handler_spark.registry import query
+from kinesis_handler_spark.tables import table
+
+
+@query(
+    "events_gapfill_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM span
+    ),
+    joined AS (
+      SELECT s.user_id, s.day, d.obs
+      FROM spine s LEFT JOIN daily d USING (user_id, day)
+    ),
+    bounded AS (
+      SELECT user_id, day, obs,
+             last_value(obs IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+             last_value(CASE WHEN obs IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev_day,
+             first_value(obs IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+             first_value(CASE WHEN obs IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_day
+      FROM joined
+    )
+    SELECT user_id, day,
+           CASE WHEN obs IS NOT NULL THEN obs
+                ELSE prev_val + (next_val - prev_val)
+                     * (CAST(date_diff('day', prev_day, day) AS DOUBLE)
+                        / CAST(date_diff('day', prev_day, next_day) AS DOUBLE))
+           END AS value_filled,
+           obs IS NOT NULL AS is_observed
+    FROM bounded
+    """,
+)
+def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily series repair: build the dense calendar spine from
+    each user's first to last active day (``sequence`` + ``explode`` —
+    map-side, no join against a calendar table), left-join the observed
+    daily totals, and linearly interpolate interior gaps between the
+    surrounding observations (endpoints are always observed because the
+    spine is bounded by MIN/MAX observed day, so prev/next always
+    exist on gap rows).
+
+    Determinism: daily totals are exact decimal sums surfaced once as
+    DOUBLE; the interpolation ``prev + (next - prev) * (gap_pos /
+    gap_len)`` is the identical IEEE op tree on both engines (each of
+    +,-,*,/ is a single correctly-rounded operation on bit-identical
+    inputs).
+
+    100 TB: one shuffle to (user_id, day) daily totals, one shuffle to
+    user_id for span+spine+window; spine expansion is bounded by
+    calendar-days-per-user and happens map-side after the span agg.
+    Sequence logic is two window passes inside the per-user sort — no
+    self-join of days × observations."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(dec_sum("value").alias("obs"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs = F.col("obs")
+    obs_day = F.when(obs.isNotNull(), F.col("day"))
+    bounded = joined.select(
+        "user_id",
+        "day",
+        "obs",
+        F.last("obs", ignorenulls=True).over(back).alias("prev_val"),
+        F.last(obs_day, ignorenulls=True).over(back).alias("prev_day"),
+        F.first("obs", ignorenulls=True).over(fwd).alias("next_val"),
+        F.first(obs_day, ignorenulls=True).over(fwd).alias("next_day"),
+    )
+    frac = F.datediff("day", "prev_day").cast("double") / F.datediff(
+        "next_day", "prev_day"
+    ).cast("double")
+    filled = F.when(obs.isNotNull(), obs).otherwise(
+        F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * frac
+    )
+    return bounded.select(
+        "user_id",
+        "day",
+        filled.alias("value_filled"),
+        obs.isNotNull().alias("is_observed"),
+    )
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM ordered
+    ),
+    ver AS (
+      SELECT user_id, event_type, ts,
+             CAST(SUM(chg) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      FROM flagged
+    ),
+    grp AS (
+      SELECT user_id, version,
+             MIN(event_type) AS event_type,
+             MIN(ts) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM ver GROUP BY user_id, version
+    )
+    SELECT user_id, version, event_type, valid_from,
+           LEAD(valid_from) OVER (
+             PARTITION BY user_id ORDER BY version) AS valid_to,
+           n_events
+    FROM grp
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change log: treat
+    each user's event stream as attribute changes (the attribute being
+    ``event_type``), collapse consecutive duplicates (gaps-and-islands
+    via LAG + running SUM), and emit one validity interval per run —
+    ``valid_from`` = first event of the run, ``valid_to`` = start of
+    the next run (NULL on the current/open interval, the SCD2
+    convention).  Deterministic ordering: (ts, event_id) tie-break on
+    both engines.
+
+    This is the MERGE/upsert-history primitive a warehouse applies when
+    ingesting CDC feeds; expressed as pure windowed DataFrame ops it
+    needs exactly one shuffle on user_id — change detection, run
+    numbering, grouping, and the LEAD back-reference all happen inside
+    the same per-user sort order (Spark reuses the partitioning; the
+    groupBy on (user_id, version) is partial-aggregated map-side
+    within already-sorted partitions)."""
+    e = table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(order).isNull()
+            | (F.lag("event_type").over(order) != F.col("event_type")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("chg"),
+    )
+    ver = flagged.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("chg")
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("version"),
+    )
+    grp = ver.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    by_ver = Window.partitionBy("user_id").orderBy("version")
+    return grp.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(by_ver).alias("valid_to"),
+        "n_events",
+    )
+
+
+@query(
+    "window_groups_frame",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS gsum
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT user_id, day, gsum,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day) AS BIGINT) AS gi
+      FROM daily
+    ),
+    win AS (
+      SELECT user_id, day,
+             CAST(SUM(gsum) OVER (
+               PARTITION BY user_id ORDER BY gi
+               RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+               AS group_sum
+      FROM idx
+    )
+    SELECT e.event_id, e.user_id, w.day, w.group_sum
+    FROM (SELECT event_id, user_id,
+                 CAST(date_trunc('day', ts) AS DATE) AS day
+          FROM events) e
+    JOIN win w ON e.user_id = w.user_id AND e.day = w.day
+    """,
+)
+def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2011 GROUPS-frame window semantics — ``SUM(value) OVER
+    (PARTITION BY user_id ORDER BY day GROUPS BETWEEN 1 PRECEDING AND 1
+    FOLLOWING)``: each event sees the total over its own ORDER-BY peer
+    group (its calendar day) plus the adjacent peer group on each side,
+    regardless of how many rows each group holds.  Neither Spark nor
+    DuckDB implements GROUPS mode, so both sides use the canonical
+    rewrite: aggregate per peer group, number groups densely
+    (ROW_NUMBER over the distinct-group table ≡ DENSE_RANK over rows),
+    run an integer-RANGE frame over the group index, and join the
+    per-group result back to rows.
+
+    Determinism: group subtotals stay DECIMAL through the window sum
+    (addition of exact decimals is associative, so partial-aggregation
+    order cannot matter) with one final DOUBLE cast.
+
+    100 TB: one shuffle on (user_id, day) for group totals, one on
+    user_id for the two window passes — both tiny relative to the fact
+    table — then a co-partitioned join back on (user_id, day) that AQE
+    turns into a broadcast at bench scale.  The generally-applicable
+    GROUPS emulation: never a rows × rows self-join."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "value",
+    )
+    daily = e.groupBy("user_id", "day").agg(
+        F.sum(dec("value")).alias("gsum")
+    )
+    idx = daily.select(
+        "user_id",
+        "day",
+        "gsum",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("day"))
+        .cast("bigint")
+        .alias("gi"),
+    )
+    win = idx.select(
+        "user_id",
+        "day",
+        F.sum("gsum")
+        .over(
+            Window.partitionBy("user_id").orderBy("gi").rangeBetween(-1, 1)
+        )
+        .cast("double")
+        .alias("group_sum"),
+    )
+    return e.select("event_id", "user_id", "day").join(
+        win, ["user_id", "day"]
+    ).select("event_id", "user_id", "day", "group_sum")

@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kinesis_handler_spark.deploy import ensure_shipped
 from kinesis_handler_spark.routing.schema_compiler import (
     CompiledSchema,
     compile_schema,
@@ -321,6 +322,10 @@ class RoutingEngine:
         write (N routed + dead-letter + unknown) — run_stream sets it
         and unpersists via ``RoutingResult.unpersist`` after the sinks
         commit. Callers consuming only one channel can skip it."""
+        # Schema-fallback validation and ordered-mode handlers run
+        # package code on executor workers; ship it for foreign-cwd
+        # drivers (deploy.py).
+        ensure_shipped(records.sparkSession)
         enriched = self._enrich(records)
         if cache:
             enriched = enriched.persist()
@@ -481,6 +486,7 @@ class RoutingEngine:
         is meaningful (Kinesis's own guarantee), so: hash-partition by
         key, sort within the group, then ``applyInPandas`` hands ``fn``
         each key's records as one ordered pandas DataFrame."""
+        ensure_shipped(records.sparkSession)
 
         def _sorted_apply(pdf):
             key = pdf[order_col]

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_handler_spark.deploy import ensure_shipped
+
 TABLES = (
     "region",
     "nation",
@@ -60,6 +62,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Worker-importability layer: operators with Arrow-batched Python
+    # stages reference package modules from executor workers; ship the
+    # package archive (addPyFile) so a driver launched from ANY cwd —
+    # not just the repo root — can run them.  See deploy.py.
+    ensure_shipped(spark)
     # WALL-CLOCK determinism layer (all tables): see docstring.
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -70,3 +70,37 @@ def test_contamination_ratio_consistency(spark, sf_dir):
         assert r["doc_id"] % 97 != 0
         assert 0 <= r["n_matched"] <= r["n_shingles"]
         assert r["contamination"] == r["n_matched"] / r["n_shingles"]
+
+
+def test_misra_gries_candidate_superset_guarantee():
+    # Pure-pandas adversarial check of the _mg_candidates invariant:
+    # with capacity k, every item whose frequency share exceeds
+    # 1/(k+1) must survive the per-partition pass — even with a
+    # hostile batch order (heavy item spread thin across batches,
+    # drowned in a churn of singletons that forces compression).
+    import random
+
+    import pandas as pd
+
+    from kinesis_handler_spark.queries.corpus import _mg_candidates
+
+    rng = random.Random(7)
+    cap = 16
+    # 3 heavy items at ~10% each, 3000 distinct light singletons
+    stream = (
+        ["hot1"] * 300 + ["hot2"] * 280 + ["hot3"] * 260
+        + [f"noise{i}" for i in range(2160)]
+    )
+    rng.shuffle(stream)
+    batches = [
+        pd.DataFrame({"tok": stream[i : i + 100]})
+        for i in range(0, len(stream), 100)
+    ]
+    (out,) = list(_mg_candidates(iter(batches), cap=cap))
+    cands = set(out["tok"])
+    n = len(stream)
+    share = 1.0 / (cap + 1)
+    for item, cnt in (("hot1", 300), ("hot2", 280), ("hot3", 260)):
+        assert cnt / n > share  # test premise
+        assert item in cands, item
+    assert len(cands) <= cap + 1  # summary stays bounded

@@ -95,6 +95,7 @@ def test_jvm_only_queries_have_no_python_stage(spark, sf_dir):
         "multimodal_decode_wav",  # real numpy WAV/PCM decode (mapInPandas)
         "multimodal_decode_png",  # real stdlib-zlib PNG decode (mapInPandas)
         "multimodal_resize",  # PNG decode + numpy box downsample (mapInPandas)
+        "text_heavy_hitters",  # Misra-Gries candidate pass (mapInPandas)
     }
     offenders = []
     for name in sorted(all_queries()):
@@ -120,7 +121,15 @@ def _broadcast_hint_targets(analyzed_plan: str):
         if "ResolvedHint" not in ln or "broadcast" not in ln:
             continue
         for nxt in lines[i + 1 :]:
-            if "Aggregate" in nxt or "LocalRelation" in nxt:
+            # Deduplicate (DataFrame.distinct) reduces like Aggregate
+            # does — e.g. the Misra-Gries candidate set in
+            # text_heavy_hitters (bounded at 2048/partition BEFORE the
+            # distinct); same acceptance strength as the Aggregate rule.
+            if (
+                "Aggregate" in nxt
+                or "Deduplicate" in nxt
+                or "LocalRelation" in nxt
+            ):
                 yield ("derived", nxt)
                 break
             if "Relation" in nxt and "parquet" in nxt:
@@ -169,6 +178,7 @@ def test_no_cartesian_product_outside_declared_brute_force(spark, sf_dir):
         "agg_value_share",  # one-row global-revenue scalar (Q11 shape)
         "join_top_revenue_supplier",  # one-row MAX scalar (Q15 shape)
         "text_unigram_logloss",  # one-row corpus-total scalar (LM norm)
+        "text_heavy_hitters",  # one-row corpus-total scalar (threshold)
     }
     offenders = []
     for name in sorted(all_queries()):

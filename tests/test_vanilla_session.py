@@ -19,6 +19,7 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 
 import pytest
 
@@ -28,13 +29,18 @@ SF_DIR = os.environ.get("KHS_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.mark.slow
 def test_all_queries_run_on_vanilla_session():
+    # cwd is a NEUTRAL directory, not the repo: a driver launched from
+    # the repo root lets executor workers import the package through
+    # the inherited cwd, masking missing-addPyFile bugs (round-5 find:
+    # every mapInPandas query failed from any other cwd until
+    # deploy.ensure_shipped).  The sweep must prove the package ships.
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO_DIR, "tools", "vanilla_sweep.py"),
          SF_DIR],
         capture_output=True,
         text=True,
         timeout=1200,
-        cwd=REPO_DIR,
+        cwd=tempfile.gettempdir(),
     )
     # The JSON line is the last stdout line (Spark may log above it).
     lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
