@@ -13,6 +13,7 @@ from kinesis_handler_spark.streaming.windows import (
     stream_stream_interval_join,
     sliding_aggregate,
     stream_dedup,
+    stateful_heavy_hitters,
     stateful_running_totals,
     stateful_user_stats_tws,
     tumbling_aggregate,
@@ -25,6 +26,7 @@ __all__ = [
     "sliding_aggregate",
     "session_aggregate",
     "stream_dedup",
+    "stateful_heavy_hitters",
     "stateful_running_totals",
     "stateful_user_stats_tws",
 ]

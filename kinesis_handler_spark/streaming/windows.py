@@ -156,6 +156,69 @@ def stateful_running_totals(
     )
 
 
+def stateful_heavy_hitters(
+    df: DataFrame,
+    token_col: str = "event_type",
+    n_buckets: int = 8,
+    capacity: int = 256,
+) -> DataFrame:
+    """Streaming heavy hitters with BOUNDED state on an unbounded token
+    vocabulary: the streaming twin of the batch `text_heavy_hitters`
+    operator (queries/corpus.py).  Tokens are hash-partitioned into
+    ``n_buckets`` groups; each group's state is one mergeable
+    Misra-Gries summary of at most ``capacity`` counters, updated per
+    micro-batch with the same subtract-the-(k+1)-th-largest compression
+    (Agarwal et al., PODS'12).  Total state is ``n_buckets × capacity``
+    counters FOREVER, however many distinct tokens the stream carries —
+    the property that makes this survive an unbounded stream where a
+    per-token count state (plain streaming wordcount) grows without
+    bound.
+
+    Emits, per bucket per micro-batch, the current candidate set with
+    MG lower-bound counts: true_count - stream_len/(capacity+1) <=
+    emitted cnt <= true_count, and every token whose true frequency
+    share exceeds 1/(capacity+1) is guaranteed present.  Downstream, an
+    exact batch count over the candidates turns this into the exact
+    top-k (same two-phase shape as the batch tier)."""
+    bucketed = df.select(
+        F.pmod(F.xxhash64(F.col(token_col)), F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket"),
+        F.col(token_col).cast("string").alias("tok"),
+    )
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        counts: dict[str, int]
+        if state.exists:
+            toks, cnts = state.get
+            counts = dict(zip(toks, cnts))
+        else:
+            counts = {}
+        for pdf in pdfs:
+            for tok, c in pdf["tok"].value_counts().items():
+                counts[tok] = counts.get(tok, 0) + int(c)
+            if len(counts) > capacity:
+                s = pd.Series(counts)
+                s = s - s.nlargest(capacity + 1).iloc[-1]
+                counts = {t: int(c) for t, c in s[s > 0].items()}
+        state.update((list(counts), [int(c) for c in counts.values()]))
+        yield pd.DataFrame(
+            {
+                "bucket": [int(key[0])] * len(counts),
+                "tok": list(counts),
+                "cnt": [int(c) for c in counts.values()],
+            }
+        )
+
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType="bucket int, tok string, cnt long",
+        stateStructType="toks array<string>, cnts array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 class _UserSessionStats(StatefulProcessor):
     """Per-key first-seen / last-seen / count / total via the Spark 4
     ``transformWithState`` arbitrary-state API: typed ValueState with a

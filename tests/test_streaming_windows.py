@@ -443,3 +443,60 @@ def test_stream_static_enrich_streaming(spark, tmp_path):
     q.awaitTermination(180)
     got = {(r["event_id"], r["tier"]) for r in spark.read.parquet(out_dir).collect()}
     assert got == {(1, "gold"), (2, "silver"), (3, None)}
+
+
+def test_stateful_heavy_hitters_across_batches(spark, tmp_path):
+    # Skewed stream: 'hot' dominates across two micro-batches drowned
+    # in distinct noise tokens; capacity is far below the distinct
+    # count, so state stays bounded while the hot token must survive
+    # with its MG lower-bound count.
+    from kinesis_handler_spark.streaming import stateful_heavy_hitters
+
+    src = tmp_path / "hh_src"
+    src.mkdir()
+    b0 = [_ev(i, "2024-01-01T00:01:00", etype="hot") for i in range(30)] + [
+        _ev(100 + i, "2024-01-01T00:01:30", etype=f"noise{i}") for i in range(40)
+    ]
+    b1 = [_ev(200 + i, "2024-01-01T00:02:00", etype="hot") for i in range(25)] + [
+        _ev(300 + i, "2024-01-01T00:02:30", etype=f"late{i}") for i in range(40)
+    ]
+    _write(src / "b0.json", b0, mtime=1_700_000_000)
+    _write(src / "b1.json", b1, mtime=1_700_000_100)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    cap = 16
+    q = (
+        stateful_heavy_hitters(stream, n_buckets=4, capacity=cap)
+        .writeStream.format("memory")
+        .queryName("stream_hh")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hh_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM stream_hh").collect()
+    # Last emission for 'hot' carries the full cross-batch MG count:
+    # within [true - n_bucket/(cap+1), true] where true = 55 and the
+    # hot token's bucket saw at most all 135 events.
+    hot = [r["cnt"] for r in rows if r["tok"] == "hot"]
+    assert hot, "hot token evicted - MG guarantee broken"
+    assert max(hot) <= 55
+    assert max(hot) >= 55 - 135 // (cap + 1)
+    # bounded state: no emission ever exceeds capacity rows per bucket
+    from collections import Counter
+
+    per_bucket = Counter()
+    for r in rows:
+        per_bucket[r["bucket"]] += 0  # buckets seen
+    # emissions are per (micro-batch, bucket); each must be <= cap+1
+    # counters - check via grouping on an emission fingerprint is not
+    # possible from the memory sink, so assert the total distinct
+    # tokens per bucket stays far below the distinct-token count (120)
+    distinct_per_bucket = Counter()
+    for r in rows:
+        distinct_per_bucket[(r["bucket"], r["tok"])] = 1
+    assert len(distinct_per_bucket) < 120
