@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kinesis_handler_spark.functions.numeric import dec_sum
+from kinesis_handler_spark.functions.text import normalize_text
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
 
@@ -258,4 +259,49 @@ def source_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n"),
         dec_sum("l_extendedprice").alias("total_price"),
+    )
+
+
+@query(
+    "source_text_scan",
+    oracle="""
+    WITH lines AS (
+      SELECT trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS line
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(length(line)) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN line = '' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_empty,
+           CAST(SUM(CASE WHEN line = '' THEN 0 ELSE ascii(line) END)
+             AS BIGINT) AS sum_first_code
+    FROM lines
+    """,
+)
+def source_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text (line-delimited) source connector: the documents
+    corpus is normalized (shared `normalize_text`, which — not
+    incidentally — removes the newlines that would break line framing),
+    written once as ``.txt`` part files, and read back through
+    ``spark.read.text``; the oracle computes the same statistics from
+    the ORIGINAL parquet, so a hash match proves the text write→read
+    round trip is line-exact including empty lines.  This is the
+    ingestion path for raw-text corpora (one doc per line, the common
+    LLM-pretraining interchange format).  Global single-row aggregate:
+    map-side combine, nothing but 1 row crosses the wire."""
+    d = table(spark, sf_dir, "documents").select(
+        normalize_text("text").alias("value")
+    )
+    path = _materialize(d, sf_dir, "documents_txt", "text")
+    line = F.col("value")
+    return spark.read.text(path).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.length(line)).cast("bigint").alias("total_chars"),
+        F.sum(F.when(line == "", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_empty"),
+        F.sum(F.when(line == "", F.lit(0)).otherwise(F.ascii(line)))
+        .cast("bigint")
+        .alias("sum_first_code"),
     )
