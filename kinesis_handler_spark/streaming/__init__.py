@@ -7,6 +7,12 @@ custom per-key state — all on Structured Streaming's incremental
 execution + state store.
 """
 
+from kinesis_handler_spark.streaming.rollup import (
+    read_rollup,
+    rollup_stream,
+    rollup_with_tail,
+    write_rollup_batch,
+)
 from kinesis_handler_spark.streaming.windows import (
     session_aggregate,
     stream_static_enrich,
@@ -20,6 +26,10 @@ from kinesis_handler_spark.streaming.windows import (
 )
 
 __all__ = [
+    "read_rollup",
+    "rollup_stream",
+    "rollup_with_tail",
+    "write_rollup_batch",
     "tumbling_aggregate",
     "stream_static_enrich",
     "stream_stream_interval_join",

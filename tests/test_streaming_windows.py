@@ -500,3 +500,98 @@ def test_stateful_heavy_hitters_across_batches(spark, tmp_path):
     for r in rows:
         distinct_per_bucket[(r["bucket"], r["tok"])] = 1
     assert len(distinct_per_bucket) < 120
+
+
+def test_continuous_rollup_union_tail_equals_full_batch(spark, tmp_path):
+    # Hypertable-rollup pattern: stream two days of events through the
+    # watermarked tumbling rollup into the idempotent parquet sink,
+    # then answer "counts per (day, type)" as rolled history UNION
+    # freshly-aggregated raw tail — and require bit-equality with the
+    # full batch aggregation of all raw events.
+    import datetime as dt
+
+    from kinesis_handler_spark.streaming.rollup import (
+        rollup_stream,
+        rollup_with_tail,
+        write_rollup_batch,
+    )
+
+    day1 = [
+        _ev(i, f"2024-01-01T0{i % 8}:15:00", etype="click", value=1.5)
+        for i in range(10)
+    ] + [_ev(20 + i, f"2024-01-01T1{i % 5}:45:00", etype="view", value=2.0)
+         for i in range(6)]
+    day2 = [
+        _ev(40 + i, f"2024-01-02T0{i % 6}:30:00", etype="click", value=0.5)
+        for i in range(8)
+    ]
+    # tail: day 3, never streamed - lives only in "raw"
+    tail = [
+        _ev(60 + i, f"2024-01-03T0{i % 4}:10:00", etype="click", value=3.0)
+        for i in range(5)
+    ]
+    src = tmp_path / "roll_src"
+    src.mkdir()
+    _write(src / "b0.json", day1, mtime=1_700_000_000)
+    _write(src / "b1.json", day2, mtime=1_700_000_100)
+    # late closing batch: far-future event advances the watermark so
+    # day-2's bucket finalizes and is APPENDED before the stream ends
+    _write(src / "b2.json", [_ev(99, "2024-01-10T00:00:00", etype="wm")],
+           mtime=1_700_000_200)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    rollup_path = str(tmp_path / "rollup")
+    q = (
+        rollup_stream(stream, width="1 day", watermark="1 hour")
+        .writeStream.foreachBatch(
+            lambda df, bid: write_rollup_batch(df, bid, rollup_path)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "roll_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    raw_all = _batch_df(spark, day1 + day2 + tail + [
+        {"event_id": 99, "ts": "2024-01-10T00:00:00", "user_id": 1,
+         "event_type": "wm", "value": 1.0}])
+    cutoff = dt.datetime(2024, 1, 3)
+    got = {
+        (str(r["win_start"]), r["event_type"]): (r["n"], r["total"])
+        for r in rollup_with_tail(
+            spark, rollup_path, raw_all, cutoff, width="1 day"
+        ).collect()
+    }
+    # ground truth: full batch aggregation over ALL raw events
+    from kinesis_handler_spark.streaming import tumbling_aggregate
+
+    want = {
+        (str(r["win_start"]), r["event_type"]): (r["n"], r["total"])
+        for r in tumbling_aggregate(
+            raw_all, window="1 day", watermark=None
+        ).collect()
+        if str(r["win_start"]) < "2024-01-10"  # wm sentinel bucket: not finalized
+    }
+    want = {k: v for k, v in want.items() if k[1] != "wm"}
+    got = {k: v for k, v in got.items() if k[1] != "wm"}
+    assert got == want
+    # replay idempotence: re-writing the last batch must not change the read
+    last = spark.read.parquet(rollup_path)
+    import pyspark.sql.functions as F
+
+    max_bid = last.agg(F.max("batch_id")).collect()[0][0]
+    replay = last.filter(F.col("batch_id") == max_bid).drop("batch_id")
+    write_rollup_batch(replay, max_bid, rollup_path)
+    got2 = {
+        (str(r["win_start"]), r["event_type"]): (r["n"], r["total"])
+        for r in rollup_with_tail(
+            spark, rollup_path, raw_all, cutoff, width="1 day"
+        ).collect()
+    }
+    got2 = {k: v for k, v in got2.items() if k[1] != "wm"}
+    assert got2 == want
