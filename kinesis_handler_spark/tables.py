@@ -115,3 +115,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> list[str]:
+    """SQL entry point: register every fixture table as a temp view
+    (same normalized reads as :func:`table`, including the events.ts
+    determinism layer), so arbitrary ANSI SQL runs via ``spark.sql`` —
+    the surface a user migrating from a SQL warehouse reaches for
+    first.  Returns the registered view names."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return list(TABLES)

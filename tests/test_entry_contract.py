@@ -35,3 +35,23 @@ def test_queries_and_oracles_align(spark):
     for name, fn in qs.items():
         df = fn(spark, "/root/testdata/sf0.001")
         assert df.columns, name
+
+
+def test_register_tables_sql_entry(spark, sf_dir):
+    # arbitrary ANSI SQL over the registered views, incl. an events.ts
+    # wall-clock derivation (exercises the normalization layer through
+    # the SQL surface)
+    from kinesis_handler_spark.tables import TABLES, register_tables
+
+    views = register_tables(spark, sf_dir)
+    assert set(views) == set(TABLES)
+    row = spark.sql("""
+        SELECT COUNT(*) AS n,
+               COUNT(DISTINCT l_returnflag) AS flags
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    """).collect()[0]
+    assert row["n"] > 0 and row["flags"] >= 2
+    days = spark.sql(
+        "SELECT CAST(ts AS DATE) AS d, COUNT(*) n FROM events GROUP BY 1"
+    ).collect()
+    assert len(days) > 1
