@@ -266,7 +266,7 @@ def source_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_text_scan",
     oracle="""
     WITH lines AS (
-      SELECT trim(regexp_replace(regexp_replace(lower(text),
+      SELECT trim(regexp_replace(regexp_replace(lower(COALESCE(text, '')),
                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS line
       FROM documents
     )
@@ -291,7 +291,7 @@ def source_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     LLM-pretraining interchange format).  Global single-row aggregate:
     map-side combine, nothing but 1 row crosses the wire."""
     d = table(spark, sf_dir, "documents").select(
-        normalize_text("text").alias("value")
+        normalize_text(F.coalesce(F.col("text"), F.lit(""))).alias("value")
     )
     path = _materialize(d, sf_dir, "documents_txt", "text")
     line = F.col("value")
