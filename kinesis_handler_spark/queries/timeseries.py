@@ -1,11 +1,11 @@
 """Time-series shaping operators (round 5, session 2): gap-fill with
-linear interpolation, SCD2 validity intervals, and SQL:2011 GROUPS-frame
-window semantics.
+linear interpolation, SCD2 validity intervals, and the SQL:2011 window
+extensions Spark lacks (GROUPS frames, frame EXCLUSION).
 
 These are the series-repair / history-tracking operators every
 warehouse-grade engine ships and the reference library (a per-record
 Lambda router, lib/kinesisHandler.js — no temporal surface at all)
-leaves to the consumer.  All three are oracle-backed and follow the
+leaves to the consumer.  All are oracle-backed and follow the
 registry.py determinism rules: exact DECIMAL arithmetic inside
 aggregates, one final decimal→double conversion, identical IEEE op
 trees for per-row float math, deterministic tie-breaks.
@@ -319,3 +319,67 @@ def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("event_id", "user_id", "day").join(
         win, ["user_id", "day"]
     ).select("event_id", "user_id", "day", "group_sum")
+
+
+@query(
+    "window_frame_exclude",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events
+    )
+    SELECT event_id, user_id, day,
+           CAST(COALESCE(SUM(v) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             EXCLUDE CURRENT ROW), 0) AS DOUBLE) AS loo_sum,
+           CAST(COALESCE(SUM(v) OVER (
+             PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             EXCLUDE GROUP), 0) AS DOUBLE) AS other_days_sum,
+           CAST(COALESCE(SUM(v) OVER (
+             PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             EXCLUDE TIES), 0) AS DOUBLE) AS ties_kept_sum
+    FROM e
+    """,
+)
+def window_frame_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2011 window frame EXCLUSION — the leave-one-out aggregate
+    family (e.g. leave-one-out target encoding in ML feature
+    pipelines): per event, the user's total over OTHER events (EXCLUDE
+    CURRENT ROW), over other DAYS (EXCLUDE GROUP — drops the whole
+    ORDER-BY peer group), and keeping only the current row of its peer
+    group (EXCLUDE TIES).  Spark has no EXCLUDE clause; the canonical
+    rewrite is subtraction over exact decimals — partition total minus
+    the excluded slice (row value / peer-group subtotal) — which is
+    associativity-safe because decimal arithmetic is exact.  The DuckDB
+    oracle uses its NATIVE EXCLUDE implementation, so the hash match
+    certifies the rewrite against an independent implementation of the
+    standard (empty exclusion frames: SQL yields NULL, the rewrite
+    yields exact 0 — reconciled by COALESCE, the documented semantic
+    choice).
+
+    100 TB: ONE shuffle on user_id; both window frames are unbounded,
+    so no running state — the two sums compute in one pass over each
+    sorted partition, and the subtractions are per-row projections."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        dec("value").alias("v"),
+    )
+    wu = Window.partitionBy("user_id")
+    wd = Window.partitionBy("user_id", "day")
+    total = F.sum("v").over(wu)
+    day_sum = F.sum("v").over(wd)
+    v = F.col("v")
+    return e.select(
+        "event_id",
+        "user_id",
+        "day",
+        (total - v).cast("double").alias("loo_sum"),
+        (total - day_sum).cast("double").alias("other_days_sum"),
+        (total - day_sum + v).cast("double").alias("ties_kept_sum"),
+    )
