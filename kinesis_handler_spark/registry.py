@@ -134,9 +134,9 @@ _FRONT = [
     "agg_approx_percentile",  # rows-only, never driver-run - one-time cold-exec evidence
     "dedup_embedding_ann",  # rows-only, never driver-run - one-time cold-exec evidence
     "dedup_pipeline_scale",  # rows-only, never driver-run - one-time cold-exec evidence
-    "text_stats",  # last driver-green r3
-    "text_normalize",  # last driver-green r3
-    "dedup_components",  # last driver-green r3
+    "events_gapfill_interpolate",  # added late r5, never driver-checked
+    "window_frame_exclude",  # added late r5, never driver-checked
+    "text_heavy_hitters",  # added late r5, never driver-checked
 ]
 
 
