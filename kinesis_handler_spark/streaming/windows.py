@@ -180,7 +180,10 @@ def stateful_heavy_hitters(
     share exceeds 1/(capacity+1) is guaranteed present.  Downstream, an
     exact batch count over the candidates turns this into the exact
     top-k (same two-phase shape as the batch tier)."""
-    bucketed = df.select(
+    # NULL tokens carry no frequency information — drop them explicitly
+    # (pandas value_counts would silently skip NaN anyway; making it a
+    # filter keeps the contract visible and the bucket hash total).
+    bucketed = df.filter(F.col(token_col).isNotNull()).select(
         F.pmod(F.xxhash64(F.col(token_col)), F.lit(n_buckets))
         .cast("int")
         .alias("bucket"),
