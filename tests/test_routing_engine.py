@@ -259,3 +259,58 @@ def test_metrics_match_channels_with_empty_registry(spark):
     assert m["unknown"] == result.unknown.count() == n
     assert sum(v for k, v in m.items()
                if k in ("unknown", "dead_letter")) == n
+
+
+def test_randomized_batches_conserve_every_record(spark, engine):
+    # Conservation property over seeded-random mixed batches: every
+    # input record lands in EXACTLY one channel (routed / unknown /
+    # dead-letter), no record is dropped, none is double-counted —
+    # checked by eventID set partition, not just by counts.  Randomized
+    # composition + shuffling probes orderings and mixtures the fixed
+    # fixture batches never exercise.
+    import random
+
+    makers = [
+        fx.batch_ok,
+        fx.batch_unknown_schema,
+        fx.batch_bad_base64,
+        fx.batch_bad_json,
+        fx.batch_no_schema_field,
+        fx.batch_wrong_envelope_schema,
+        fx.batch_invalid_data,
+        fx.batch_missing_kinesis_data,
+    ]
+    rng = random.Random(20240814)
+    for trial in range(3):
+        rows = []
+        for maker in makers:
+            for _ in range(rng.randint(0, 3)):
+                rows.extend(maker())
+        if not rows:
+            rows = fx.batch_ok()
+        rng.shuffle(rows)
+        # eventIDs collide across repeated maker calls; re-key uniquely
+        # (field 4 of the envelope tuple) so set arithmetic is exact
+        rows = [
+            r[:4] + (f"ev-{trial}-{i}",) + r[5:] for i, r in enumerate(rows)
+        ]
+        all_ids = {r[4] for r in rows}
+        result = engine.process_batch(make_df(spark, rows), cache=True)
+        try:
+            routed_ids = set()
+            for df in result.routed.values():
+                routed_ids |= {r["eventID"] for r in df.select("eventID").collect()}
+            unknown_ids = {
+                r["eventID"]
+                for r in result.unknown.select("eventID").collect()
+            }
+            dead_ids = {
+                r["eventID"]
+                for r in result.dead_letter.select("eventID").collect()
+            }
+        finally:
+            result.unpersist()
+        assert routed_ids | unknown_ids | dead_ids == all_ids
+        assert not (routed_ids & unknown_ids)
+        assert not (routed_ids & dead_ids)
+        assert not (unknown_ids & dead_ids)
