@@ -23,14 +23,16 @@ format is value-exact.
 
 from __future__ import annotations
 
+import re
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kinesis_handler_spark.functions.numeric import dec_sum
+from kinesis_handler_spark.functions.numeric import dec, dec_sum
 from kinesis_handler_spark.functions.text import normalize_text
+from kinesis_handler_spark.io.bucketing import read_bucketed, write_bucketed
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
 
@@ -304,4 +306,64 @@ def source_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(line == "", F.lit(0)).otherwise(F.ascii(line)))
         .cast("bigint")
         .alias("sum_first_code"),
+    )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6)))
+                  AS DECIMAL(38,6)) AS DOUBLE) AS total_spent
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact join + same-key aggregation: orders and
+    customer are written ONCE per session as external tables bucketed 8
+    ways on the customer key (`io/bucketing.py` — the shuffle paid at
+    ingest), then the join runs bucket-to-bucket and the per-customer
+    aggregation reuses the same clustering — NO hash-partitioning
+    exchange anywhere in the query (pinned by
+    `tests/test_bucketing.py`; this declared query adds the end-to-end
+    value check vs the plain-join oracle).  This is the 100 TB answer
+    to repeated fact⋈fact joins on a stable key: at ingest-time cost,
+    every downstream join/groupBy on that key skips its shuffle."""
+    sf_tag = re.sub(r"[^A-Za-z0-9]", "_", Path(sf_dir).name)
+    base = _REPO_ROOT / ".fixture_cache" / Path(sf_dir).name
+    ob, cb = f"orders_bkt_{sf_tag}", f"customer_bkt_{sf_tag}"
+    if not spark.catalog.tableExists(ob):
+        write_bucketed(
+            table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            ),
+            ob,
+            ["o_custkey"],
+            8,
+            path=str(base / "orders_bkt"),
+            sort_cols=["o_custkey"],
+        )
+    if not spark.catalog.tableExists(cb):
+        write_bucketed(
+            table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+            cb,
+            ["c_custkey"],
+            8,
+            path=str(base / "customer_bkt"),
+            sort_cols=["c_custkey"],
+        )
+    o = read_bucketed(spark, ob)
+    c = read_bucketed(spark, cb)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(dec("o_totalprice"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("total_spent"),
+        )
     )

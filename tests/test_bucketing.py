@@ -76,3 +76,18 @@ def test_bucketed_groupby_has_no_shuffle(spark, sf_dir, tmp_path):
         assert "Exchange hashpartitioning" not in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_gb")
+
+
+def test_declared_bucketed_query_joins_and_aggregates_without_exchange(
+    spark, sf_dir, no_broadcast
+):
+    # The declared-query surface of the same capability
+    # (join_bucketed_colocated): join AND per-customer aggregation must
+    # both ride the bucket clustering - no hash-partitioning exchange
+    # in the whole plan.
+    import kinesis_handler_spark.queries  # noqa: F401
+    from kinesis_handler_spark.registry import QUERIES
+
+    df = QUERIES["join_bucketed_colocated"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
