@@ -356,9 +356,14 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     o = read_bucketed(spark, ob)
     c = read_bucketed(spark, cb)
+    # Group on the PROBE-side bucket column (o_custkey — equal to
+    # c_custkey under the inner join): HashPartitioning(o_custkey)
+    # satisfies the aggregate's clustering requirement, so the agg
+    # rides the bucket layout with no exchange even when the planner
+    # picks a broadcast join for the small dim at low SF.
     return (
         c.join(o, c.c_custkey == o.o_custkey)
-        .groupBy("c_custkey", "c_name")
+        .groupBy(o.o_custkey.alias("c_custkey"), c.c_name)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
             F.sum(dec("o_totalprice"))
