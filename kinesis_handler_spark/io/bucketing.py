@@ -45,6 +45,53 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def ensure_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    *,
+    path: str,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Idempotent, reuse-friendly variant of :func:`write_bucketed`.
+
+    The catalog is per-session but the bucket FILES are not: a fresh
+    session whose catalog lacks ``table_name`` must not blindly
+    overwrite ``path`` — a concurrent session may be mid-scan over
+    those files (overwrite deletes them under the reader), and at 100 TB
+    re-bucketing an already-bucketed table repays the ingest shuffle
+    for nothing.  So: files already complete (``_SUCCESS``) → register
+    an external bucketed table over them via DDL; otherwise write them.
+    The DDL declares the same bucket spec the files were written with,
+    which is what makes the metadata trustworthy.
+    """
+    if spark.catalog.tableExists(table_name):
+        return
+    from pathlib import Path
+
+    if (Path(path) / "_SUCCESS").exists():
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        bcols = ", ".join(f"`{c}`" for c in bucket_cols)
+        sorted_by = (
+            f"SORTED BY ({', '.join(f'`{c}`' for c in sort_cols)}) "
+            if sort_cols
+            else ""
+        )
+        spark.sql(
+            f"CREATE TABLE `{table_name}` ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({bcols}) {sorted_by}INTO {n_buckets} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+        return
+    write_bucketed(
+        df, table_name, bucket_cols, n_buckets, path=path, sort_cols=sort_cols
+    )
+
+
 def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     """Bucketed reads go through the catalog — ``spark.read.parquet``
     on the files would discard bucket metadata (and re-shuffle)."""

@@ -32,7 +32,7 @@ from pyspark.sql import types as T
 
 from kinesis_handler_spark.functions.numeric import dec, dec_sum
 from kinesis_handler_spark.functions.text import normalize_text
-from kinesis_handler_spark.io.bucketing import read_bucketed, write_bucketed
+from kinesis_handler_spark.io.bucketing import ensure_bucketed, read_bucketed
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
 
@@ -334,26 +334,26 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = re.sub(r"[^A-Za-z0-9]", "_", Path(sf_dir).name)
     base = _REPO_ROOT / ".fixture_cache" / Path(sf_dir).name
     ob, cb = f"orders_bkt_{sf_tag}", f"customer_bkt_{sf_tag}"
-    if not spark.catalog.tableExists(ob):
-        write_bucketed(
-            table(spark, sf_dir, "orders").select(
-                "o_orderkey", "o_custkey", "o_totalprice"
-            ),
-            ob,
-            ["o_custkey"],
-            8,
-            path=str(base / "orders_bkt"),
-            sort_cols=["o_custkey"],
-        )
-    if not spark.catalog.tableExists(cb):
-        write_bucketed(
-            table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
-            cb,
-            ["c_custkey"],
-            8,
-            path=str(base / "customer_bkt"),
-            sort_cols=["c_custkey"],
-        )
+    ensure_bucketed(
+        spark,
+        table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        ob,
+        ["o_custkey"],
+        8,
+        path=str(base / "orders_bkt"),
+        sort_cols=["o_custkey"],
+    )
+    ensure_bucketed(
+        spark,
+        table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+        cb,
+        ["c_custkey"],
+        8,
+        path=str(base / "customer_bkt"),
+        sort_cols=["c_custkey"],
+    )
     o = read_bucketed(spark, ob)
     c = read_bucketed(spark, cb)
     # Group on the PROBE-side bucket column (o_custkey — equal to

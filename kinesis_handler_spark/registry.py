@@ -126,7 +126,9 @@ _FRONT = [
     "json_extract_props",  # last driver-green r1 (stalest)
     "validate_predicate",  # last driver-green r1 (stalest)
     "scalar_date",  # last driver-green r1 (stalest)
-    "scalar_math",  # last driver-green r1 (stalest)
+    # scalar_math (r1-stale, locally green at 3 SFs) yields its slot to the
+    # latest never-checked query; it rotates back in r6.
+    "join_bucketed_colocated",  # added latest r5, never driver-checked
     "join_multi_star",  # broadcast hint removed this round - re-verify
     "agg_promo_share",  # broadcast hint removed this round - re-verify
     "filter_disjunctive",  # broadcast hint removed this round - re-verify
