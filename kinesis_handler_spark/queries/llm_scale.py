@@ -341,7 +341,14 @@ def _assign_gemm(
     cell id via stable argsort over cell-ascending centroid order."""
     import numpy as np
 
+    out_schema = "vec_id BIGINT, qvec ARRAY<BIGINT>, cell INT, rank INT"
     cent = centroids.orderBy("cell").collect()
+    if not cent:
+        # Empty corpus ⇒ no centroids ⇒ no assignments.  np.stack of an
+        # empty list raises; the total answer is an empty frame (pinned
+        # by tests/test_empty_input.py — a pruned-to-zero slice must not
+        # kill the job).
+        return vectors.sparkSession.createDataFrame([], out_schema)
     cells_arr = np.array([r["cell"] for r in cent], dtype=np.int32)
     cmat = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in cent])
     cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
@@ -375,9 +382,7 @@ def _assign_gemm(
                 }
             )
 
-    return vectors.mapInPandas(
-        fn, "vec_id BIGINT, qvec ARRAY<BIGINT>, cell INT, rank INT"
-    )
+    return vectors.mapInPandas(fn, out_schema)
 
 
 def _ivf_assign(qv: DataFrame, n_cells: int, n_probe: int) -> DataFrame:

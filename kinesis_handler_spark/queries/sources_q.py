@@ -255,7 +255,12 @@ def source_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _materialize(
         src, sf_dir, "lineitem_by_year", "parquet", partition_by="ship_year"
     )
-    df = spark.read.parquet(path).filter(F.col("ship_year") == 1996)
+    # Explicit schema on the read-back: schema inference needs at least
+    # one data file, and a filter that prunes the source to ZERO rows
+    # leaves the partitioned write empty — the read must stay total.
+    df = spark.read.schema(src.schema).parquet(path).filter(
+        F.col("ship_year") == 1996
+    )
     return df.groupBy(
         F.month("l_shipdate").cast("int").alias("month")
     ).agg(
