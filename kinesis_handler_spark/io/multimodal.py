@@ -144,7 +144,11 @@ def make_multimodal_df(
     stand in for media blobs (deterministic), with a typed meta struct.
     At 100 TB the same shape comes straight off parquet with real blobs.
     """
-    d = table(spark, sf_dir, "documents")
+    # Dirty-data contract (tests/test_null_input.py): no id or no text
+    # ⇒ no media blob to build — drop, as the matching oracles do.
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
     return d.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("content"),
@@ -264,7 +268,11 @@ def make_headered_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``make_multimodal_df``'s opaque blobs, these bytes carry structure
     the engine can sniff without any codec library — the header-probe
     stage every multimodal ingest runs BEFORE deciding to decode."""
-    d = table(spark, sf_dir, "documents")
+    # Dirty-data contract (tests/test_null_input.py): no id or no text
+    # ⇒ no media blob to build — drop, as the matching oracles do.
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
 
     def be4(col: F.Column) -> F.Column:
         return F.unhex(F.lpad(F.hex(col), 8, "0"))
@@ -307,7 +315,13 @@ def make_bmp_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs never touch the driver)."""
     import struct
 
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    # Dirty-data contract (tests/test_null_input.py): a NULL doc_id has
+    # no derivable media — drop it; matching oracles filter identically.
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
 
     def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         stride = (BMP_W * 3 + 3) // 4 * 4
@@ -381,7 +395,13 @@ def make_wav_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncompressed audio container, decodable with numpy alone."""
     import struct
 
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    # Dirty-data contract (tests/test_null_input.py): a NULL doc_id has
+    # no derivable media — drop it; matching oracles filter identically.
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
 
     def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -489,7 +509,13 @@ def make_png_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     import struct
     import zlib as _zlib
 
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    # Dirty-data contract (tests/test_null_input.py): a NULL doc_id has
+    # no derivable media — drop it; matching oracles filter identically.
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
 
     def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bpp = 3

@@ -432,6 +432,19 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # ---------------------------------------------------------------------------
 
+def _clean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding rows with a NULL vec_id or NULL vector dropped — the
+    dirty-data contract for the vector operators (a failed upstream
+    embed job writes NULL vectors; the Arrow GEMM kernels np.stack
+    fixed-dimension matrices, so one NULL row would kill the job —
+    pinned by tests/test_null_input.py).  Oracle-backed consumers
+    filter identically in SQL so hash checks stay aligned on dirty
+    fixtures."""
+    return table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+
+
 def _quantized(col: str = "embedding"):
     """Embedding → exact integer vector (×1000, round-half-away —
     identical in Spark and DuckDB), making dot products order-independent

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kinesis_handler_spark.queries.llm import _quantized
+from kinesis_handler_spark.queries.llm import _clean_embeddings, _quantized
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
 
@@ -100,6 +100,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))) AS v,
              unnest(generate_series(1, len(embedding))) AS pos
       FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
     ),
     norms AS (SELECT vec_id, SUM(v * v) AS n2 FROM qv GROUP BY vec_id),
     dots AS (
@@ -139,7 +140,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate tier.  The 100 TB default is ``dedup_embedding_ann``:
     IVF-cell candidate generation + the same exact GEMM within cells,
     sub-quadratic candidate volume at a measured recall."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _clean_embeddings(spark, sf_dir)
     qv = emb.select("vec_id", _quantized().alias("qvec"))
     n_blocks = 16
     blocks = (
@@ -222,7 +223,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     n_tables = 12
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _clean_embeddings(spark, sf_dir)
     qv = emb.select("vec_id", _quantized().alias("qvec"))
     n = qv.count()
     # r = log2(N) - 3: expected bucket ≈ 8 vectors, so per-table
@@ -449,7 +450,7 @@ def _sim_ann_ivf_impl(
     """Shared IVF ANN pipeline — see ``sim_ann_ivf`` (cheap tier,
     nprobe=5) and ``sim_ann_ivf_search`` (search tier, nprobe=16) for
     the declared configs and the recall/cost trade they pin."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _clean_embeddings(spark, sf_dir)
     qv = emb.select("vec_id", _quantized().alias("qvec"))
     # An IVF build knows its corpus size; one count against the (tiny)
     # embeddings scan prices K. At 100 TB you'd read this from table stats.
@@ -568,7 +569,7 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
       nprobe²·N^1.5 for K=√N, vs N² all-pairs (measured 2.7-11× fewer
       candidates at sf0.01-0.1)."""
     tau, n_probe = 0.45, 4
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _clean_embeddings(spark, sf_dir)
     qv = emb.select("vec_id", _quantized().alias("qvec"))
     n_cells = _ivf_cells(qv.count())
 
@@ -628,6 +629,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
              hex(encode(text)) AS h,
              octet_length(encode(text)) AS plen
       FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
     ),
     heads AS (
       SELECT doc_id, plen,
@@ -722,6 +724,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
                AS max_abs
       FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
     ),
     s AS (
       SELECT vec_id, n_dims,
@@ -736,6 +739,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 x -> CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS BIGINT)))
              AS BIGINT) AS q_max
     FROM embeddings e JOIN s ON e.vec_id = s.vec_id
+    WHERE e.embedding IS NOT NULL
     """,
 )
 def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -756,7 +760,7 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions — the same float64 op chain, vectorized (HOF form
     measured ~6× slower at sf0.1; this repo's standing rule that
     dense array math goes through Arrow+numpy)."""
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _clean_embeddings(spark, sf_dir).select("vec_id", "embedding")
 
     def quantize(batches):
         import numpy as np
@@ -794,6 +798,7 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(64 + (doc_id * 7) % 192 AS INTEGER) AS height,
            CAST(16 + octet_length(encode(text)) AS BIGINT) AS n_bytes
     FROM documents
+    WHERE doc_id IS NOT NULL AND text IS NOT NULL
     """,
 )
 def multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -853,6 +858,7 @@ FROM (
                         x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))
            AS q
   FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
 )"""
 
 
@@ -874,7 +880,7 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes — cheaper than shipping a broadcast, no driver-side job to
     probe the dimension, and an empty input simply yields nothing):
     no shuffle, embarrassingly parallel."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _clean_embeddings(spark, sf_dir)
     qv = emb.select("vec_id", _quantized().alias("q"))
 
     def project(batches):
@@ -922,6 +928,7 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS BIGINT) AS sum_b,
            CAST((doc_id*7) % 256 AS INTEGER) AS p00_r
     FROM documents
+    WHERE doc_id IS NOT NULL
     """,
 )
 def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -992,6 +999,7 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS INTEGER) AS min_amp,
            CAST(((doc_id*31) % 65536) - 32768 AS INTEGER) AS s0
     FROM documents
+    WHERE doc_id IS NOT NULL
     """,
 )
 def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1058,6 +1066,7 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((doc_id*11 + 11*7 + 7*13 + 10) % 256 AS INTEGER)
              AS p_last_b
     FROM documents
+    WHERE doc_id IS NOT NULL
     """,
 )
 def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1122,6 +1131,7 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, i,
              ((i % 6) * 2)     AS x0, ((i // 6) * 2) AS y0
       FROM documents, unnest(generate_series(0, 23)) AS t(i)
+      WHERE doc_id IS NOT NULL
     ),
     v AS (
       SELECT doc_id, i,

@@ -263,10 +263,12 @@ def events_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_id, e.event_type, e.value,
            (e.value - m.s1 / m.n)
-             / sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1)) AS z
+             / NULLIF(sqrt((m.s2 - m.s1 * m.s1 / m.n)
+                           / NULLIF(m.n - 1, 0)), 0) AS z
     FROM events e JOIN m ON m.event_type = e.event_type
     WHERE abs((e.value - m.s1 / m.n)
-              / sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1))) > 2.5
+              / NULLIF(sqrt((m.s2 - m.s1 * m.s1 / m.n)
+                            / NULLIF(m.n - 1, 0)), 0)) > 2.5
     """,
 )
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,7 +292,18 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.sum(v * v)).cast("decimal(38,0)").cast("double").alias("s2"),
     )
     mean = F.col("s1") / F.col("n")
-    sd = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1))
+    # NULLIF guards (identical in the oracle): a singleton group has
+    # n-1 = 0 and a constant group has sd = 0 — Spark's ANSI divide
+    # raises on BOTH (doubles included, unlike IEEE), so dirty slices
+    # would kill the job.  NULL z-scores fall out of the > 2.5 filter
+    # the same way in both engines.
+    sd = F.nullif(
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / F.nullif(F.col("n") - 1, F.lit(0.0))
+        ),
+        F.lit(0.0),
+    )
     z = (F.col("value") - mean) / sd
     return (
         e.join(F.broadcast(m), "event_type")

@@ -1,0 +1,76 @@
+"""Totality on NULL-riddled input: every declared query must EXECUTE
+against a twin corpus where rows carry NULLs in every non-leading
+column — including NULL text, NULL embeddings, and NULL join keys.
+
+Why this matters at 100 TB: real corpora are dirty.  A failed upstream
+embed job writes NULL vectors; a scraper writes NULL text; a malformed
+event has a NULL key.  One such row must not kill a 1000-executor job —
+an operator either processes it or (documented, e.g. undecodable-row
+drop) filters it, but it never raises.
+
+The twin is built from real sf0.001 rows (so every query still sees
+plausible data) plus, per table, five rows with all non-leading columns
+NULLed and three rows entirely NULL.  Values are NOT pinned here — the
+oracle suite owns values (and its determinism rules require impl and
+oracle to agree on NULL handling); this suite pins execution only.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kinesis_handler_spark.registry import all_queries
+
+_NULLS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".fixture_cache",
+    "sf_nulls",
+)
+
+_QUERIES = all_queries()
+
+
+@pytest.fixture(scope="session")
+def nulls_dir(spark) -> str:
+    from pyspark.sql import functions as F
+
+    from kinesis_handler_spark.tables import TABLES
+
+    marker = os.path.join(_NULLS_DIR, "_TWIN_COMPLETE")
+    if not os.path.exists(marker):
+        src = os.environ.get("KHS_TEST_SF_DIR", "/root/testdata/sf0.001")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        for name in TABLES:
+            raw = spark.read.parquet(f"{src}/{name}.parquet")
+            cols = raw.columns
+            base = raw.limit(20)
+            partial = base.limit(5).select(
+                cols[0],
+                *[
+                    F.lit(None).cast(dict(raw.dtypes)[c]).alias(c)
+                    for c in cols[1:]
+                ],
+            )
+            full = base.limit(3).select(
+                *[
+                    F.lit(None).cast(dict(raw.dtypes)[c]).alias(c)
+                    for c in cols
+                ]
+            )
+            base.unionByName(partial).unionByName(full).coalesce(
+                1
+            ).write.mode("overwrite").parquet(
+                os.path.join(_NULLS_DIR, f"{name}.parquet")
+            )
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return _NULLS_DIR
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_total_on_null_input(spark, nulls_dir, name):
+    df = _QUERIES[name](spark, nulls_dir)
+    n = df.count()
+    assert n >= 0
