@@ -439,9 +439,20 @@ def _clean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-dimension matrices, so one NULL row would kill the job —
     pinned by tests/test_null_input.py).  Oracle-backed consumers
     filter identically in SQL so hash checks stay aligned on dirty
-    fixtures."""
+    fixtures.
+
+    Beyond NULLs, the kernels need FIXED-dimension, fully-populated
+    vectors (np.stack builds an N×dim matrix): rows whose vector is not
+    exactly ``EMBEDDING_DIM`` long, or that carry NULL elements, are
+    dropped too — a truncated/over-long/hole-y vector is a failed embed
+    job's output, not a query input."""
+    from kinesis_handler_spark.tables import EMBEDDING_DIM
+
     return table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") == EMBEDDING_DIM)
+        & ~F.exists("embedding", lambda x: x.isNull())
     )
 
 

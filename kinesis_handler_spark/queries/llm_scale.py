@@ -101,6 +101,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(generate_series(1, len(embedding))) AS pos
       FROM embeddings
       WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND len(embedding) = 64
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     norms AS (SELECT vec_id, SUM(v * v) AS n2 FROM qv GROUP BY vec_id),
     dots AS (
@@ -725,6 +727,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS max_abs
       FROM embeddings
       WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND len(embedding) = 64
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     s AS (
       SELECT vec_id, n_dims,
@@ -859,6 +863,8 @@ FROM (
            AS q
   FROM embeddings
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND len(embedding) = 64
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
 )"""
 
 

@@ -29,6 +29,14 @@ TABLES = (
 # and nation are bounded by geography, not data volume).
 ALWAYS_BROADCAST = frozenset({"region", "nation"})
 
+# Declared dimension of the embeddings table — catalog metadata, the same
+# way a real lakehouse records it in table properties.  The vector
+# kernels (numpy GEMMs over fixed-dimension matrices) filter rows to
+# this dimension rather than trusting every row (tests/test_null_input.py:
+# a truncated or over-long vector from a failed embed job must be
+# dropped, not crash np.stack).
+EMBEDDING_DIM = 64
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy parquet scan).

@@ -74,3 +74,67 @@ def test_query_total_on_null_input(spark, nulls_dir, name):
     df = _QUERIES[name](spark, nulls_dir)
     n = df.count()
     assert n >= 0
+
+
+# Every query that consumes the embeddings table, kernel- or JVM-side.
+_VECTOR_QUERIES = [
+    "dedup_embedding_cosine",
+    "dedup_embedding_ann",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_ann_ivf_search",
+    "embed_quantize",
+    "embed_random_projection",
+    "sim_cosine_topk",
+    "embed_vector_stats",
+]
+
+
+@pytest.fixture(scope="session")
+def ragged_dir(spark) -> str:
+    """Twin corpus whose embeddings table carries RAGGED vectors: an
+    empty array, a wrong-dimension array, and a vector with a NULL
+    element — the shapes a failed/partial embed job emits.  The numpy
+    kernels np.stack fixed-dimension matrices, so any one of these
+    kills an unguarded job; the contract (``_clean_embeddings``) is to
+    drop rows that violate the table's declared EMBEDDING_DIM."""
+    from pyspark.sql import functions as F
+
+    from kinesis_handler_spark.tables import TABLES
+
+    out = os.path.join(
+        os.path.dirname(_NULLS_DIR), "sf_ragged"
+    )
+    marker = os.path.join(out, "_TWIN_COMPLETE")
+    if not os.path.exists(marker):
+        src = os.environ.get("KHS_TEST_SF_DIR", "/root/testdata/sf0.001")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        for name in TABLES:
+            raw = spark.read.parquet(f"{src}/{name}.parquet")
+            if name == "embeddings":
+                base = raw.limit(30)
+                bad = base.limit(3).select(
+                    (F.col("vec_id") + 900000).alias("vec_id"),
+                    F.expr(
+                        "CASE vec_id % 3"
+                        "  WHEN 0 THEN CAST(array() AS ARRAY<FLOAT>)"
+                        "  WHEN 1 THEN slice(embedding, 1, 32)"
+                        "  ELSE transform(embedding,"
+                        "       (x, i) -> IF(i = 5, CAST(NULL AS FLOAT), x))"
+                        " END"
+                    ).alias("embedding"),
+                    "label",
+                )
+                raw = base.unionByName(bad)
+            raw.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(out, f"{name}.parquet")
+            )
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return out
+
+
+@pytest.mark.parametrize("name", _VECTOR_QUERIES)
+def test_vector_query_total_on_ragged_embeddings(spark, ragged_dir, name):
+    df = _QUERIES[name](spark, ragged_dir)
+    assert df.count() >= 0
