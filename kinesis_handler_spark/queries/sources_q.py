@@ -48,15 +48,33 @@ def _materialize(
 ) -> str:
     """Write ``df`` to ``.fixture_cache/<sf>/<name>`` in ``fmt`` once;
     subsequent calls reuse the cached copy (keyed by scale-factor dir
-    basename, and testdata is immutable)."""
+    basename, and testdata is immutable).
+
+    Concurrent-session safe: the write lands in a process-private temp
+    dir and is atomically renamed into place, so two sessions that both
+    see a cold cache can never interleave part files in the shared path
+    (the loser of the rename race discards its copy — contents are
+    deterministic, so either copy is correct)."""
+    import os
+    import shutil
+
     out = _REPO_ROOT / ".fixture_cache" / Path(sf_dir).name / name
     if not (out / "_SUCCESS").exists():
+        tmp = out.parent / f".{name}.tmp.{os.getpid()}"
         writer = df.write.mode("overwrite")
         if fmt == "csv":
             writer = writer.option("header", "true")
         if partition_by is not None:
             writer = writer.partitionBy(partition_by)
-        writer.format(fmt).save(str(out))
+        writer.format(fmt).save(str(tmp))
+        # A pre-existing dir without _SUCCESS is debris from a crashed
+        # writer (nobody writes at `out` directly anymore) — clear it.
+        if out.exists() and not (out / "_SUCCESS").exists():
+            shutil.rmtree(out, ignore_errors=True)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(str(tmp), ignore_errors=True)
     return str(out)
 
 
