@@ -1,0 +1,68 @@
+"""Build a NULL-riddled twin corpus for CROSS-ENGINE parity sweeps.
+
+tests/test_null_input.py pins that every query EXECUTES on dirty input;
+this twin goes further: it is written by DuckDB so every column keeps
+its original physical parquet type (notably events.ts stays
+TIMESTAMP_NS, which a Spark rewrite would flatten to int64), making it
+valid input for tools/check_oracle.py — i.e. the full Spark-vs-DuckDB
+hash comparison can run ON DIRTY DATA.  A mismatch there is a genuine
+impl/oracle NULL-semantics drift (the ADVICE round-4 drift class), not
+a fixture artifact.
+
+Per table: 20 real rows + 5 rows with every non-leading column NULL +
+3 all-NULL rows.
+
+Usage: PYTHONPATH=. python tools/make_dirty_twin.py [src_sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+from kinesis_handler_spark.tables import TABLES
+
+
+def build(src: str, out: str) -> None:
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{src}/{t}.parquet"
+        cols = con.execute(f"DESCRIBE SELECT * FROM '{path}'").fetchall()
+        names = [c[0] for c in cols]
+        types = {c[0]: c[1] for c in cols}
+        all_null = ", ".join(
+            f'CAST(NULL AS {types[c]}) AS "{c}"' for c in names
+        )
+        partial = ", ".join(
+            [f'"{names[0]}"']
+            + [f'CAST(NULL AS {types[c]}) AS "{c}"' for c in names[1:]]
+        )
+        con.execute(
+            f"""
+            COPY (
+              (SELECT * FROM '{path}' LIMIT 20)
+              UNION ALL BY NAME
+              (SELECT {partial} FROM '{path}' LIMIT 5)
+              UNION ALL BY NAME
+              (SELECT {all_null} FROM range(3))
+            ) TO '{out}/{t}.parquet' (FORMAT PARQUET)
+            """
+        )
+    print(f"dirty twin written to {out}")
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".fixture_cache",
+            "sf_dirty",
+        )
+    )
+    build(src, out)
