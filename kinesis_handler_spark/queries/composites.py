@@ -227,7 +227,8 @@ def events_daily_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_mktsegment, c_custkey,
              row_number() OVER (
                PARTITION BY c_mktsegment
-               ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey
+               ORDER BY md5(CAST(c_custkey AS VARCHAR)) NULLS LAST,
+                        c_custkey NULLS LAST
              ) AS rn
       FROM customer
     )
@@ -247,7 +248,8 @@ def sample_uniform_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scalable per-key reservoir."""
     c = table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(
-        F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")
+        F.md5(F.col("c_custkey").cast("string")).asc_nulls_last(),
+        F.col("c_custkey").asc_nulls_last(),
     )
     return (
         c.select(

@@ -29,13 +29,15 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
     SELECT event_id, user_id,
            CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > {SESSION_GAP_US}
                          THEN 1 ELSE 0 END)
-                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  OVER (PARTITION BY user_id
+                        ORDER BY ts NULLS LAST, event_id NULLS LAST
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS BIGINT) AS session_seq
     FROM (
       SELECT event_id, user_id, ts,
              epoch_us(ts) - LAG(epoch_us(ts))
-               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+               OVER (PARTITION BY user_id
+                     ORDER BY ts NULLS LAST, event_id NULLS LAST) AS gap_us
       FROM events
     ) t
     """,
@@ -47,7 +49,9 @@ def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap-and-island rewrite).  ONE shuffle on user_id serves both windows;
     gaps are exact integer microseconds.  At scale this is the batch twin
     of ``streaming.windows.session_aggregate``."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     us = F.unix_micros(F.col("ts"))
     gap = us - F.lag(us).over(w)
@@ -297,6 +301,7 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
              AS total_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY date_trunc('day', ts), event_type
     """,
 )
@@ -308,7 +313,7 @@ def window_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1-day tumbling == day truncation for epoch-aligned windows).
     Shuffles once on (window, event_type); decimal sums keep the
     aggregate order-independent."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(

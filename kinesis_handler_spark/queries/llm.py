@@ -602,7 +602,16 @@ def udf_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("string")
     def routed_tag(event_type: pd.Series, user_id: pd.Series) -> pd.Series:
-        return event_type.str.upper() + ":" + user_id.astype("int64").astype(str)
+        # NULL-propagating like the oracle's || chain: a NULL in either
+        # input yields NULL (and astype("int64") on NaN would raise).
+        mask = event_type.notna() & user_id.notna()
+        out = pd.Series([None] * len(event_type), dtype=object)
+        out[mask] = (
+            event_type[mask].str.upper()
+            + ":"
+            + user_id[mask].astype("int64").astype(str)
+        )
+        return out
 
     e = table(spark, sf_dir, "events").filter(F.col("event_id") % 6 == 0)
     return e.select(

@@ -1133,27 +1133,26 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_resize",
     oracle="""
-    WITH px AS (
-      SELECT doc_id, i,
-             ((i % 6) * 2)     AS x0, ((i // 6) * 2) AS y0
-      FROM documents, unnest(generate_series(0, 23)) AS t(i)
+    -- per-ROW list_transform, not unnest + GROUP BY doc_id: the impl
+    -- emits one output row per input media row, so duplicate doc_ids
+    -- must stay duplicated, which a GROUP BY would collapse.
+    WITH r AS (
+      SELECT doc_id,
+             list_transform(range(0, 24), i ->
+               (( (doc_id*11 + ((i%6)*2)*7     + ((i//6)*2)*13)     % 256
+                + (doc_id*11 + ((i%6)*2+1)*7   + ((i//6)*2)*13)     % 256
+                + (doc_id*11 + ((i%6)*2)*7     + ((i//6)*2+1)*13)   % 256
+                + (doc_id*11 + ((i%6)*2+1)*7   + ((i//6)*2+1)*13)   % 256
+               ) // 4)) AS rs
+      FROM documents
       WHERE doc_id IS NOT NULL
-    ),
-    v AS (
-      SELECT doc_id, i,
-             ((doc_id*11 + x0*7     + y0*13)     % 256
-            + (doc_id*11 + (x0+1)*7 + y0*13)     % 256
-            + (doc_id*11 + x0*7     + (y0+1)*13) % 256
-            + (doc_id*11 + (x0+1)*7 + (y0+1)*13) % 256) // 4 AS r
-      FROM px
     )
     SELECT doc_id AS media_id,
            6 AS out_w, 4 AS out_h,
-           CAST(SUM(r) AS BIGINT) AS sum_r_small,
-           CAST(MAX(CASE WHEN i = 0 THEN r END) AS INTEGER) AS p00_r_small,
-           CAST(MAX(CASE WHEN i = 23 THEN r END) AS INTEGER)
-             AS p_last_r_small
-    FROM v GROUP BY doc_id
+           CAST(list_sum(rs) AS BIGINT) AS sum_r_small,
+           CAST(rs[1] AS INTEGER) AS p00_r_small,
+           CAST(rs[24] AS INTEGER) AS p_last_r_small
+    FROM r
     """,
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -915,7 +915,7 @@ FROM (
   SELECT c_mktsegment, c_custkey, c_acctbal,
          CAST(RANK() OVER (
            PARTITION BY c_mktsegment
-           ORDER BY c_acctbal DESC, c_custkey
+           ORDER BY c_acctbal DESC NULLS LAST, c_custkey NULLS LAST
          ) AS INTEGER) AS rnk
   FROM customer
 ) ranked

@@ -46,7 +46,11 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("c_mktsegment").alias("seg_upper"),
         F.lower("c_name").alias("name_lower"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
-        F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
+        # F.concat (not concat_ws): || is NULL-propagating on both
+        # engines, concat_ws silently skips NULL parts.
+        F.concat(F.col("c_name"), F.lit("/"), F.col("c_mktsegment")).alias(
+            "name_seg"
+        ),
         F.length("c_name").alias("name_len"),
         F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias(
             "seg_trim"
@@ -200,7 +204,7 @@ def scalar_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CAST(regexp_extract(props, '"k":\\s*(-?[0-9]+)', 1) AS INTEGER) AS k_value,
-           'k' AS first_key
+           CASE WHEN props IS NOT NULL THEN 'k' END AS first_key
     FROM events
     WHERE event_id % 9 = 0
     """,
@@ -314,7 +318,9 @@ def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         F.md5(F.col("c_name")).alias("name_md5"),
-        F.sha2(F.concat_ws("/", "c_name", "c_mktsegment"), 256).alias("keyed_sha"),
+        F.sha2(
+            F.concat(F.col("c_name"), F.lit("/"), F.col("c_mktsegment")), 256
+        ).alias("keyed_sha"),
         F.substring(F.md5(F.col("c_name")), 1, 8).alias("md5_prefix"),
     )
 

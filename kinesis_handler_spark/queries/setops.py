@@ -42,7 +42,7 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
+    ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS LAST
     LIMIT 25
     """,
 )
@@ -53,7 +53,10 @@ def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_totalprice")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .orderBy(
+            F.col("o_totalprice").desc_nulls_last(),
+            F.col("o_orderkey").asc_nulls_last(),
+        )
         .limit(25)
     )
 
@@ -130,7 +133,8 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang, source
     FROM (
       SELECT doc_id, lang, source,
-             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             ROW_NUMBER() OVER (PARTITION BY text
+                                ORDER BY doc_id NULLS LAST) AS rn
       FROM documents
     ) t
     WHERE rn = 1
@@ -141,7 +145,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (unlike dropDuplicates, which keeps an arbitrary row).
     One shuffle on the dedup key; at 100 TB hash the text first
     (sha2(text)) so the shuffle key is 32 bytes, not the document."""
-    w = Window.partitionBy("text").orderBy("doc_id")
+    w = Window.partitionBy("text").orderBy(F.col("doc_id").asc_nulls_last())
     return (
         table(spark, sf_dir, "documents")
         .select("doc_id", "lang", "source", F.row_number().over(w).alias("rn"))

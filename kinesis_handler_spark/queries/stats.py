@@ -107,10 +107,11 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically, join — order fixed explicitly because unordered
     LISTAGG output is partitioning-dependent."""
     n = table(spark, sf_dir, "nation")
+    # collect_list skips NULLs (like string_agg); an all-NULL group must
+    # yield NULL, not '' — the when() mirrors string_agg's semantics.
+    arr = F.array_sort(F.collect_list("n_name"))
     return n.groupBy("n_regionkey").agg(
-        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
-            "nations"
-        )
+        F.when(F.size(arr) > 0, F.array_join(arr, ",")).alias("nations")
     )
 
 
@@ -123,7 +124,8 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
            ROUND(CUME_DIST()    OVER w, 6) AS cume
     FROM orders
-    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice NULLS LAST, o_orderkey NULLS LAST)
     """,
 )
 def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,7 +134,8 @@ def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tie-broken by key), so the doubles are exact integer ratios."""
     o = table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
-        "o_totalprice", "o_orderkey"
+        F.col("o_totalprice").asc_nulls_last(),
+        F.col("o_orderkey").asc_nulls_last(),
     )
     return o.select(
         "o_orderkey",
@@ -146,12 +149,15 @@ def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "reshape_unpivot",
     oracle="""
-    SELECT o_orderkey, metric, value FROM (
-      SELECT o_orderkey,
-             CAST(o_totalprice AS DOUBLE) AS totalprice,
-             CAST(o_custkey AS DOUBLE) AS custkey
-      FROM orders WHERE o_orderkey < 1000
-    ) UNPIVOT (value FOR metric IN (totalprice, custkey))
+    -- UNION ALL, not DuckDB's UNPIVOT: UNPIVOT silently drops rows
+    -- whose metric value is NULL, while Spark's unpivot (and this
+    -- query's melt semantics) keep them.
+    SELECT o_orderkey, 'totalprice' AS metric,
+           CAST(o_totalprice AS DOUBLE) AS value
+    FROM orders WHERE o_orderkey < 1000
+    UNION ALL
+    SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE)
+    FROM orders WHERE o_orderkey < 1000
     """,
 )
 def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,9 +264,13 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_min_max_by",
     oracle="""
     SELECT o_orderpriority,
-           arg_max(o_orderkey, printf('%020.6f|%020d', o_totalprice, o_orderkey))
+           arg_max(o_orderkey, CASE
+               WHEN o_totalprice IS NULL OR o_orderkey IS NULL THEN NULL
+               ELSE printf('%020.6f|%020d', o_totalprice, o_orderkey) END)
              AS biggest_orderkey,
-           arg_min(o_orderkey, printf('%020.6f|%020d', o_totalprice, o_orderkey))
+           arg_min(o_orderkey, CASE
+               WHEN o_totalprice IS NULL OR o_orderkey IS NULL THEN NULL
+               ELSE printf('%020.6f|%020d', o_totalprice, o_orderkey) END)
              AS smallest_orderkey,
            max(o_totalprice) AS max_price,
            min(o_totalprice) AS min_price
@@ -278,7 +288,13 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-shuffle hash agg; max_by keeps one (key, value) pair of
     state per group."""
     o = table(spark, sf_dir, "orders")
-    ordkey = F.format_string("%020.6f|%020d", "o_totalprice", "o_orderkey")
+    # format_string renders NULL arguments as the literal string "null"
+    # (which would out-sort every digit); NULL the key instead so both
+    # engines' argmax skip rows with incomplete ordering inputs.
+    ordkey = F.when(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderkey").isNotNull(),
+        F.format_string("%020.6f|%020d", "o_totalprice", "o_orderkey"),
+    )
     return o.groupBy("o_orderpriority").agg(
         F.max_by("o_orderkey", ordkey).alias("biggest_orderkey"),
         F.min_by("o_orderkey", ordkey).alias("smallest_orderkey"),

@@ -41,6 +41,7 @@ from kinesis_handler_spark.tables import table
            COUNT(DISTINCT user_id) AS n_users,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM events, UNNEST([0, 1]) AS t(k)
+    WHERE ts IS NOT NULL
     GROUP BY 1
     """,
 )
@@ -51,7 +52,11 @@ def window_time_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
     into its two epoch-aligned day buckets with UNNEST.  One shuffle on
     the window start; the 2× row expansion happens map-side (Expand),
     which is the irreducible cost of sliding windows at any scale."""
-    e = table(spark, sf_dir, "events")
+    # Windows are defined only for timestamped rows; the explicit filter
+    # matches the oracle and pushes to the scan (F.window would silently
+    # drop NULL-ts rows anyway — making it explicit keeps both engines
+    # aligned on dirty data).
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
         .agg(
@@ -72,6 +77,7 @@ def window_time_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR ts - LAG(ts) OVER w >= INTERVAL '8' HOUR
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
     sess AS (
@@ -98,7 +104,7 @@ def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrored by the oracle's LAG comparison.  window.end is
     last-event-ts + gap on both sides.  One shuffle on (user_id,
     session); session assembly is a sort within each user partition."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.session_window("ts", "8 hours").alias("w"), "user_id")
         .agg(

@@ -372,9 +372,14 @@ def window_frame_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wu = Window.partitionBy("user_id")
     wd = Window.partitionBy("user_id", "day")
-    total = F.sum("v").over(wu)
-    day_sum = F.sum("v").over(wd)
-    v = F.col("v")
+    # SUM skips NULL values, so an excluded NULL-valued row removes
+    # nothing and an all-NULL slice totals 0 (the oracle's COALESCE) —
+    # coalesce each term so the subtraction rewrite matches the native
+    # EXCLUDE semantics on dirty data too.
+    zero = F.lit(0).cast("decimal(18,6)")
+    total = F.coalesce(F.sum("v").over(wu), zero)
+    day_sum = F.coalesce(F.sum("v").over(wd), zero)
+    v = F.coalesce(F.col("v"), zero)
     return e.select(
         "event_id",
         "user_id",

@@ -22,7 +22,8 @@ from kinesis_handler_spark.tables import table
     FROM (
       SELECT c_nationkey, c_custkey, c_acctbal,
              RANK() OVER (PARTITION BY c_nationkey
-                          ORDER BY c_acctbal DESC, c_custkey) AS rnk
+                          ORDER BY c_acctbal DESC NULLS LAST,
+                                   c_custkey NULLS LAST) AS rnk
       FROM customer
     ) t
     WHERE rnk <= 3
@@ -34,7 +35,8 @@ def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     after — Spark's WindowGroupLimit pushes the limit into the sort at
     scale."""
     w = Window.partitionBy("c_nationkey").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey")
+        F.col("c_acctbal").desc_nulls_last(),
+        F.col("c_custkey").asc_nulls_last(),
     )
     return (
         table(spark, sf_dir, "customer")
@@ -104,7 +106,8 @@ def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                                ORDER BY o_totalprice DESC NULLS LAST,
+                                         o_orderkey NULLS LAST) AS rn
       FROM orders
     ) t
     WHERE rn <= 2
@@ -114,7 +117,8 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 orders per customer — row_number + filter, the scalable
     grouped-top-k idiom (single shuffle on the group key)."""
     w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
+        F.col("o_totalprice").desc_nulls_last(),
+        F.col("o_orderkey").asc_nulls_last(),
     )
     return (
         table(spark, sf_dir, "orders")
