@@ -33,6 +33,24 @@ Cross-engine determinism rules (why oracle hashes match):
   FLOOR + integer→double is single-rounded everywhere (see
   ``agg_corr_regression``).
   ``tools/check_oracle.py`` enforces all of this type-strictly.
+
+NULL rules (dirty data must hash-match too — enforced by the dirty-twin
+parity sweep, ``tools/make_dirty_twin.py`` + ``tests/test_dirty_parity.py``):
+
+* Every ORDER BY in a window/top-k pins ``NULLS LAST`` explicitly on
+  BOTH sides: Spark defaults ascending sorts to NULLS FIRST, DuckDB to
+  NULLS LAST.
+* Event-time window queries filter ``ts IS NOT NULL`` explicitly on both
+  sides — Spark's ``window()``/``session_window`` silently drop NULL
+  timestamps, SQL date_trunc oracles don't.
+* String building uses NULL-propagating ``concat``/``||``, never
+  ``concat_ws`` (which skips NULL parts) in a hash-checked output.
+* ``format_string`` renders NULL arguments as the literal string
+  "null" — NULL-guard composite ordering keys built with it.
+* DuckDB's UNPIVOT drops NULL values; write melt oracles as UNION ALL.
+* Python kernels NULL-propagate explicitly (pandas ``astype`` raises on
+  NaN; ``np.stack`` dies on NULL/ragged vectors — see
+  ``_clean_embeddings`` and the media-builder filters).
 """
 
 from __future__ import annotations
