@@ -452,7 +452,15 @@ def _clean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").isNotNull()
         & F.col("embedding").isNotNull()
         & (F.size("embedding") == EMBEDDING_DIM)
-        & ~F.exists("embedding", lambda x: x.isNull())
+        # NULL, NaN, and ±Inf elements are all undecodable: NULL kills
+        # np.stack, NaN/Inf kill the ANSI quantize cast (CAST_OVERFLOW)
+        # and would poison every GEMM row they touch.
+        & ~F.exists(
+            "embedding",
+            lambda x: x.isNull()
+            | F.isnan(x.cast("double"))
+            | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+        )
     )
 
 
@@ -474,6 +482,10 @@ def _quantized(col: str = "embedding"):
                     x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))) AS v,
              unnest(generate_series(1, len(embedding))) AS pos
       FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND len(embedding) = 64
+        AND len(list_filter(embedding,
+              x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0
     ),
     norms AS (SELECT vec_id, SUM(v * v) AS n2 FROM qv GROUP BY vec_id),
     dots AS (
@@ -506,7 +518,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical scores across engines.  Scale path: replace the cross
     join with LSH bucketing (``sim_cosine_lsh`` planned) or IVF cells;
     the per-pair scoring kernel stays this one."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _clean_embeddings(spark, sf_dir)
     qv = emb.select(
         "vec_id",
         _quantized().alias("qvec"),

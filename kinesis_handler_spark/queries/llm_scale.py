@@ -102,7 +102,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
       WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
         AND len(embedding) = 64
-        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND len(list_filter(embedding,
+              x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0
     ),
     norms AS (SELECT vec_id, SUM(v * v) AS n2 FROM qv GROUP BY vec_id),
     dots AS (
@@ -728,7 +729,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
       WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
         AND len(embedding) = 64
-        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND len(list_filter(embedding,
+              x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0
     ),
     s AS (
       SELECT vec_id, n_dims,
@@ -864,7 +866,8 @@ FROM (
   FROM embeddings
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
         AND len(embedding) = 64
-        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND len(list_filter(embedding,
+              x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0
 )"""
 
 

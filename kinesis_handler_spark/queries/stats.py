@@ -184,8 +184,9 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_histogram",
     oracle="""
-    SELECT CAST(least(floor(o_totalprice / 50000.0), 9.0) AS INTEGER)
-             AS bucket,
+    SELECT CAST(CASE WHEN isfinite(o_totalprice)
+                     THEN least(floor(o_totalprice / 50000.0), 9.0) END
+                AS INTEGER) AS bucket,
            COUNT(*) AS n,
            min(o_totalprice) AS lo,
            max(o_totalprice) AS hi
@@ -201,8 +202,14 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — at 100 TB the map-side combine collapses each partition to
     ≤10 rows before the shuffle."""
     o = table(spark, sf_dir, "orders")
-    bucket = F.least(
-        F.floor(F.col("o_totalprice") / 50000.0), F.lit(9).cast("bigint")
+    # Non-finite prices have no bucket: floor(±Inf) is Long.MIN/MAX and
+    # the INT cast raises under ANSI — NULL-bucket them instead (the
+    # profiling-honest answer; NULL/NaN/Inf rows surface as one bucket).
+    p = F.col("o_totalprice")
+    finite = ~F.isnan(p) & (F.abs(p) != F.lit(float("inf")))
+    bucket = F.when(
+        finite,
+        F.least(F.floor(p / 50000.0), F.lit(9).cast("bigint")),
     ).cast("int")
     return (
         o.groupBy(bucket.alias("bucket"))

@@ -138,3 +138,57 @@ def ragged_dir(spark) -> str:
 def test_vector_query_total_on_ragged_embeddings(spark, ragged_dir, name):
     df = _QUERIES[name](spark, ragged_dir)
     assert df.count() >= 0
+
+
+@pytest.fixture(scope="session")
+def nan_dir(spark) -> str:
+    """Twin corpus where floating-point columns carry NaN / +Inf / -Inf
+    — corrupt-sensor values a 100 TB lake WILL contain.  Spark's ANSI
+    double→decimal cast maps non-finite to NULL (so the exact-decimal
+    aggregates treat them as undecodable measurements and skip them);
+    this twin pins that every query at least EXECUTES on them."""
+    from pyspark.sql import functions as F
+
+    from kinesis_handler_spark.tables import TABLES
+
+    out = os.path.join(os.path.dirname(_NULLS_DIR), "sf_nan")
+    marker = os.path.join(out, "_TWIN_COMPLETE")
+    if not os.path.exists(marker):
+        src = os.environ.get("KHS_TEST_SF_DIR", "/root/testdata/sf0.001")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        specials = ["double('NaN')", "double('Infinity')",
+                    "double('-Infinity')"]
+        for name in TABLES:
+            raw = spark.read.parquet(f"{src}/{name}.parquet")
+            base = raw.limit(20)
+            dtypes = dict(raw.dtypes)
+            bad = []
+            for k, special in enumerate(specials):
+                row = base.limit(k + 1).subtract(base.limit(k)).select(
+                    *[
+                        F.expr(special).cast("double").alias(c)
+                        if dtypes[c] == "double"
+                        else F.expr(
+                            f"transform({c}, x -> CAST({special} AS FLOAT))"
+                        ).alias(c)
+                        if dtypes[c] == "array<float>"
+                        else F.col(c)
+                        for c in raw.columns
+                    ]
+                )
+                bad.append(row)
+            df = base
+            for b in bad:
+                df = df.unionByName(b)
+            df.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(out, f"{name}.parquet")
+            )
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_total_on_nonfinite_floats(spark, nan_dir, name):
+    df = _QUERIES[name](spark, nan_dir)
+    assert df.count() >= 0
