@@ -448,7 +448,7 @@ def _clean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     job's output, not a query input."""
     from kinesis_handler_spark.tables import EMBEDDING_DIM
 
-    return table(spark, sf_dir, "embeddings").filter(
+    clean = table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id").isNotNull()
         & F.col("embedding").isNotNull()
         & (F.size("embedding") == EMBEDDING_DIM)
@@ -461,6 +461,19 @@ def _clean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             | F.isnan(x.cast("double"))
             | (F.abs(x.cast("double")) == F.lit(float("inf"))),
         )
+    )
+    # vec_id is the table's KEY: a re-run ingest job writes duplicate
+    # rows, and a duplicated key double-counts norms / explodes key
+    # joins in anything downstream.  Keep one row per vec_id (rank=1
+    # compiles to WindowGroupLimit — one row of state per key; at
+    # 100 TB enforce uniqueness once at ingest instead and drop this).
+    # Oracles mirror with QUALIFY row_number() OVER (PARTITION BY
+    # vec_id ...) = 1.
+    w = Window.partitionBy("vec_id").orderBy("vec_id")
+    return (
+        clean.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 
@@ -481,11 +494,13 @@ def _quantized(col: str = "embedding"):
              unnest(list_transform(embedding,
                     x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))) AS v,
              unnest(generate_series(1, len(embedding))) AS pos
-      FROM embeddings
-      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
-        AND len(embedding) = 64
-        AND len(list_filter(embedding,
-              x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0
+      FROM (SELECT * FROM embeddings
+            WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+              AND len(embedding) = 64
+              AND len(list_filter(embedding,
+                    x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY vec_id) = 1)
     ),
     norms AS (SELECT vec_id, SUM(v * v) AS n2 FROM qv GROUP BY vec_id),
     dots AS (

@@ -99,11 +99,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(list_transform(embedding,
                     x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))) AS v,
              unnest(generate_series(1, len(embedding))) AS pos
-      FROM embeddings
-      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
-        AND len(embedding) = 64
-        AND len(list_filter(embedding,
-              x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0
+      FROM (SELECT * FROM embeddings
+            WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+              AND len(embedding) = 64
+              AND len(list_filter(embedding,
+                    x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY vec_id) = 1)
     ),
     norms AS (SELECT vec_id, SUM(v * v) AS n2 FROM qv GROUP BY vec_id),
     dots AS (
@@ -721,8 +723,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embed_quantize",
     oracle="""
+    -- embedding rides THROUGH the CTEs (no join back to the raw scan):
+    -- a join on vec_id would re-explode duplicate keys the clean
+    -- loader deduplicates.
     WITH q AS (
-      SELECT vec_id,
+      SELECT vec_id, embedding,
              CAST(len(embedding) AS INTEGER) AS n_dims,
              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
                AS max_abs
@@ -731,21 +736,21 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND len(embedding) = 64
         AND len(list_filter(embedding,
               x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY vec_id) = 1
     ),
     s AS (
-      SELECT vec_id, n_dims,
+      SELECT vec_id, embedding, n_dims,
              CASE WHEN max_abs = 0.0 THEN 1.0 ELSE max_abs / 127.0 END AS scale
       FROM q
     )
-    SELECT e.vec_id, s.n_dims, s.scale,
-           CAST(list_sum(list_transform(e.embedding,
-                x -> CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS BIGINT)))
+    SELECT vec_id, n_dims, scale,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)))
              AS BIGINT) AS q_checksum,
-           CAST(list_max(list_transform(e.embedding,
-                x -> CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS BIGINT)))
+           CAST(list_max(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)))
              AS BIGINT) AS q_max
-    FROM embeddings e JOIN s ON e.vec_id = s.vec_id
-    WHERE e.embedding IS NOT NULL
+    FROM s
     """,
 )
 def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -868,6 +873,7 @@ FROM (
         AND len(embedding) = 64
         AND len(list_filter(embedding,
               x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY vec_id) = 1
 )"""
 
 

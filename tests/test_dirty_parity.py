@@ -75,3 +75,32 @@ def test_once_drifted_queries_stay_aligned_on_dirty_data(dirty_twin):
 @pytest.mark.slow
 def test_full_suite_parity_on_dirty_data(dirty_twin):
     _sweep(dirty_twin, [])
+
+
+@pytest.fixture(scope="session")
+def dup_twin() -> str:
+    """Twin with the first five rows of every table duplicated verbatim
+    — catches per-row-impl vs GROUP-BY-oracle drift and operators that
+    quietly assume key uniqueness (first sweep: three vector queries
+    whose oracles keyed on a then-non-unique vec_id)."""
+    out = os.path.join(_REPO, ".fixture_cache", "sf_dup")
+    if not os.path.exists(os.path.join(out, "events.parquet")):
+        from tools.make_dirty_twin import build
+
+        build("/root/testdata/sf0.001", out, "dups")
+    return out
+
+
+ONCE_DRIFTED_ON_DUPS = [
+    "dedup_embedding_cosine", "embed_quantize", "sim_cosine_topk",
+    "embed_random_projection", "multimodal_resize",
+]
+
+
+def test_once_drifted_queries_stay_aligned_on_duplicate_keys(dup_twin):
+    _sweep(dup_twin, ONCE_DRIFTED_ON_DUPS)
+
+
+@pytest.mark.slow
+def test_full_suite_parity_on_duplicate_keys(dup_twin):
+    _sweep(dup_twin, [])

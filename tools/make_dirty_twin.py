@@ -9,10 +9,17 @@ hash comparison can run ON DIRTY DATA.  A mismatch there is a genuine
 impl/oracle NULL-semantics drift (the ADVICE round-4 drift class), not
 a fixture artifact.
 
-Per table: 20 real rows + 5 rows with every non-leading column NULL +
-3 all-NULL rows.
+Modes (second positional arg of :func:`build`):
 
-Usage: PYTHONPATH=. python tools/make_dirty_twin.py [src_sf_dir] [out_dir]
+* ``nulls`` (default) — per table: 20 real rows + 5 rows with every
+  non-leading column NULL + 3 all-NULL rows.
+* ``dups`` — per table: 20 real rows + the first 5 duplicated verbatim
+  (twice more).  Catches per-row-impl vs GROUP-BY-oracle drift (an
+  oracle that aggregates away duplicate keys the implementation keeps —
+  the ``multimodal_resize`` round-5 find) and any operator that quietly
+  assumes key uniqueness.
+
+Usage: PYTHONPATH=. python tools/make_dirty_twin.py [src_sf_dir] [out_dir] [mode]
 """
 
 from __future__ import annotations
@@ -25,7 +32,7 @@ import duckdb
 from kinesis_handler_spark.tables import TABLES
 
 
-def build(src: str, out: str) -> None:
+def build(src: str, out: str, mode: str = "nulls") -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for t in TABLES:
@@ -33,25 +40,33 @@ def build(src: str, out: str) -> None:
         cols = con.execute(f"DESCRIBE SELECT * FROM '{path}'").fetchall()
         names = [c[0] for c in cols]
         types = {c[0]: c[1] for c in cols}
-        all_null = ", ".join(
-            f'CAST(NULL AS {types[c]}) AS "{c}"' for c in names
-        )
-        partial = ", ".join(
-            [f'"{names[0]}"']
-            + [f'CAST(NULL AS {types[c]}) AS "{c}"' for c in names[1:]]
-        )
-        con.execute(
-            f"""
-            COPY (
+        if mode == "dups":
+            body = f"""
+              (SELECT * FROM '{path}' LIMIT 20)
+              UNION ALL BY NAME
+              (SELECT * FROM '{path}' LIMIT 5)
+              UNION ALL BY NAME
+              (SELECT * FROM '{path}' LIMIT 5)
+            """
+        else:
+            all_null = ", ".join(
+                f'CAST(NULL AS {types[c]}) AS "{c}"' for c in names
+            )
+            partial = ", ".join(
+                [f'"{names[0]}"']
+                + [f'CAST(NULL AS {types[c]}) AS "{c}"' for c in names[1:]]
+            )
+            body = f"""
               (SELECT * FROM '{path}' LIMIT 20)
               UNION ALL BY NAME
               (SELECT {partial} FROM '{path}' LIMIT 5)
               UNION ALL BY NAME
               (SELECT {all_null} FROM range(3))
-            ) TO '{out}/{t}.parquet' (FORMAT PARQUET)
             """
+        con.execute(
+            f"COPY ({body}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         )
-    print(f"dirty twin written to {out}")
+    print(f"dirty twin ({mode}) written to {out}")
 
 
 if __name__ == "__main__":
@@ -65,4 +80,4 @@ if __name__ == "__main__":
             "sf_dirty",
         )
     )
-    build(src, out)
+    build(src, out, sys.argv[3] if len(sys.argv) > 3 else "nulls")
