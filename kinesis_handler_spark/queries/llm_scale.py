@@ -229,7 +229,12 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_tables = 12
     emb = _clean_embeddings(spark, sf_dir)
-    qv = emb.select("vec_id", _quantized().alias("qvec"))
+    # Lineage-truncate the cleaned+quantized frame: these pipelines scan
+    # it several times (count / seeds / assignment passes), and without
+    # truncation each scan re-runs the loader's key-dedup window.
+    qv = emb.select("vec_id", _quantized().alias("qvec")).localCheckpoint(
+        eager=False
+    )
     n = qv.count()
     # r = log2(N) - 3: expected bucket ≈ 8 vectors, so per-table
     # candidate volume stays ~4N pairs (linear) while collision
@@ -456,7 +461,12 @@ def _sim_ann_ivf_impl(
     nprobe=5) and ``sim_ann_ivf_search`` (search tier, nprobe=16) for
     the declared configs and the recall/cost trade they pin."""
     emb = _clean_embeddings(spark, sf_dir)
-    qv = emb.select("vec_id", _quantized().alias("qvec"))
+    # Lineage-truncate the cleaned+quantized frame: these pipelines scan
+    # it several times (count / seeds / assignment passes), and without
+    # truncation each scan re-runs the loader's key-dedup window.
+    qv = emb.select("vec_id", _quantized().alias("qvec")).localCheckpoint(
+        eager=False
+    )
     # An IVF build knows its corpus size; one count against the (tiny)
     # embeddings scan prices K. At 100 TB you'd read this from table stats.
     n_cells = _ivf_cells(qv.count())
@@ -575,7 +585,12 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
       candidates at sf0.01-0.1)."""
     tau, n_probe = 0.45, 4
     emb = _clean_embeddings(spark, sf_dir)
-    qv = emb.select("vec_id", _quantized().alias("qvec"))
+    # Lineage-truncate the cleaned+quantized frame: these pipelines scan
+    # it several times (count / seeds / assignment passes), and without
+    # truncation each scan re-runs the loader's key-dedup window.
+    qv = emb.select("vec_id", _quantized().alias("qvec")).localCheckpoint(
+        eager=False
+    )
     n_cells = _ivf_cells(qv.count())
 
     assigned = _ivf_assign(qv, n_cells, n_probe)
