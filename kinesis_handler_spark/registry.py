@@ -51,6 +51,11 @@ parity sweep, ``tools/make_dirty_twin.py`` + ``tests/test_dirty_parity.py``):
 * Python kernels NULL-propagate explicitly (pandas ``astype`` raises on
   NaN; ``np.stack`` dies on NULL/ragged vectors — see
   ``_clean_embeddings`` and the media-builder filters).
+* NaN/±Inf parity is deliberately OUT of scope (totality only,
+  ``tests/test_null_input.py``): Spark's ANSI double→decimal cast maps
+  non-finite to NULL while DuckDB errors even under TRY_CAST — the
+  engines genuinely diverge, and Spark's NULL-as-undecodable is the
+  robust semantics this engine keeps.
 """
 
 from __future__ import annotations
