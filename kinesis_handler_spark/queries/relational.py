@@ -253,6 +253,10 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    -- value-neutral on any non-empty input (every real group has
+    -- rows); on an EMPTY table it drops the SQL-standard phantom
+    -- grand-total row that Spark's rollup/cube do not emit
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,6 +283,10 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS sum_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    -- value-neutral on any non-empty input (every real group has
+    -- rows); on an EMPTY table it drops the SQL-standard phantom
+    -- grand-total row that Spark's rollup/cube do not emit
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -696,8 +704,16 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_custkey").cast("string").alias("mx_c"),
         F.count("o_totalprice").alias("nn_p"),
         F.countDistinct("o_totalprice").alias("nd_p"),
-        F.format_string("%.2f", F.min("o_totalprice")).alias("mn_p"),
-        F.format_string("%.2f", F.max("o_totalprice")).alias("mx_p"),
+        # format_string renders a NULL aggregate as the string "null"
+        # (empty/all-NULL column) — guard so the profile shows NULL.
+        F.when(
+            F.min("o_totalprice").isNotNull(),
+            F.format_string("%.2f", F.min("o_totalprice")),
+        ).alias("mn_p"),
+        F.when(
+            F.max("o_totalprice").isNotNull(),
+            F.format_string("%.2f", F.max("o_totalprice")),
+        ).alias("mx_p"),
     )
     return m.select(
         F.expr(

@@ -104,3 +104,30 @@ def test_once_drifted_queries_stay_aligned_on_duplicate_keys(dup_twin):
 @pytest.mark.slow
 def test_full_suite_parity_on_duplicate_keys(dup_twin):
     _sweep(dup_twin, [])
+
+
+@pytest.fixture(scope="session")
+def void_twin() -> str:
+    """Zero-row, full-schema twin — DuckDB-readable sibling of the
+    Spark-only empty twin.  First sweep: Spark's rollup/cube omit the
+    SQL-standard grand-total row over empty input (oracles mirror with
+    HAVING COUNT(*) > 0), and profile_table's format_string rendered a
+    NULL min/max as the string "null"."""
+    out = os.path.join(_REPO, ".fixture_cache", "sf_void")
+    if not os.path.exists(os.path.join(out, "events.parquet")):
+        from tools.make_dirty_twin import build
+
+        build("/root/testdata/sf0.001", out, "empty")
+    return out
+
+
+ONCE_DRIFTED_ON_EMPTY = ["agg_rollup", "agg_cube", "profile_table"]
+
+
+def test_once_drifted_queries_stay_aligned_on_empty_corpus(void_twin):
+    _sweep(void_twin, ONCE_DRIFTED_ON_EMPTY)
+
+
+@pytest.mark.slow
+def test_full_suite_parity_on_empty_corpus(void_twin):
+    _sweep(void_twin, [])

@@ -18,6 +18,9 @@ Modes (second positional arg of :func:`build`):
   oracle that aggregates away duplicate keys the implementation keeps —
   the ``multimodal_resize`` round-5 find) and any operator that quietly
   assumes key uniqueness.
+* ``empty`` — zero rows, full schema.  Catches engine divergence on
+  aggregates over nothing (the DuckDB-readable sibling of
+  ``tests/test_empty_input.py``'s Spark-only twin).
 
 Usage: PYTHONPATH=. python tools/make_dirty_twin.py [src_sf_dir] [out_dir] [mode]
 """
@@ -40,7 +43,9 @@ def build(src: str, out: str, mode: str = "nulls") -> None:
         cols = con.execute(f"DESCRIBE SELECT * FROM '{path}'").fetchall()
         names = [c[0] for c in cols]
         types = {c[0]: c[1] for c in cols}
-        if mode == "dups":
+        if mode == "empty":
+            body = f"SELECT * FROM '{path}' LIMIT 0"
+        elif mode == "dups":
             body = f"""
               (SELECT * FROM '{path}' LIMIT 20)
               UNION ALL BY NAME
