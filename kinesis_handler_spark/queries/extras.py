@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_handler_spark.functions.numeric import dec, dec_sum
-from kinesis_handler_spark.queries.llm import _quantized
+from kinesis_handler_spark.queries.llm import _clean_embeddings, _quantized
 from kinesis_handler_spark.functions.text import word_ngrams
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
@@ -244,7 +244,13 @@ def text_ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
               SELECT unnest(list_transform(embedding,
                      x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))) AS v
             )) AS max_abs_q
-    FROM embeddings
+    FROM (SELECT * FROM embeddings
+          WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+            AND len(embedding) = 64
+            AND len(list_filter(embedding,
+                  x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY vec_id) = 1)
     """,
 )
 def embed_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,7 +258,12 @@ def embed_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm, max |component| — all on the ×1000 quantized integers so sums
     are exact and the final sqrt is one IEEE-exact double op.  Pure
     higher-order functions: no explode, no shuffle beyond the scan."""
-    emb = table(spark, sf_dir, "embeddings")
+    # Same dirty-data contract as every vector operator
+    # (_clean_embeddings): stats over undecodable vectors belong to the
+    # profiling queries, and the engines disagree on empty/NULL-element
+    # array folds (DuckDB's list_sum skips NULLs, Spark's aggregate
+    # propagates them).
+    emb = _clean_embeddings(spark, sf_dir)
     q = _quantized()
     sumsq = F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
     max_abs = F.array_max(F.transform(q, F.abs))

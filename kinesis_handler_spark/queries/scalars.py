@@ -162,14 +162,18 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's hasher, and float→string serialization is engine-dependent;
     float→double widening is exact in both engines."""
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    # try_element_at, not element_at: ANSI element_at RAISES on an
+    # out-of-bounds index (a short/empty vector from a failed embed
+    # job), while DuckDB's list indexing yields NULL — try_element_at
+    # matches that and keeps the query total on dirty data.
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.element_at("embedding", 1).cast("double").alias("first_val"),
-        F.element_at(F.slice("embedding", 1, 4), 4)
+        F.try_element_at("embedding", F.lit(1)).cast("double").alias("first_val"),
+        F.try_element_at(F.slice("embedding", 1, 4), F.lit(4))
         .cast("double")
         .alias("head4_last"),
-        F.element_at(F.sort_array(F.slice("embedding", 1, 4)), 1)
+        F.try_element_at(F.sort_array(F.slice("embedding", 1, 4)), F.lit(1))
         .cast("double")
         .alias("head4_min"),
         F.exists("embedding", lambda x: x > F.lit(0.4)).alias("has_large"),

@@ -131,3 +131,31 @@ def test_once_drifted_queries_stay_aligned_on_empty_corpus(void_twin):
 @pytest.mark.slow
 def test_full_suite_parity_on_empty_corpus(void_twin):
     _sweep(void_twin, [])
+
+
+@pytest.fixture(scope="session")
+def ragged_twin() -> str:
+    """Twin whose embeddings table carries empty / wrong-dimension /
+    NULL-element vectors.  First sweep: embed_vector_stats folded them
+    divergently (DuckDB list_sum skips NULL elements, Spark's aggregate
+    propagates; now under the _clean_embeddings contract) and
+    scalar_array's ANSI element_at raised on the empty vector (now
+    try_element_at, matching DuckDB's NULL)."""
+    out = os.path.join(_REPO, ".fixture_cache", "sf_ragged_duck")
+    if not os.path.exists(os.path.join(out, "events.parquet")):
+        from tools.make_dirty_twin import build
+
+        build("/root/testdata/sf0.001", out, "ragged")
+    return out
+
+
+ONCE_DRIFTED_ON_RAGGED = ["embed_vector_stats", "scalar_array"]
+
+
+def test_once_drifted_queries_stay_aligned_on_ragged_vectors(ragged_twin):
+    _sweep(ragged_twin, ONCE_DRIFTED_ON_RAGGED)
+
+
+@pytest.mark.slow
+def test_full_suite_parity_on_ragged_vectors(ragged_twin):
+    _sweep(ragged_twin, [])

@@ -87,6 +87,8 @@ _VECTOR_QUERIES = [
     "embed_random_projection",
     "sim_cosine_topk",
     "embed_vector_stats",
+    "scalar_array",
+    "scalar_array_explode",
 ]
 
 

@@ -21,6 +21,10 @@ Modes (second positional arg of :func:`build`):
 * ``empty`` — zero rows, full schema.  Catches engine divergence on
   aggregates over nothing (the DuckDB-readable sibling of
   ``tests/test_empty_input.py``'s Spark-only twin).
+* ``ragged`` — tables unchanged except ``embeddings``, which gains an
+  empty vector, a 32-dim vector, and a 64-dim vector with a NULL last
+  element.  Proves the vector loaders' dimension/element guards filter
+  identically on both engines.
 
 Usage: PYTHONPATH=. python tools/make_dirty_twin.py [src_sf_dir] [out_dir] [mode]
 """
@@ -45,6 +49,22 @@ def build(src: str, out: str, mode: str = "nulls") -> None:
         types = {c[0]: c[1] for c in cols}
         if mode == "empty":
             body = f"SELECT * FROM '{path}' LIMIT 0"
+        elif mode == "ragged":
+            if t == "embeddings":
+                body = f"""
+                  (SELECT * FROM '{path}' LIMIT 20)
+                  UNION ALL BY NAME
+                  (SELECT vec_id + 900000 AS vec_id,
+                          CASE CAST(vec_id % 3 AS INTEGER)
+                            WHEN 0 THEN []::FLOAT[]
+                            WHEN 1 THEN embedding[1:32]
+                            ELSE list_append(embedding[1:63], NULL::FLOAT)
+                          END AS embedding,
+                          label
+                   FROM '{path}' LIMIT 3)
+                """
+            else:
+                body = f"SELECT * FROM '{path}' LIMIT 20"
         elif mode == "dups":
             body = f"""
               (SELECT * FROM '{path}' LIMIT 20)
