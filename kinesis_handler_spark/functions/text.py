@@ -29,15 +29,28 @@ def word_ngrams(arr: Column | str, n: int) -> Column:
 
 
 def normalize_text(col: Column | str) -> Column:
-    """Canonical corpus normalization: lowercase, strip non-[a-z0-9 ],
-    collapse runs of spaces, trim.  ASCII-only character class so Spark
-    and DuckDB agree on case mapping; both engines' regexp_replace
-    replace ALL matches.  The oracle-SQL mirror of this expression
-    lives in the queries that use it (`text_normalize`,
-    `pipeline_corpus_prep`) and must change in lockstep."""
+    """Canonical corpus normalization: lowercase, strip combining
+    marks, strip non-[a-z0-9 ], collapse runs of spaces, trim.
+
+    The combining-mark strip (``\\p{M}``) runs BETWEEN lower() and the
+    character-class replace: the engines' case mappings disagree on
+    marked letters (Java's lower('İ') is "i"+U+0307 while DuckDB's is
+    plain "i" — found by the unicode parity twin), and removing marks
+    collapses both spellings to the same string.  ASCII-only class for
+    the keep-set so case mapping of kept characters is engine-
+    independent; both engines' regexp_replace replace ALL matches.
+    The oracle-SQL mirror of this expression lives in the queries that
+    use it (`text_normalize`, `pipeline_corpus_prep`,
+    `source_text_scan`, corpus ops) and must change in lockstep."""
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " "), " +", " "
+            F.regexp_replace(
+                F.regexp_replace(F.lower(c), r"\p{M}", ""),
+                "[^a-z0-9 ]",
+                " ",
+            ),
+            " +",
+            " ",
         )
     )

@@ -274,8 +274,9 @@ def _mg_candidates(batches, cap: int = 2048):
     "text_heavy_hitters",
     oracle="""
     WITH toks AS (
-      SELECT unnest(string_split(trim(regexp_replace(regexp_replace(
-               lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+      SELECT unnest(string_split(trim(regexp_replace(regexp_replace(regexp_replace(
+               lower(text), '\\p{M}', '', 'g'),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
                ' ')) AS tok
       FROM documents
     ),

@@ -681,7 +681,8 @@ def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH norm AS (
       SELECT doc_id, lang,
-             trim(regexp_replace(regexp_replace(lower(text),
+             trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+                    '\\p{M}', '', 'g'),
                     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS ntext
       FROM documents
     )

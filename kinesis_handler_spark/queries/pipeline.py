@@ -408,7 +408,8 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH norm AS (
       SELECT doc_id, lang,
-             trim(regexp_replace(regexp_replace(lower(text),
+             trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+                                                '\\p{{M}}', '', 'g'),
                                                 '[^a-z0-9 ]', ' ', 'g'),
                                  ' +', ' ', 'g')) AS ntext
       FROM documents

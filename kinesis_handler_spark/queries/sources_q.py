@@ -291,7 +291,8 @@ def source_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_text_scan",
     oracle="""
     WITH lines AS (
-      SELECT trim(regexp_replace(regexp_replace(lower(COALESCE(text, '')),
+      SELECT trim(regexp_replace(regexp_replace(regexp_replace(
+               lower(COALESCE(text, '')), '\\p{M}', '', 'g'),
                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS line
       FROM documents
     )

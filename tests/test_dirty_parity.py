@@ -159,3 +159,30 @@ def test_once_drifted_queries_stay_aligned_on_ragged_vectors(ragged_twin):
 @pytest.mark.slow
 def test_full_suite_parity_on_ragged_vectors(ragged_twin):
     _sweep(ragged_twin, [])
+
+
+@pytest.fixture(scope="session")
+def unicode_twin() -> str:
+    """Twin whose documents carry emoji/ZWJ, CJK, RTL, combining marks,
+    zero-width characters, and case-mapping edge cases (ß, İ).  First
+    sweep: Java's lower('İ') emits i+combining-dot while DuckDB's emits
+    plain i — normalize_text now strips combining marks between lower()
+    and the keep-class replace, identically on both engines."""
+    out = os.path.join(_REPO, ".fixture_cache", "sf_unicode")
+    if not os.path.exists(os.path.join(out, "events.parquet")):
+        from tools.make_dirty_twin import build
+
+        build("/root/testdata/sf0.001", out, "unicode")
+    return out
+
+
+ONCE_DRIFTED_ON_UNICODE = ["text_normalize", "source_text_scan"]
+
+
+def test_once_drifted_queries_stay_aligned_on_unicode_text(unicode_twin):
+    _sweep(unicode_twin, ONCE_DRIFTED_ON_UNICODE)
+
+
+@pytest.mark.slow
+def test_full_suite_parity_on_unicode_text(unicode_twin):
+    _sweep(unicode_twin, [])

@@ -25,6 +25,12 @@ Modes (second positional arg of :func:`build`):
   empty vector, a 32-dim vector, and a 64-dim vector with a NULL last
   element.  Proves the vector loaders' dimension/element guards filter
   identically on both engines.
+* ``unicode`` — tables unchanged except ``documents``, which gains rows
+  whose text carries emoji (incl. ZWJ families / surrogate pairs), CJK,
+  RTL scripts, combining marks, zero-width and non-break characters,
+  and case-mapping edge cases (ß, İ).  Proves the text operators'
+  length / case / regex / hash semantics agree across engines on the
+  text a real web corpus contains.
 
 Usage: PYTHONPATH=. python tools/make_dirty_twin.py [src_sf_dir] [out_dir] [mode]
 """
@@ -62,6 +68,34 @@ def build(src: str, out: str, mode: str = "nulls") -> None:
                           END AS embedding,
                           label
                    FROM '{path}' LIMIT 3)
+                """
+            else:
+                body = f"SELECT * FROM '{path}' LIMIT 20"
+        elif mode == "unicode":
+            if t == "documents":
+                texts = [
+                    "hello \U0001f600\U0001f30d world \U0001f468‍"
+                    "\U0001f469‍\U0001f467‍\U0001f466 emoji",
+                    "这是测试 文档 日本"
+                    "語 テスト cjk mix",
+                    "مرحبا بال"
+                    "عالم hello rtl",
+                    "café naïve combining marks",
+                    "a​b c zero​width straße "
+                    "İstanbul",
+                ]
+                rows = ", ".join(
+                    "(90000{}, {}, 'xx', 'unicode')".format(
+                        k, "'" + txt.replace("'", "''") + "'"
+                    )
+                    for k, txt in enumerate(texts)
+                )
+                body = f"""
+                  (SELECT * FROM '{path}' LIMIT 20)
+                  UNION ALL BY NAME
+                  (SELECT doc_id, text, CAST(length(text) AS INTEGER)
+                            AS n_chars, lang, source
+                   FROM (VALUES {rows}) v(doc_id, text, lang, source))
                 """
             else:
                 body = f"SELECT * FROM '{path}' LIMIT 20"
