@@ -1,13 +1,13 @@
-"""Build a NULL-riddled twin corpus for CROSS-ENGINE parity sweeps.
+"""Build hostile twin corpora for CROSS-ENGINE parity sweeps.
 
 tests/test_null_input.py pins that every query EXECUTES on dirty input;
-this twin goes further: it is written by DuckDB so every column keeps
+these twins go further: they are written by DuckDB so every column keeps
 its original physical parquet type (notably events.ts stays
-TIMESTAMP_NS, which a Spark rewrite would flatten to int64), making it
+TIMESTAMP_NS, which a Spark rewrite would flatten to int64), making them
 valid input for tools/check_oracle.py — i.e. the full Spark-vs-DuckDB
 hash comparison can run ON DIRTY DATA.  A mismatch there is a genuine
-impl/oracle NULL-semantics drift (the ADVICE round-4 drift class), not
-a fixture artifact.
+impl/oracle semantics drift (the ADVICE round-4 drift class), not a
+fixture artifact.
 
 Modes (second positional arg of :func:`build`):
 
@@ -31,6 +31,11 @@ Modes (second positional arg of :func:`build`):
   and case-mapping edge cases (ß, İ).  Proves the text operators'
   length / case / regex / hash semantics agree across engines on the
   text a real web corpus contains.
+* ``chaos`` — all of the above at once: every table gets the NULL rows
+  AND the duplicate rows; ``embeddings`` additionally gets the ragged
+  vectors and ``documents`` the unicode rows.  The integration gate —
+  catches interactions between the per-axis alignments (e.g. a
+  duplicate key whose twin row is NULL-ridden).
 
 Usage: PYTHONPATH=. python tools/make_dirty_twin.py [src_sf_dir] [out_dir] [mode]
 """
@@ -44,6 +49,60 @@ import duckdb
 
 from kinesis_handler_spark.tables import TABLES
 
+_UNICODE_TEXTS = [
+    "hello \U0001f600\U0001f30d world \U0001f468‍"
+    "\U0001f469‍\U0001f467‍\U0001f466 emoji",
+    "这是测试 文档 日本語 テスト cjk mix",
+    "مرحبا بالعالم hello rtl",
+    "café naïve combining marks",
+    "a​b c zero​width straße İstanbul",
+]
+
+
+def _null_pieces(path: str, names: list[str], types: dict[str, str]):
+    all_null = ", ".join(f'CAST(NULL AS {types[c]}) AS "{c}"' for c in names)
+    partial = ", ".join(
+        [f'"{names[0]}"']
+        + [f'CAST(NULL AS {types[c]}) AS "{c}"' for c in names[1:]]
+    )
+    return [
+        f"(SELECT {partial} FROM '{path}' LIMIT 5)",
+        f"(SELECT {all_null} FROM range(3))",
+    ]
+
+
+def _dup_pieces(path: str):
+    return [
+        f"(SELECT * FROM '{path}' LIMIT 5)",
+        f"(SELECT * FROM '{path}' LIMIT 5)",
+    ]
+
+
+def _ragged_piece(path: str):
+    return (
+        f"(SELECT vec_id + 900000 AS vec_id,"
+        f" CASE CAST(vec_id % 3 AS INTEGER)"
+        f"   WHEN 0 THEN []::FLOAT[]"
+        f"   WHEN 1 THEN embedding[1:32]"
+        f"   ELSE list_append(embedding[1:63], NULL::FLOAT)"
+        f" END AS embedding, label"
+        f" FROM '{path}' LIMIT 3)"
+    )
+
+
+def _unicode_piece():
+    rows = ", ".join(
+        "(90000{}, {}, 'xx', 'unicode')".format(
+            k, "'" + txt.replace("'", "''") + "'"
+        )
+        for k, txt in enumerate(_UNICODE_TEXTS)
+    )
+    return (
+        "(SELECT doc_id, text, CAST(length(text) AS INTEGER) AS n_chars,"
+        " lang, source"
+        f" FROM (VALUES {rows}) v(doc_id, text, lang, source))"
+    )
+
 
 def build(src: str, out: str, mode: str = "nulls") -> None:
     os.makedirs(out, exist_ok=True)
@@ -55,73 +114,17 @@ def build(src: str, out: str, mode: str = "nulls") -> None:
         types = {c[0]: c[1] for c in cols}
         if mode == "empty":
             body = f"SELECT * FROM '{path}' LIMIT 0"
-        elif mode == "ragged":
-            if t == "embeddings":
-                body = f"""
-                  (SELECT * FROM '{path}' LIMIT 20)
-                  UNION ALL BY NAME
-                  (SELECT vec_id + 900000 AS vec_id,
-                          CASE CAST(vec_id % 3 AS INTEGER)
-                            WHEN 0 THEN []::FLOAT[]
-                            WHEN 1 THEN embedding[1:32]
-                            ELSE list_append(embedding[1:63], NULL::FLOAT)
-                          END AS embedding,
-                          label
-                   FROM '{path}' LIMIT 3)
-                """
-            else:
-                body = f"SELECT * FROM '{path}' LIMIT 20"
-        elif mode == "unicode":
-            if t == "documents":
-                texts = [
-                    "hello \U0001f600\U0001f30d world \U0001f468‍"
-                    "\U0001f469‍\U0001f467‍\U0001f466 emoji",
-                    "这是测试 文档 日本"
-                    "語 テスト cjk mix",
-                    "مرحبا بال"
-                    "عالم hello rtl",
-                    "café naïve combining marks",
-                    "a​b c zero​width straße "
-                    "İstanbul",
-                ]
-                rows = ", ".join(
-                    "(90000{}, {}, 'xx', 'unicode')".format(
-                        k, "'" + txt.replace("'", "''") + "'"
-                    )
-                    for k, txt in enumerate(texts)
-                )
-                body = f"""
-                  (SELECT * FROM '{path}' LIMIT 20)
-                  UNION ALL BY NAME
-                  (SELECT doc_id, text, CAST(length(text) AS INTEGER)
-                            AS n_chars, lang, source
-                   FROM (VALUES {rows}) v(doc_id, text, lang, source))
-                """
-            else:
-                body = f"SELECT * FROM '{path}' LIMIT 20"
-        elif mode == "dups":
-            body = f"""
-              (SELECT * FROM '{path}' LIMIT 20)
-              UNION ALL BY NAME
-              (SELECT * FROM '{path}' LIMIT 5)
-              UNION ALL BY NAME
-              (SELECT * FROM '{path}' LIMIT 5)
-            """
         else:
-            all_null = ", ".join(
-                f'CAST(NULL AS {types[c]}) AS "{c}"' for c in names
-            )
-            partial = ", ".join(
-                [f'"{names[0]}"']
-                + [f'CAST(NULL AS {types[c]}) AS "{c}"' for c in names[1:]]
-            )
-            body = f"""
-              (SELECT * FROM '{path}' LIMIT 20)
-              UNION ALL BY NAME
-              (SELECT {partial} FROM '{path}' LIMIT 5)
-              UNION ALL BY NAME
-              (SELECT {all_null} FROM range(3))
-            """
+            pieces = [f"(SELECT * FROM '{path}' LIMIT 20)"]
+            if mode in ("nulls", "chaos"):
+                pieces += _null_pieces(path, names, types)
+            if mode in ("dups", "chaos"):
+                pieces += _dup_pieces(path)
+            if t == "embeddings" and mode in ("ragged", "chaos"):
+                pieces.append(_ragged_piece(path))
+            if t == "documents" and mode in ("unicode", "chaos"):
+                pieces.append(_unicode_piece())
+            body = "\n UNION ALL BY NAME\n".join(pieces)
         con.execute(
             f"COPY ({body}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         )
