@@ -26,11 +26,33 @@ from pyspark.sql import functions as F
 DEC = "decimal(18,6)"
 DEC_SUM = "decimal(38,6)"
 
+# Largest |value| that safely casts to DECIMAL(18,6) (12 integer
+# digits; one below the bound so scale-6 rounding can never tip it
+# over).  Finite doubles beyond it would RAISE under ANSI
+# (NUMERIC_VALUE_OUT_OF_RANGE) — unlike NaN/Inf, which the cast maps to
+# NULL — so one corrupt 1e308 reading would kill the whole aggregate.
+_DEC_SAFE = 999999999999.0
+
+
+def dec_t(col: Column | str, typ: str = DEC) -> Column:
+    """Cast a (double) column to exact decimal of type ``typ`` for
+    order-independent sums.  Total on dirty data: NaN/±Inf/out-of-range
+    magnitudes become NULL (undecodable measurements, skipped by SUM —
+    the same semantics ANSI already gives non-finite values), instead
+    of an ANSI cast error four hours into a 100 TB job.  The magnitude
+    guard derives from the target type's integer digits (one below, so
+    scale rounding can never tip a value over); fixture domains sit far
+    below it, so clean-data plans and values are unchanged."""
+    prec, scale = map(int, typ[typ.index("(") + 1 : -1].split(","))
+    bound = float(10 ** (prec - scale) - 1)
+    c = F.col(col) if isinstance(col, str) else col
+    d = c.cast("double")
+    return F.when(~F.isnan(d) & (F.abs(d) < F.lit(bound)), c).cast(typ)
+
 
 def dec(col: Column | str) -> Column:
-    """Cast a (double) column to exact decimal for order-independent sums."""
-    c = F.col(col) if isinstance(col, str) else col
-    return c.cast(DEC)
+    """Bounded cast to the default DECIMAL(18,6) — see :func:`dec_t`."""
+    return dec_t(col, DEC)
 
 
 def dec_sum(col: Column | str) -> Column:

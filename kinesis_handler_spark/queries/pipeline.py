@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kinesis_handler_spark.functions.numeric import dec_t
 from kinesis_handler_spark.functions.text import normalize_text
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
@@ -285,7 +286,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows and broadcast back onto the events scan: one aggregate pass +
     one broadcast join, no O(rows) shuffle at any scale."""
     e = table(spark, sf_dir, "events")
-    v = F.col("value").cast("decimal(12,4)")
+    v = dec_t(F.col("value"), "decimal(12,4)")
     m = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(v).cast("decimal(38,6)").cast("double").alias("s1"),
@@ -370,8 +371,8 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified bit-equal at sf0.01 and sf0.1.  The quantization perturbs
     corr/slope by <1e-12 relative and is part of the operator spec."""
     li = table(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast("decimal(8,3)")
-    y = F.col("l_extendedprice").cast("decimal(12,3)")
+    x = dec_t(F.col("l_quantity"), "decimal(8,3)")
+    y = dec_t(F.col("l_extendedprice"), "decimal(12,3)")
 
     def dsum(col):
         return F.floor(F.sum(col)).cast("decimal(38,0)").cast("double")

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_handler_spark.functions.numeric import dec, dec_sum
+from kinesis_handler_spark.functions.numeric import dec, dec_sum, dec_t
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
 
@@ -877,7 +877,7 @@ def agg_having_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = (
         li.groupBy("l_orderkey")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(8,3)"))
+            F.sum(dec_t(F.col("l_quantity"), "decimal(8,3)"))
             .cast("decimal(38,6)").cast("double").alias("total_qty")
         )
         .filter(F.col("total_qty") > 250.0)

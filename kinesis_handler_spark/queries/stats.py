@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kinesis_handler_spark.functions.numeric import dec_t
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
 
@@ -185,6 +186,7 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_histogram",
     oracle="""
     SELECT CAST(CASE WHEN isfinite(o_totalprice)
+                          AND abs(o_totalprice) < 4.5e17
                      THEN least(floor(o_totalprice / 50000.0), 9.0) END
                 AS INTEGER) AS bucket,
            COUNT(*) AS n,
@@ -206,7 +208,12 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the INT cast raises under ANSI — NULL-bucket them instead (the
     # profiling-honest answer; NULL/NaN/Inf rows surface as one bucket).
     p = F.col("o_totalprice")
-    finite = ~F.isnan(p) & (F.abs(p) != F.lit(float("inf")))
+    # Magnitude cap as well as finiteness: floor() of a huge double
+    # overflows the long range under ANSI; any |price| past the cap is
+    # off this histogram's domain and lands in the NULL bucket (values
+    # >= 500k already clamp to bucket 9, so the cap changes nothing
+    # representable).
+    finite = ~F.isnan(p) & (F.abs(p) < F.lit(4.5e17))
     bucket = F.when(
         finite,
         F.least(F.floor(p / 50000.0), F.lit(9).cast("bigint")),
@@ -254,9 +261,9 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow DuckDB's int64 multiplication here.  The fixture values
     carry <=2 fractional digits, so scale 3/6 is exact."""
     li = table(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(8,3)")
-    price = F.col("l_extendedprice").cast("decimal(12,3)")
-    disc = F.col("l_discount").cast("decimal(8,6)")
+    qty = dec_t(F.col("l_quantity"), "decimal(8,3)")
+    price = dec_t(F.col("l_extendedprice"), "decimal(12,3)")
+    disc = dec_t(F.col("l_discount"), "decimal(8,6)")
 
     def dsum(col):
         return F.sum(col).cast("decimal(38,6)").cast("double")

@@ -51,6 +51,9 @@ parity sweep, ``tools/make_dirty_twin.py`` + ``tests/test_dirty_parity.py``):
 * Python kernels NULL-propagate explicitly (pandas ``astype`` raises on
   NaN; ``np.stack`` dies on NULL/ragged vectors — see
   ``_clean_embeddings`` and the media-builder filters).
+* Finite-but-out-of-range doubles (±1e308) NULL through the bounded
+  decimal casts (``functions/numeric.py dec_t``) — ANSI would raise
+  NUMERIC_VALUE_OUT_OF_RANGE mid-aggregate otherwise.
 * NaN/±Inf parity is deliberately OUT of scope (totality only,
   ``tests/test_null_input.py``): Spark's ANSI double→decimal cast maps
   non-finite to NULL while DuckDB errors even under TRY_CAST — the

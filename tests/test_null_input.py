@@ -158,8 +158,12 @@ def nan_dir(spark) -> str:
     if not os.path.exists(marker):
         src = os.environ.get("KHS_TEST_SF_DIR", "/root/testdata/sf0.001")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NaN/Inf (ANSI casts map them to NULL) plus EXTREME FINITE
+        # magnitudes: 1e308 is a legal double a corrupt sensor can emit,
+        # and floor()/long-conversion of it overflows under ANSI.
         specials = ["double('NaN')", "double('Infinity')",
-                    "double('-Infinity')"]
+                    "double('-Infinity')", "double('1.0E308')",
+                    "double('-1.0E308')"]
         for name in TABLES:
             raw = spark.read.parquet(f"{src}/{name}.parquet")
             base = raw.limit(20)
