@@ -5,6 +5,21 @@ JSON line with per-query wall-clock seconds.
 Execution is forced with a noop datasource write (full pipeline runs,
 nothing collected to the driver) — the honest way to time a distributed
 plan.
+
+Stdout layout (the driver records only the LAST 2000 chars of stdout —
+rounds 2-5 proved a 155-entry named map, ~4 KB, never survives that
+window; ``BENCH_r05.json`` parsed null with only 72/155 timings visible):
+
+* line 1: the full verbose artifact with the named ``queries`` map —
+  human-readable, truncated in the driver capture, durable in
+  ``BENCH_LOCAL.json``.
+* LAST line: a compact (<1.5 KB) self-contained JSON that always fits
+  the 2000-char tail whole, so the driver's parse succeeds.  Per-query
+  timings ride as ``qvals``, an array aligned index-for-index with
+  ``sorted(timings)`` = ``sorted(set(all queries) - set(qerr))`` —
+  names are deterministic from the registry, so
+  ``dict(zip(sorted_names, qvals))`` reconstructs the full map
+  (``tools/expand_bench.py`` does exactly that).
 """
 
 from __future__ import annotations
@@ -73,6 +88,24 @@ def run_bench(sf_dir: str) -> dict:
     return out
 
 
+def compact_line(result: dict) -> str:
+    """The driver-facing summary: complete JSON guaranteed to fit whole
+    inside a 2000-char stdout tail.  ``qvals[i]`` is the timing of the
+    i-th name in ``sorted(timings)`` (all queries minus ``qerr``)."""
+    timings = result["queries"]
+    out = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "n_queries": len(timings),
+        "qkeys": "sorted(all_queries)-qerr; expand: tools/expand_bench.py",
+        "qvals": [timings[n] for n in sorted(timings)],
+        "qerr": sorted(result.get("errors", {})),
+    }
+    return json.dumps(out, separators=(",", ":"))
+
+
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     result = run_bench(sf_dir)
@@ -87,5 +120,6 @@ if __name__ == "__main__":
             json.dump(result, fh, indent=1, sort_keys=True)
             fh.write("\n")
     except OSError:
-        pass  # stdout line below is still the primary contract
+        pass  # stdout lines below are still the primary contract
     print(json.dumps(result))
+    print(compact_line(result))

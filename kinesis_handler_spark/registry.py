@@ -105,66 +105,67 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   2. oracle-backed queries by last-green round ascending (stalest first);
 #   3. rows-only queries never occupy a verdict slot (no hash check).
 # Everything past _FRONT follows in registration order via _driver_order.
-# Round-5 rotation (refreshed late-round after the suite grew 126->148): the
-# 20 never-driver-checked queries added this round go first, then the 20
-# r1-stale queries, then the 4 queries whose broadcast hints were removed this
-# round (need a fresh driver verdict on the changed plans), then a ONE-TIME
-# exception to rule 3: the 3 rows-only queries the driver has never executed
-# (absent from all CORRECTNESS_r1-r4 artifacts) take slots so r5 records
-# cold-execution evidence (spark_rows) for them, then r3-stale fillers.
+# Round-6 rotation (VERDICT.md r5 "Next round" item 1): head slots go to the
+# 5 queries no driver round ever checked — the 3 never-green oracle-backed
+# (source_text_scan, scd2_intervals, window_groups_frame) plus, as the same
+# ONE-TIME exception to rule 3 used in r5, the 2 rows-only queries absent
+# from every CORRECTNESS_r1-r5 artifact (events_rolling_distinct_hll,
+# sim_ann_ivf_search — cold-execution evidence only) — then scalar_math
+# (yielded its r5 slot) and the r3-stale remainder.  With these 6 green,
+# driver evidence covers 155/155 declared queries.
 _FRONT = [
-    "text_token_bpe",  # added r5, never driver-checked
-    "contamination_ngram_overlap",  # added r5, never driver-checked
-    "text_entropy",  # added r5, never driver-checked
-    "text_unigram_logloss",  # added r5, never driver-checked
-    "multimodal_decode_png",  # added r5, never driver-checked
-    "multimodal_resize",  # added r5, never driver-checked
-    "source_partitioned_scan",  # added r5, never driver-checked
-    "agg_order_priority_exists",  # added r5, never driver-checked
-    "agg_value_share",  # added r5, never driver-checked
-    "join_top_revenue_supplier",  # added r5, never driver-checked
-    "agg_supplier_cnt",  # added r5, never driver-checked
-    "agg_small_qty_revenue",  # added r5, never driver-checked
-    "join_large_orders",  # added r5, never driver-checked
-    "join_sole_blame_supplier",  # added r5, never driver-checked
-    "join_min_price_supplier",  # added r5, never driver-checked
-    "sql_correlated_subqueries",  # added r5, never driver-checked
-    "events_rolling_distinct",  # added r5, never driver-checked
-    "join_market_share",  # added r5, never driver-checked
-    "agg_profit_by_nation_year",  # added r5, never driver-checked
-    "join_dominant_supplier",  # added r5, never driver-checked
-    "window_first_last",  # last driver-green r1 (stalest)
-    "agg_median_mode",  # last driver-green r1 (stalest)
-    "join_scalar_subquery",  # last driver-green r1 (stalest)
-    "text_ngram_bigrams",  # last driver-green r1 (stalest)
-    "embed_vector_stats",  # last driver-green r1 (stalest)
-    "dedup_keep_latest",  # last driver-green r1 (stalest)
-    "dedup_embedding_cosine",  # last driver-green r1 (stalest)
-    "scan_filter_project",  # last driver-green r1 (stalest)
-    "filter_pushdown_dates",  # last driver-green r1 (stalest)
-    "agg_count_distinct",  # last driver-green r1 (stalest)
-    "agg_count_distinct_salted",  # last driver-green r1 (stalest)
-    "join_left_outer",  # last driver-green r1 (stalest)
-    "join_full_outer",  # last driver-green r1 (stalest)
-    "join_semi",  # last driver-green r1 (stalest)
-    "join_anti",  # last driver-green r1 (stalest)
-    "join_range_theta",  # last driver-green r1 (stalest)
-    "json_extract_props",  # last driver-green r1 (stalest)
-    "validate_predicate",  # last driver-green r1 (stalest)
-    "scalar_date",  # last driver-green r1 (stalest)
-    # scalar_math (r1-stale, locally green at 3 SFs) yields its slot to the
-    # latest never-checked query; it rotates back in r6.
-    "join_bucketed_colocated",  # added latest r5, never driver-checked
-    "join_multi_star",  # broadcast hint removed this round - re-verify
-    "agg_promo_share",  # broadcast hint removed this round - re-verify
-    "filter_disjunctive",  # broadcast hint removed this round - re-verify
-    "join_nation_volume",  # broadcast hint removed this round - re-verify
-    "agg_approx_percentile",  # rows-only, never driver-run - one-time cold-exec evidence
-    "dedup_embedding_ann",  # rows-only, never driver-run - one-time cold-exec evidence
-    "dedup_pipeline_scale",  # rows-only, never driver-run - one-time cold-exec evidence
-    "events_gapfill_interpolate",  # added late r5, never driver-checked
-    "window_frame_exclude",  # added late r5, never driver-checked
-    "text_heavy_hitters",  # added late r5, never driver-checked
+    "source_text_scan",  # NEVER GREEN
+    "scd2_intervals",  # NEVER GREEN
+    "window_groups_frame",  # NEVER GREEN
+    "events_rolling_distinct_hll",  # rows-only, never driver-run - one-time cold-exec evidence
+    "sim_ann_ivf_search",  # rows-only, never driver-run - one-time cold-exec evidence
+    "scalar_math",  # last green r1
+    "text_stats",  # last green r3
+    "text_normalize",  # last green r3
+    "dedup_components",  # last green r3
+    "window_time_bucket",  # last green r3
+    "project_compute",  # last green r3
+    "agg_global",  # last green r3
+    "agg_groupby_pricing",  # last green r3
+    "agg_rollup",  # last green r3
+    "agg_cube",  # last green r3
+    "agg_grouping_sets",  # last green r3
+    "agg_filtered_pivot",  # last green r3
+    "join_inner_equi",  # last green r3
+    "join_broadcast_dims",  # last green r3
+    "join_exists_correlated",  # last green r3
+    "agg_distinct_multi",  # last green r3
+    "join_null_safe",  # last green r3
+    "profile_table",  # last green r3
+    "route_case_tag",  # last green r3
+    "scalar_string",  # last green r3
+    "scalar_array",  # last green r3
+    "scalar_array_explode",  # last green r3
+    "scalar_map_json",  # last green r3
+    "scalar_conditional_null",  # last green r3
+    "scalar_struct",  # last green r3
+    "scalar_hash",  # last green r3
+    "scalar_bitwise",  # last green r3
+    "sort_multi_key",  # last green r3
+    "limit_topk",  # last green r3
+    "set_union_all",  # last green r3
+    "set_intersect",  # last green r3
+    "set_except",  # last green r3
+    "dedup_exact",  # last green r3
+    "set_intersect_all",  # last green r3
+    "source_csv_scan",  # last green r3
+    "source_json_scan",  # last green r3
+    "agg_stats_moments",  # last green r3
+    "agg_percentiles",  # last green r3
+    "agg_string_concat",  # last green r3
+    "window_ntile_percent",  # last green r3
+    "reshape_unpivot",  # last green r3
+    "agg_histogram",  # last green r3
+    "window_time_slide",  # last green r3
+    "window_session_batch",  # last green r3
+    "window_rank_topn",  # last green r3
+    # window_running_frame / topk_per_group (r3-green) yielded their slots to
+    # the two rows-only cold-exec entries above; they rotate back in r7.
 ]
 
 

@@ -1,0 +1,65 @@
+"""Bench stdout contract: the driver records only the LAST 2000 chars of
+bench.py stdout (BENCH_r2..r5 all show a 2000-char ``tail``), so the
+final printed line must be a COMPLETE JSON document comfortably under
+that window, and it must round-trip back to the full named per-query
+map via tools/expand_bench.py."""
+
+from __future__ import annotations
+
+import json
+
+from bench import compact_line
+from kinesis_handler_spark.registry import all_queries
+from tools.expand_bench import expand
+
+# Worst-case-ish per-query seconds: full 3-decimal precision, two digits
+# before the point (no current query exceeds 5 s at sf0.1).
+_FAKE_SECONDS = 12.345
+
+
+def _fake_result(error_names=()):
+    names = sorted(all_queries())
+    timings = {n: _FAKE_SECONDS for n in names if n not in set(error_names)}
+    out = {
+        "metric": "total_declared_query_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+    }
+    if error_names:
+        out["errors"] = {n: "RuntimeError: boom" for n in error_names}
+        out["error_count"] = len(error_names)
+    return out
+
+
+def test_compact_line_fits_driver_tail_window():
+    line = compact_line(_fake_result())
+    # 2000-char tail minus the trailing newline minus headroom for any
+    # stray log line the JVM appends after our print.
+    assert len(line) <= 1800, f"compact line {len(line)} chars — too big"
+    parsed = json.loads(line)
+    assert parsed["n_queries"] == len(all_queries())
+    assert len(parsed["qvals"]) == parsed["n_queries"]
+
+
+def test_compact_line_roundtrips_to_named_map():
+    full = _fake_result()
+    parsed = json.loads(compact_line(full))
+    assert expand(parsed) == full["queries"]
+
+
+def test_compact_line_roundtrips_with_errors():
+    errs = ("agg_global", "join_inner_equi")
+    full = _fake_result(error_names=errs)
+    parsed = json.loads(compact_line(full))
+    assert parsed["qerr"] == sorted(errs)
+    assert expand(parsed) == full["queries"]
+    assert len(json.dumps(parsed, separators=(",", ":"))) <= 1800
+
+
+def test_verbose_line_still_first_contract():
+    # The verbose artifact keeps the named map for humans/BENCH_LOCAL.
+    full = _fake_result()
+    assert isinstance(full["queries"], dict)
+    assert set(full["queries"]) == set(all_queries())

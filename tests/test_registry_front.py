@@ -7,16 +7,16 @@ from __future__ import annotations
 
 from kinesis_handler_spark.registry import _FRONT, QUERIES, all_queries
 
-# Round-5 one-time exception: these rows-only queries were absent from
-# every CORRECTNESS_r1-r4 artifact (the driver never executed them).
-# They occupy three front-50 slots THIS round so the driver records
-# cold-execution evidence (non-null spark_rows); the next rotation
-# (tools/rotate_tiers.py --write) pushes them back behind the
-# oracle-backed queries automatically.
+# Round-6 one-time exception (same mechanism r5 used for three other
+# rows-only queries): these two were absent from every CORRECTNESS_r1-r5
+# artifact (the driver never executed them) and VERDICT r5 item 1 asks
+# for driver-side evidence.  They occupy two front-50 slots THIS round
+# so the driver records cold-execution evidence (non-null spark_rows);
+# the next rotation (tools/rotate_tiers.py --write) pushes them back
+# behind the oracle-backed queries automatically.
 ROWS_ONLY_COLD_EXEC = {
-    "agg_approx_percentile",
-    "dedup_embedding_ann",
-    "dedup_pipeline_scale",
+    "events_rolling_distinct_hll",
+    "sim_ann_ivf_search",
 }
 
 
