@@ -27,6 +27,7 @@ importable package without configuration.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import zipfile
@@ -36,25 +37,45 @@ from pyspark.sql import SparkSession
 _SHIPPED: set[str] = set()  # application ids already covered in this process
 
 
-def _build_zip() -> str:
-    """Zip this package's .py sources (once per process) and return the
-    archive path.  The archive root contains ``kinesis_handler_spark/``
-    so adding it to ``sys.path`` makes the package importable."""
+def _source_files() -> list[str]:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = []
+    for root, dirs, files in os.walk(pkg_dir):
+        dirs[:] = [d for d in dirs if d != "__pycache__"]
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                out.append(os.path.join(root, fn))
+    return sorted(out)
+
+
+def _build_zip() -> str:
+    """Zip this package's .py sources and return the archive path.  The
+    archive root contains ``kinesis_handler_spark/`` so adding it to
+    ``sys.path`` makes the package importable.
+
+    The archive is keyed by a CONTENT hash of the sources, not the pid:
+    a pid-keyed name can resolve to a stale zip after pid reuse (long
+    uptimes, reboots with a persistent tmpdir), silently shipping old
+    code to executors — driver/executor version skew with no error
+    (ADVICE r5).  Same sources → same name → reuse is still free."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    files = _source_files()
+    h = hashlib.sha256()
+    for full in files:
+        h.update(os.path.relpath(full, pkg_dir).encode())
+        with open(full, "rb") as fh:
+            h.update(fh.read())
     zpath = os.path.join(
-        tempfile.gettempdir(), f"kinesis_handler_spark-{os.getpid()}.zip"
+        tempfile.gettempdir(),
+        f"kinesis_handler_spark-{h.hexdigest()[:16]}.zip",
     )
     if os.path.exists(zpath):
         return zpath
-    tmp = zpath + ".tmp"
+    tmp = f"{zpath}.tmp.{os.getpid()}"
     with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, dirs, files in os.walk(pkg_dir):
-            dirs[:] = [d for d in dirs if d != "__pycache__"]
-            for fn in sorted(files):
-                if fn.endswith(".py"):
-                    full = os.path.join(root, fn)
-                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                    zf.write(full, rel)
+        for full in files:
+            rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+            zf.write(full, rel)
     os.replace(tmp, zpath)
     return zpath
 

@@ -12,13 +12,44 @@ Sizing rule: n_buckets ≈ total_data / target_partition_size (128-512
 MB per bucket file per partition-dir); both join sides MUST share
 n_buckets and bucket columns for the co-located plan to kick in
 (``spark.sql.sources.bucketing.enabled`` is on by default).
+
+Trust model: bucket metadata is a PROMISE to the planner — a catalog
+entry declaring ``CLUSTERED BY (k) INTO 8 BUCKETS`` over files that
+were actually written with a different spec makes Spark skip the
+exchange and silently join misaligned rows.  So every bucketed write
+here leaves a ``_BUCKET_SPEC.json`` sidecar next to ``_SUCCESS``
+recording (bucket cols, n_buckets, sort cols, schema), and registering
+over EXISTING files validates the sidecar first — a stale or foreign
+directory raises instead of producing wrong joins (ADVICE r5).
 """
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
 from collections.abc import Sequence
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+_SPEC_FILE = "_BUCKET_SPEC.json"
+
+
+def _spec_dict(
+    df: DataFrame,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] | None,
+) -> dict:
+    return {
+        "bucket_cols": list(bucket_cols),
+        "n_buckets": int(n_buckets),
+        "sort_cols": list(sort_cols) if sort_cols else [],
+        # simpleString is stable across sessions and cheap to diff;
+        # it pins both column names/order and types.
+        "schema": df.schema.simpleString(),
+    }
 
 
 def write_bucketed(
@@ -30,7 +61,8 @@ def write_bucketed(
     path: str,
     sort_cols: Sequence[str] | None = None,
 ) -> None:
-    """Write ``df`` as an external bucketed table.
+    """Write ``df`` as an external bucketed table (plus the spec
+    sidecar that lets future sessions safely re-register the files).
 
     ``sort_cols`` additionally sorts within each bucket file — a
     sort-merge join over same-sorted buckets skips its sort stage too.
@@ -43,6 +75,53 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+    with open(Path(path) / _SPEC_FILE, "w") as fh:
+        json.dump(_spec_dict(df, bucket_cols, n_buckets, sort_cols), fh)
+
+
+def _register_over_files(
+    spark: SparkSession,
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    path: str,
+    sort_cols: Sequence[str] | None,
+) -> None:
+    """CREATE an external bucketed table over already-written files,
+    after proving the files really carry the declared spec."""
+    spec_path = Path(path) / _SPEC_FILE
+    want = _spec_dict(df, bucket_cols, n_buckets, sort_cols)
+    try:
+        with open(spec_path) as fh:
+            have = json.load(fh)
+    except (OSError, ValueError) as exc:
+        raise ValueError(
+            f"bucketed dir {path} has _SUCCESS but no readable "
+            f"{_SPEC_FILE} — refusing to declare bucket metadata over "
+            f"files of unknown layout (wrong-results hazard): {exc}"
+        ) from exc
+    if have != want:
+        raise ValueError(
+            f"bucket spec mismatch at {path}: files were written with "
+            f"{have}, caller wants {want} — declaring the new spec over "
+            f"the old files would silently misalign co-located joins. "
+            f"Write to a fresh path (or delete the stale dir) instead."
+        )
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    bcols = ", ".join(f"`{c}`" for c in bucket_cols)
+    sorted_by = (
+        f"SORTED BY ({', '.join(f'`{c}`' for c in sort_cols)}) "
+        if sort_cols
+        else ""
+    )
+    spark.sql(
+        f"CREATE TABLE `{table_name}` ({cols}) USING PARQUET "
+        f"CLUSTERED BY ({bcols}) {sorted_by}INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
 
 
 def ensure_bucketed(
@@ -62,33 +141,45 @@ def ensure_bucketed(
     overwrite ``path`` — a concurrent session may be mid-scan over
     those files (overwrite deletes them under the reader), and at 100 TB
     re-bucketing an already-bucketed table repays the ingest shuffle
-    for nothing.  So: files already complete (``_SUCCESS``) → register
-    an external bucketed table over them via DDL; otherwise write them.
-    The DDL declares the same bucket spec the files were written with,
-    which is what makes the metadata trustworthy.
+    for nothing.  So: files already complete (``_SUCCESS``) → validate
+    the ``_BUCKET_SPEC.json`` sidecar, then register an external
+    bucketed table over them via DDL; otherwise write them — into a
+    process-private temp dir first, atomically renamed into place, so
+    two sessions racing a cold cache can never interleave bucket files
+    in the shared path (same discipline as ``sources_q._materialize``).
     """
     if spark.catalog.tableExists(table_name):
         return
-    from pathlib import Path
-
-    if (Path(path) / "_SUCCESS").exists():
-        cols = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
-        )
-        bcols = ", ".join(f"`{c}`" for c in bucket_cols)
-        sorted_by = (
-            f"SORTED BY ({', '.join(f'`{c}`' for c in sort_cols)}) "
-            if sort_cols
-            else ""
-        )
-        spark.sql(
-            f"CREATE TABLE `{table_name}` ({cols}) USING PARQUET "
-            f"CLUSTERED BY ({bcols}) {sorted_by}INTO {n_buckets} BUCKETS "
-            f"LOCATION '{path}'"
+    final = Path(path)
+    if (final / "_SUCCESS").exists():
+        _register_over_files(
+            spark, df, table_name, bucket_cols, n_buckets, path, sort_cols
         )
         return
-    write_bucketed(
-        df, table_name, bucket_cols, n_buckets, path=path, sort_cols=sort_cols
+    # Cold write: land the bucketed files in a temp sibling dir under a
+    # temp catalog name, publish with one atomic rename, then register
+    # the real table over the published files.
+    tmp = final.parent / f".{final.name}.tmp.{os.getpid()}"
+    tmp_table = f"{table_name}__tmp_{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        write_bucketed(
+            df, tmp_table, bucket_cols, n_buckets,
+            path=str(tmp), sort_cols=sort_cols,
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS `{tmp_table}`")
+    # Debris without _SUCCESS is a crashed writer's leftovers — clear it.
+    if final.exists() and not (final / "_SUCCESS").exists():
+        shutil.rmtree(final, ignore_errors=True)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        # Lost the publish race: another session renamed first.  Its
+        # contents are deterministic-equal; discard ours.
+        shutil.rmtree(tmp, ignore_errors=True)
+    _register_over_files(
+        spark, df, table_name, bucket_cols, n_buckets, path, sort_cols
     )
 
 

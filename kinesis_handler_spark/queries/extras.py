@@ -72,14 +72,14 @@ def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            FIRST_VALUE(event_type) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
+             PARTITION BY user_id ORDER BY ts NULLS LAST, event_id NULLS LAST
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type,
            LAST_VALUE(event_type) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
+             PARTITION BY user_id ORDER BY ts NULLS LAST, event_id NULLS LAST
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              AS last_type,
            NTH_VALUE(event_type, 2) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
+             PARTITION BY user_id ORDER BY ts NULLS LAST, event_id NULLS LAST
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              AS second_type
     FROM events
@@ -88,8 +88,11 @@ def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first_value / last_value / nth_value navigation windows with
     explicit frames (last/nth need the full-partition frame — the classic
-    default-frame trap).  Single shuffle on user_id, total ordering."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    default-frame trap).  Single shuffle on user_id, total ordering with
+    NULLS LAST pinned on both engines (registry NULL rules)."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
+    )
     w_cur = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return table(spark, sf_dir, "events").select(

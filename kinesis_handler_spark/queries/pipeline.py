@@ -217,7 +217,8 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (
       SELECT user_id, event_type,
              lead(event_type) OVER (
-               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) NULLS LAST, event_id NULLS LAST
              ) AS next_type
       FROM events
     )
@@ -235,10 +236,12 @@ def events_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle partitions by ``user_id`` for the window (lead), then
     the transition count is a low-cardinality hash aggregate with
     map-side combine.  Ordering is on integer microseconds + event_id
-    so Spark (micros) and nanosecond-native engines sort identically."""
+    so Spark (micros) and nanosecond-native engines sort identically,
+    with NULLS LAST pinned on both (registry NULL rules)."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
-        F.unix_micros("ts"), "event_id"
+        F.unix_micros("ts").asc_nulls_last(),
+        F.asc_nulls_last("event_id"),
     )
     return (
         e.withColumn("next_type", F.lead("event_type").over(w))

@@ -186,7 +186,7 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_histogram",
     oracle="""
     SELECT CAST(CASE WHEN isfinite(o_totalprice)
-                          AND abs(o_totalprice) < 4.5e17
+                          AND abs(o_totalprice) < 1.0e14
                      THEN least(floor(o_totalprice / 50000.0), 9.0) END
                 AS INTEGER) AS bucket,
            COUNT(*) AS n,
@@ -208,12 +208,16 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the INT cast raises under ANSI — NULL-bucket them instead (the
     # profiling-honest answer; NULL/NaN/Inf rows surface as one bucket).
     p = F.col("o_totalprice")
-    # Magnitude cap as well as finiteness: floor() of a huge double
-    # overflows the long range under ANSI; any |price| past the cap is
-    # off this histogram's domain and lands in the NULL bucket (values
-    # >= 500k already clamp to bucket 9, so the cap changes nothing
-    # representable).
-    finite = ~F.isnan(p) & (F.abs(p) < F.lit(4.5e17))
+    # Magnitude cap as well as finiteness, SYMMETRIC on both signs:
+    # least(...) clamps only the positive side to bucket 9, so the cap
+    # must keep floor(p/50000) inside INT range for negatives too —
+    # 1e14/50000 = 2e9 < INT_MAX on either sign (a finite price below
+    # about -1.07e14 would otherwise floor under INT_MIN and the ANSI
+    # int cast would raise on both engines, ADVICE r5).  Any |price|
+    # past the cap is off this histogram's domain and lands in the NULL
+    # bucket (values >= 500k already clamp to bucket 9, so the cap
+    # changes nothing representable).
+    finite = ~F.isnan(p) & (F.abs(p) < F.lit(1.0e14))
     bucket = F.when(
         finite,
         F.least(F.floor(p / 50000.0), F.lit(9).cast("bigint")),

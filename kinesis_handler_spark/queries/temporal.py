@@ -72,17 +72,19 @@ def window_time_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_session_batch",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
                     OR ts - LAG(ts) OVER w >= INTERVAL '8' HOUR
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WHERE ts IS NOT NULL
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts NULLS LAST, event_id NULLS LAST)
     ),
     sess AS (
       SELECT user_id, ts, value,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts NULLS LAST, event_id NULLS LAST
                                  ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     )
@@ -103,7 +105,13 @@ def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     session starts exactly when the inter-event gap >= the duration —
     mirrored by the oracle's LAG comparison.  window.end is
     last-event-ts + gap on both sides.  One shuffle on (user_id,
-    session); session assembly is a sort within each user partition."""
+    session); session assembly is a sort within each user partition.
+    The oracle's two window passes pin (ts, event_id) NULLS LAST: with
+    duplicate timestamps an un-tie-broken ORDER BY ts lets the LAG pass
+    and the running-SUM pass order the tie differently, splitting a
+    session in two (found by the mixed-null dirty twin; Spark's
+    session_window is order-insensitive so only the oracle needed the
+    pin)."""
     e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.session_window("ts", "8 hours").alias("w"), "user_id")

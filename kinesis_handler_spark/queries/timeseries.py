@@ -50,17 +50,17 @@ from kinesis_handler_spark.tables import table
     bounded AS (
       SELECT user_id, day, obs,
              last_value(obs IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY day
+               PARTITION BY user_id ORDER BY day NULLS LAST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
              last_value(CASE WHEN obs IS NOT NULL THEN day END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY day
+               OVER (PARTITION BY user_id ORDER BY day NULLS LAST
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS prev_day,
              first_value(obs IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY day
+               PARTITION BY user_id ORDER BY day NULLS LAST
                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
              first_value(CASE WHEN obs IS NOT NULL THEN day END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY day
+               OVER (PARTITION BY user_id ORDER BY day NULLS LAST
                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
                AS next_day
       FROM joined
@@ -112,12 +112,12 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = spine.join(daily, ["user_id", "day"], "left")
     back = (
         Window.partitionBy("user_id")
-        .orderBy("day")
+        .orderBy(F.asc_nulls_last("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     fwd = (
         Window.partitionBy("user_id")
-        .orderBy("day")
+        .orderBy(F.asc_nulls_last("day"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     obs = F.col("obs")
@@ -151,7 +151,8 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT user_id, event_id, event_type, ts,
              LAG(event_type) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+               PARTITION BY user_id
+               ORDER BY ts NULLS LAST, event_id NULLS LAST) AS prev_type
       FROM events
     ),
     flagged AS (
@@ -163,7 +164,8 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ver AS (
       SELECT user_id, event_type, ts,
              CAST(SUM(chg) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id
+               ORDER BY ts NULLS LAST, event_id NULLS LAST
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
       FROM flagged
     ),
@@ -188,8 +190,14 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     via LAG + running SUM), and emit one validity interval per run —
     ``valid_from`` = first event of the run, ``valid_to`` = start of
     the next run (NULL on the current/open interval, the SCD2
-    convention).  Deterministic ordering: (ts, event_id) tie-break on
-    both engines.
+    convention).  Deterministic ordering: (ts, event_id) tie-break with
+    NULLS LAST pinned explicitly on both engines — Spark ascending
+    sorts default NULLS FIRST, DuckDB NULLS LAST, so an unpinned order
+    would drift version numbering the moment a NULL ts appears under a
+    live user_id (the ADVICE r5 find; the mixed-null events twin now
+    exercises exactly that shape).  NULL-ts events deterministically
+    close each user's history rather than being dropped — SCD2 keeps
+    every change record.
 
     This is the MERGE/upsert-history primitive a warehouse applies when
     ingesting CDC feeds; expressed as pure windowed DataFrame ops it
@@ -199,7 +207,9 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy on (user_id, version) is partial-aggregated map-side
     within already-sorted partitions)."""
     e = table(spark, sf_dir, "events")
-    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    order = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
+    )
     flagged = e.select(
         "user_id",
         "event_type",
@@ -244,12 +254,12 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
              SUM(CAST(value AS DECIMAL(18,6))) AS gsum
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     idx AS (
       SELECT user_id, day, gsum,
              CAST(ROW_NUMBER() OVER (
-               PARTITION BY user_id ORDER BY day) AS BIGINT) AS gi
+               PARTITION BY user_id ORDER BY day NULLS LAST) AS BIGINT) AS gi
       FROM daily
     ),
     win AS (
@@ -263,7 +273,7 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, e.user_id, w.day, w.group_sum
     FROM (SELECT event_id, user_id,
                  CAST(date_trunc('day', ts) AS DATE) AS day
-          FROM events) e
+          FROM events WHERE ts IS NOT NULL) e
     JOIN win w ON e.user_id = w.user_id AND e.day = w.day
     """,
 )
@@ -277,7 +287,10 @@ def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite: aggregate per peer group, number groups densely
     (ROW_NUMBER over the distinct-group table ≡ DENSE_RANK over rows),
     run an integer-RANGE frame over the group index, and join the
-    per-group result back to rows.
+    per-group result back to rows.  Event-time hygiene per the registry
+    NULL rules: ``ts IS NOT NULL`` filtered at the scan on both engines
+    (a NULL calendar day is not a peer group; the equi-join back would
+    drop those rows anyway) and the group ordering pins NULLS LAST.
 
     Determinism: group subtotals stay DECIMAL through the window sum
     (addition of exact decimals is associative, so partial-aggregation
@@ -288,11 +301,15 @@ def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — then a co-partitioned join back on (user_id, day) that AQE
     turns into a broadcast at bench scale.  The generally-applicable
     GROUPS emulation: never a rows × rows self-join."""
-    e = table(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        F.date_trunc("day", "ts").cast("date").alias("day"),
-        "value",
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "value",
+        )
     )
     daily = e.groupBy("user_id", "day").agg(
         F.sum(dec("value")).alias("gsum")
@@ -302,7 +319,7 @@ def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "gsum",
         F.row_number()
-        .over(Window.partitionBy("user_id").orderBy("day"))
+        .over(Window.partitionBy("user_id").orderBy(F.asc_nulls_last("day")))
         .cast("bigint")
         .alias("gi"),
     )

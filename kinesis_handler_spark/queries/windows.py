@@ -50,16 +50,23 @@ def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            epoch_us(ts) - LAG(epoch_us(ts))
-             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+             OVER (PARTITION BY user_id
+                   ORDER BY ts NULLS LAST, event_id NULLS LAST) AS gap_us,
            LEAD(event_type)
-             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+             OVER (PARTITION BY user_id
+                   ORDER BY ts NULLS LAST, event_id NULLS LAST) AS next_type
     FROM events
     """,
 )
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-event gaps per user (sessionization building block).  Gap is
-    exact integer microseconds — no float time arithmetic."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    exact integer microseconds — no float time arithmetic.  NULLS LAST
+    pinned on both engines (registry NULL rules): a NULL ts under a
+    live user_id must not flip between Spark's NULLS-FIRST and DuckDB's
+    NULLS-LAST default sort positions."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
+    )
     us = F.unix_micros(F.col("ts"))
     return table(spark, sf_dir, "events").select(
         "event_id",
@@ -74,11 +81,13 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            CAST(SUM(CAST(value AS DECIMAL(18,6)))
-                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  OVER (PARTITION BY user_id
+                        ORDER BY ts NULLS LAST, event_id NULLS LAST
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS DOUBLE) AS running_value,
            CAST(SUM(CAST(value AS DECIMAL(18,6)))
-                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  OVER (PARTITION BY user_id
+                        ORDER BY ts NULLS LAST, event_id NULLS LAST
                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                 AS DOUBLE) AS window3_value
     FROM events
@@ -86,8 +95,13 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running + sliding-frame sums with explicit ROWS frames (exact
-    decimal, order-independent)."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    decimal, order-independent).  NULLS LAST pinned on both engines —
+    with ROWS frames the sort position of a NULL-ts row changes which
+    rows each frame covers, so an unpinned order drifts every running
+    sum after the NULL (registry NULL rules)."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
+    )
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     last3 = w.rowsBetween(-2, Window.currentRow)
     v = dec("value")

@@ -91,3 +91,60 @@ def test_declared_bucketed_query_joins_and_aggregates_without_exchange(
     df = QUERIES["join_bucketed_colocated"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().toString()
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_ensure_bucketed_writes_spec_and_reregisters(spark, sf_dir, tmp_path):
+    from kinesis_handler_spark.io.bucketing import ensure_bucketed
+
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    path = str(tmp_path / "orders_spec")
+    try:
+        ensure_bucketed(
+            spark, orders, "orders_spec_a", ["o_custkey"], 4, path=path
+        )
+        assert (tmp_path / "orders_spec" / "_BUCKET_SPEC.json").exists()
+        # a second session-alias registering the SAME spec over the same
+        # files succeeds via DDL (no rewrite)
+        ensure_bucketed(
+            spark, orders, "orders_spec_b", ["o_custkey"], 4, path=path
+        )
+        assert read_bucketed(spark, "orders_spec_b").count() == orders.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_spec_a")
+        spark.sql("DROP TABLE IF EXISTS orders_spec_b")
+
+
+def test_ensure_bucketed_rejects_mismatched_spec(spark, sf_dir, tmp_path):
+    # Declaring a DIFFERENT bucket spec over existing files would make
+    # the planner skip exchanges against misaligned data — must raise.
+    from kinesis_handler_spark.io.bucketing import ensure_bucketed
+
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    path = str(tmp_path / "orders_mismatch")
+    try:
+        ensure_bucketed(
+            spark, orders, "orders_mm_a", ["o_custkey"], 4, path=path
+        )
+        with pytest.raises(ValueError, match="bucket spec mismatch"):
+            ensure_bucketed(  # different n_buckets, same files
+                spark, orders, "orders_mm_b", ["o_custkey"], 8, path=path
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_mm_a")
+        spark.sql("DROP TABLE IF EXISTS orders_mm_b")
+
+
+def test_ensure_bucketed_rejects_foreign_success_dir(spark, sf_dir, tmp_path):
+    # A directory with _SUCCESS but no spec sidecar (plain parquet dump,
+    # or a pre-sidecar write) must not be blessed with bucket metadata.
+    from kinesis_handler_spark.io.bucketing import ensure_bucketed
+
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    path = tmp_path / "foreign"
+    orders.write.mode("overwrite").parquet(str(path))
+    assert (path / "_SUCCESS").exists()
+    with pytest.raises(ValueError, match="no readable _BUCKET_SPEC"):
+        ensure_bucketed(
+            spark, orders, "orders_foreign", ["o_custkey"], 4, path=str(path)
+        )
+    spark.sql("DROP TABLE IF EXISTS orders_foreign")

@@ -76,6 +76,11 @@ ONCE_DRIFTED = {
         "scalar_map_json", "udf_transformer", "window_frame_exclude",
         "window_time_slide", "window_session_batch", "window_time_bucket",
         "multimodal_resize",
+        # r6: drifted once the twin gained MIXED-null events rows (live
+        # user_id + NULL ts / duplicate ts) — unpinned window ORDER BY,
+        # plus the session oracle's missing tie-break (ADVICE r5 class).
+        "scd2_intervals", "window_groups_frame", "events_transition",
+        "window_first_last", "window_lag_lead", "window_running_frame",
     ]),
     "dups": ("sf_dup", [
         "dedup_embedding_cosine", "embed_quantize", "sim_cosine_topk",

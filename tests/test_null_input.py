@@ -161,9 +161,14 @@ def nan_dir(spark) -> str:
         # NaN/Inf (ANSI casts map them to NULL) plus EXTREME FINITE
         # magnitudes: 1e308 is a legal double a corrupt sensor can emit,
         # and floor()/long-conversion of it overflows under ANSI.
+        # ±2e14: finite, inside the ±1e308 decimal guard, but
+        # floor(x/50000) lands outside INT range on BOTH signs — pins
+        # agg_histogram's symmetric magnitude clamp (ADVICE r5: the old
+        # one-sided least(...,9) clamp let -2e14 raise on the int cast).
         specials = ["double('NaN')", "double('Infinity')",
                     "double('-Infinity')", "double('1.0E308')",
-                    "double('-1.0E308')"]
+                    "double('-1.0E308')", "double('2.0E14')",
+                    "double('-2.0E14')"]
         for name in TABLES:
             raw = spark.read.parquet(f"{src}/{name}.parquet")
             base = raw.limit(20)

@@ -12,7 +12,12 @@ fixture artifact.
 Modes (second positional arg of :func:`build`):
 
 * ``nulls`` (default) — per table: 20 real rows + 5 rows with every
-  non-leading column NULL + 3 all-NULL rows.
+  non-leading column NULL + 3 all-NULL rows.  ``events`` additionally
+  gets MIXED-null rows: live user_id with NULL ts, and live (user_id,
+  ts) with NULL event_type/value — the ADVICE r5 shape that an
+  all-or-nothing NULL pattern can never exercise (an unpinned window
+  ORDER BY drifts between Spark's NULLS FIRST and DuckDB's NULLS LAST
+  only when a NULL sort key appears inside a live partition key).
 * ``dups`` — per table: 20 real rows + the first 5 duplicated verbatim
   (twice more).  Catches per-row-impl vs GROUP-BY-oracle drift (an
   oracle that aggregates away duplicate keys the implementation keeps —
@@ -71,6 +76,23 @@ def _null_pieces(path: str, names: list[str], types: dict[str, str]):
     ]
 
 
+def _mixed_null_events_piece(path: str):
+    """Live partition keys with NULL sort/measure columns: NULL ts under
+    a real user_id (rows 1-4), and NULL event_type/value under a real
+    (user_id, ts) (rows 5-8).  event_id is offset so the rows never
+    collide with the real slice."""
+    return (
+        f"(SELECT event_id + 800000 AS event_id,"
+        f" CASE WHEN event_id % 2 = 0 THEN NULL ELSE ts END AS ts,"
+        f" user_id,"
+        f" CASE WHEN event_id % 2 = 1 THEN NULL ELSE event_type END"
+        f"   AS event_type,"
+        f" CASE WHEN event_id % 2 = 1 THEN NULL ELSE value END AS value,"
+        f" props"
+        f" FROM '{path}' LIMIT 8)"
+    )
+
+
 def _dup_pieces(path: str):
     return [
         f"(SELECT * FROM '{path}' LIMIT 5)",
@@ -118,6 +140,8 @@ def build(src: str, out: str, mode: str = "nulls") -> None:
             pieces = [f"(SELECT * FROM '{path}' LIMIT 20)"]
             if mode in ("nulls", "chaos"):
                 pieces += _null_pieces(path, names, types)
+                if t == "events":
+                    pieces.append(_mixed_null_events_piece(path))
             if mode in ("dups", "chaos"):
                 pieces += _dup_pieces(path)
             if t == "embeddings" and mode in ("ragged", "chaos"):
