@@ -188,3 +188,31 @@ def test_no_cartesian_product_outside_declared_brute_force(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in nested_loop_ok:
             offenders.append(f"{name}:nested-loop")
     assert not offenders, f"unintended product joins: {offenders}"
+
+
+def test_global_windows_only_on_bounded_inputs(spark, sf_dir):
+    # SCALE.md "Expected WindowExec warnings": a window with NO
+    # partition spec moves its whole input to one partition — allowed
+    # only where that input is bounded independent of corpus size.
+    #   events_daily_ma             — 60-row daily spine (O(days))
+    #   events_rolling_distinct_hll — per-day HLL rollup (O(days))
+    # (The third documented site, the IVF seed numbering in
+    # queries/llm_scale.py, windows over K = √N rows AFTER a
+    # distributed top-K and sits behind a localCheckpoint, so it never
+    # appears in a final query plan.)  Any other query growing a global
+    # window is a 100 TB plan bug.
+    import re
+
+    allowed = {"events_daily_ma", "events_rolling_distinct_hll"}
+    # partition columns precede the ordering inside
+    # windowspecdefinition(...); a sort direction in the FIRST argument
+    # means the partition spec is empty.
+    rx = re.compile(r"windowspecdefinition\(\s*[^,()]+ (?:ASC|DESC)")
+    offenders = []
+    for name in sorted(all_queries()):
+        if name in allowed:
+            continue
+        plan = plan_of(spark, name, sf_dir, mode="simple")
+        if rx.search(plan):
+            offenders.append(name)
+    assert not offenders, f"unbounded global windows: {offenders}"
