@@ -119,6 +119,89 @@ def kinesis_stream(
     )
 
 
+#: Canonical config keys understood by :func:`open_envelope_stream`.
+#: Everything else in the config dict is forwarded verbatim as a source
+#: option, so connector-specific tuning needs no code change here.
+_RESERVED_KEYS = {"format", "path", "stream_name", "region", "payload_b64"}
+
+
+def open_envelope_stream(spark: SparkSession, config: dict) -> DataFrame:
+    """Config-driven source binding (reference R4,
+    lib/kinesisHandler.js:132-139 — where the reference hard-wires its
+    Kinesis client, this engine binds ANY envelope-shaped source from
+    configuration alone; swapping dev files for production Kinesis is a
+    config edit, not a code edit).
+
+    ``config["format"]``:
+
+    * ``"aws-kinesis"`` / ``"kinesis"`` — the public connector via
+      :func:`kinesis_stream` (needs ``stream_name`` + ``region``;
+      raises the documented RuntimeError when the jar is absent).
+    * ``"json-files"`` / ``"json"`` — :func:`envelope_json_stream`
+      (needs ``path``), the dev/test file twin.
+    * ``"rate"`` — :func:`rate_envelope_stream` (needs
+      ``payload_b64``), the load-gen twin.
+    * anything else — passed straight to
+      ``spark.readStream.format(fmt)`` with the remaining config as
+      options; the resulting stream must satisfy
+      :func:`check_envelope_contract` (validated here), which is what
+      lets a future connector bind with zero edits.
+
+    Every tier returns a stream satisfying the same envelope contract,
+    so ``RoutingEngine.run_stream`` is oblivious to the source.
+    """
+    cfg = dict(config)
+    fmt = cfg.get("format", "json-files")
+    extra = {k: v for k, v in cfg.items() if k not in _RESERVED_KEYS}
+    if fmt in ("aws-kinesis", "kinesis"):
+        return kinesis_stream(
+            spark, cfg["stream_name"], cfg["region"], **extra
+        )
+    if fmt in ("json-files", "json"):
+        return envelope_json_stream(spark, cfg["path"], **extra)
+    if fmt == "rate":
+        return rate_envelope_stream(
+            spark, payload_b64=cfg["payload_b64"], **extra
+        )
+    df = (
+        spark.readStream.format(fmt)
+        .options(**{k: str(v) for k, v in extra.items()})
+        .load(cfg["path"]) if "path" in cfg
+        else spark.readStream.format(fmt)
+        .options(**{k: str(v) for k, v in extra.items()})
+        .load()
+    )
+    check_envelope_contract(df)
+    return df
+
+
+def check_envelope_contract(df: DataFrame) -> None:
+    """The source contract ``run_stream`` depends on: a STREAMING frame
+    carrying every ``ENVELOPE_SCHEMA`` column with a compatible type
+    (``data`` may be STRING base64 or raw BINARY — the decode stage
+    accepts both).  Raises ``ValueError`` with the exact gap otherwise;
+    the file/rate twins and the Kinesis projection all pass, which is
+    what makes them interchangeable under the engine
+    (tests/test_routing_stream.py::TestSourceContract)."""
+    if not df.isStreaming:
+        raise ValueError("envelope source must be a streaming DataFrame")
+    have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    problems = []
+    for f in ENVELOPE_SCHEMA.fields:
+        got = have.get(f.name)
+        want = f.dataType.simpleString()
+        ok = got == want or (f.name == "data" and got in ("string", "binary"))
+        if got is None:
+            problems.append(f"missing column {f.name} ({want})")
+        elif not ok:
+            problems.append(f"{f.name}: want {want}, got {got}")
+    if problems:
+        raise ValueError(
+            "stream does not satisfy the envelope contract: "
+            + "; ".join(problems)
+        )
+
+
 def envelope_json_stream(
     spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
 ) -> DataFrame:

@@ -208,3 +208,94 @@ def test_stream_parallel_sinks_same_results(spark, engine, tmp_path):
     with pytest.raises(Exception, match="sink down"):
         q2.awaitTermination(120)
         raise q2.exception() or AssertionError("query should have failed")
+
+
+class TestSourceContract:
+    """R4 connector seam: every source tier binds from CONFIG alone via
+    ``open_envelope_stream`` and satisfies one envelope contract, so
+    swapping the dev file twin for production Kinesis is a config edit.
+    The real connector jar is environment-blocked here; the binding
+    path is still exercised up to the connector load."""
+
+    def test_file_twin_binds_from_config_and_drives_engine(
+        self, spark, engine, tmp_path
+    ):
+        from kinesis_handler_spark.io.sources import (
+            check_envelope_contract,
+            open_envelope_stream,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        _write_batch_json(src / "b0.json", fx.batch_ok())
+        stream = open_envelope_stream(
+            spark,
+            {"format": "json-files", "path": str(src),
+             "max_files_per_trigger": 1},
+        )
+        check_envelope_contract(stream)  # twin satisfies the contract
+        out = tmp_path / "out"
+        routed_sink, dead_sink = _parquet_sinks(out)
+        q = engine.run_stream(
+            stream,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            routed_sink=routed_sink,
+            dead_letter_sink=dead_sink,
+        )
+        q.awaitTermination(120)
+        created = spark.read.parquet(
+            f"{out}/routed/{fx.PRODUCT_CREATE_ID.replace('/', '_')}"
+        )
+        assert created.count() == 3
+
+    def test_rate_twin_satisfies_contract(self, spark):
+        from kinesis_handler_spark.io.sources import (
+            check_envelope_contract,
+            open_envelope_stream,
+        )
+
+        stream = open_envelope_stream(
+            spark,
+            {"format": "rate", "payload_b64": "e30=",
+             "rows_per_second": 5},
+        )
+        check_envelope_contract(stream)
+
+    def test_kinesis_config_reaches_connector_load(self, spark):
+        # Binding with format aws-kinesis goes all the way to the
+        # connector jar load — absent in this container, so the
+        # documented gate fires (NOT a config/typo error).
+        from kinesis_handler_spark.io.sources import open_envelope_stream
+
+        with pytest.raises(RuntimeError, match="Kinesis connector not"):
+            open_envelope_stream(
+                spark,
+                {"format": "aws-kinesis", "stream_name": "s",
+                 "region": "us-west-2"},
+            )
+
+    def test_contract_rejects_non_envelope_stream(self, spark):
+        from kinesis_handler_spark.io.sources import check_envelope_contract
+
+        bad = spark.readStream.format("rate").load()  # timestamp, value
+        with pytest.raises(ValueError, match="missing column partitionKey"):
+            check_envelope_contract(bad)
+
+    def test_contract_rejects_batch_frame(self, spark):
+        from kinesis_handler_spark.io.sources import check_envelope_contract
+
+        with pytest.raises(ValueError, match="must be a streaming"):
+            check_envelope_contract(spark.range(1))
+
+    def test_generic_format_passthrough_validates_contract(self, spark):
+        # A future connector binds via the passthrough arm (any format
+        # name not handled above goes straight to readStream.format);
+        # a source that doesn't speak the envelope is rejected at BIND
+        # time, not at first micro-batch.  rate-micro-batch is a real
+        # built-in streaming source with a non-envelope schema.
+        from kinesis_handler_spark.io.sources import open_envelope_stream
+
+        with pytest.raises(ValueError, match="envelope contract"):
+            open_envelope_stream(
+                spark, {"format": "rate-micro-batch", "rowsPerBatch": 1}
+            )
