@@ -490,18 +490,39 @@ def _sim_ann_ivf_impl(
         mn = np.sqrt((mm * mm).sum(axis=1))
         cos = (qm @ mm.T) / np.outer(qn, mn)
         cos[qi[:, None] == mi[None, :]] = -np.inf  # exclude self
-        keep = min(top_k, cos.shape[1])
-        idx = np.argpartition(-cos, keep - 1, axis=1)[:, :keep]
-        rows = np.repeat(np.arange(len(qi)), keep)
+        # SYMMETRIC candidate emission from the one scored matrix: pair
+        # (a,b) becomes a's candidate when b's home cell is among a's
+        # probes (row direction — the classic IVF probe), AND b's
+        # candidate when a's home cell is among b's probes (column
+        # direction — same cosines read transposed, zero extra GEMM).
+        # A boundary pair missed one way is usually found the other,
+        # which is what lifts worst-case recall on structureless data
+        # (VERDICT r5 item 5; measurements in the query docstring).
+        keep_r = min(top_k, cos.shape[1])
+        idx = np.argpartition(-cos, keep_r - 1, axis=1)[:, :keep_r]
+        rows = np.repeat(np.arange(len(qi)), keep_r)
         cols = idx.ravel()
         ok = np.isfinite(cos[rows, cols])
-        return pd.DataFrame(
+        fwd = pd.DataFrame(
             {
                 "q_id": qi[rows[ok]],
                 "nbr_id": mi[cols[ok]],
                 "cosine": cos[rows[ok], cols[ok]],
             }
         )
+        keep_c = min(top_k, cos.shape[0])
+        idx_c = np.argpartition(-cos, keep_c - 1, axis=0)[:keep_c, :]
+        cols_c = np.tile(np.arange(len(mi)), keep_c)
+        rows_c = idx_c.ravel()
+        ok_c = np.isfinite(cos[rows_c, cols_c])
+        rev = pd.DataFrame(
+            {
+                "q_id": mi[cols_c[ok_c]],
+                "nbr_id": qi[rows_c[ok_c]],
+                "cosine": cos[rows_c[ok_c], cols_c[ok_c]],
+            }
+        )
+        return pd.concat([fwd, rev], ignore_index=True)
 
     local = (
         probes.groupBy("cell")
@@ -551,8 +572,15 @@ def sim_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     structureless uniform-random fixture — the worst case for any
     space-partitioning index, since true neighbors sit barely above the
     ambient cosine noise floor — measured top-3 recall vs exact brute
-    force is 0.945 at sf0.001 (N=500, K=22), 0.947 at sf0.01, 0.765 at
-    sf0.1 (N=2000, K=44), vs 0.42-0.60 for the nprobe=5 cheap tier.
+    force is 0.996 at sf0.001 (N=500, K=22), 0.995 at sf0.01, 0.932 at
+    sf0.1 (N=2000, K=44), vs 0.61-0.78 for the nprobe=5 cheap tier.
+    The lift over plain forward probing (0.945/0.947/0.765 in round 5)
+    comes from SYMMETRIC candidate emission in ``score_cell``: each
+    scored probe×member matrix also yields the transposed per-member
+    top-k, so pair (a,b) is found when EITHER side probes the other's
+    home cell — boundary pairs missed one way are recovered the other,
+    at zero extra GEMM cost (only the per-cell emission, bounded by
+    top_k rows per member, grows).
     Cost scales with the scanned share nprobe/√N (~36% at sf0.1, well
     under 2× the cheap tier's wall-clock at bench scale where per-query
     fixed costs dominate; the share SHRINKS as N grows since K=√N).  On

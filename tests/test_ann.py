@@ -43,29 +43,31 @@ def test_ivf_structural_contract(spark, sf_dir):
 
 
 def test_ivf_recall_beats_scan_share(spark, sf_dir, exact_top3):
-    # nprobe=5 of K=sqrt(N) cells scans ~5*sqrt(N)/N of the corpus;
-    # on structureless uniform-random embeddings measured top-k recall
-    # is ~0.54 at sf0.01 (nprobe=3 measured 0.38-0.47). A regression
-    # below 0.4 means assignment/probing broke.
+    # nprobe=5 of K=sqrt(N) cells scans ~5*sqrt(N)/N of the corpus; with
+    # symmetric (row+column) candidate emission, measured top-3 recall
+    # on structureless uniform-random embeddings is 0.76/0.78/0.61 at
+    # sf0.001/0.01/0.1 (was 0.42-0.60 forward-only).  A regression
+    # below 0.5 means assignment/probing broke.
     got = {
         (r.q_id, r.nbr_id)
         for r in all_queries()["sim_ann_ivf"](spark, sf_dir).collect()
     }
     recall = len(got & exact_top3) / len(exact_top3)
-    assert recall > 0.4
+    assert recall > 0.5
 
 
 def test_ivf_search_tier_recall_is_search_grade(spark, sf_dir, exact_top3):
-    # The user-facing tier: nprobe=16 measured top-3 recall 0.945 at
-    # sf0.001, 0.947 at sf0.01, 0.765 at sf0.1 (worst-case structureless
-    # fixture).  Pin the >=0.7 search-grade floor with margin below the
-    # local-fixture measurement; a regression means probing broke.
+    # The user-facing tier: nprobe=16 + symmetric candidate emission
+    # measured top-3 recall 0.996 at sf0.001, 0.995 at sf0.01, 0.932 at
+    # sf0.1 (worst-case structureless fixture; was 0.945/0.947/0.765
+    # forward-only — VERDICT r5 item 5 asked for >=0.9).  Pin the 0.9
+    # floor; a regression means probing or the symmetric emission broke.
     got = {
         (r.q_id, r.nbr_id)
         for r in all_queries()["sim_ann_ivf_search"](spark, sf_dir).collect()
     }
     recall = len(got & exact_top3) / len(exact_top3)
-    assert recall >= 0.8, f"search-tier recall {recall}"
+    assert recall >= 0.9, f"search-tier recall {recall}"
 
 
 @pytest.fixture(scope="module")
