@@ -244,11 +244,23 @@ class RoutingEngine:
                     "them away)"
                 )
 
+        # SINGLE-PARSE: the payload JSON is parsed exactly once, into a
+        # VARIANT; the envelope struct, both schema-id strings, and every
+        # branch's typed struct (``_event_<i>`` below — shared by R10
+        # validation and the routed ``event`` column) are all cheap
+        # binary extractions from that one parse (``try_variant_get``) —
+        # the r5 shape re-tokenized the same JSON with from_json once
+        # per consumer (envelope + every branch validator + every routed
+        # branch: 3-4 full parses per row).
         parsed = F.try_parse_json(F.col("payload"))
-        env_struct = F.from_json(F.col("payload"), self.envelope.struct)
         df = (
             df.withColumn("_parsed", parsed)
-            .withColumn("_env", env_struct)
+            .withColumn(
+                "_env",
+                F.try_variant_get(
+                    F.col("_parsed"), "$", self.envelope.struct.simpleString()
+                ),
+            )
             .withColumn(
                 "_env_schema",
                 F.try_variant_get(F.col("_parsed"), "$.schema", "string"),
@@ -276,11 +288,24 @@ class RoutingEngine:
         )
         df = df.withColumn("reason", reason)
 
-        # R10: per-registered-branch data validation.  Each branch parses
-        # the payload against ITS struct; invalid data => dead letter.
+        # R10: per-registered-branch data validation.  Each branch
+        # extracts its typed struct from the shared variant ONCE, gated
+        # to its own rows (NULL elsewhere) — the SAME column later
+        # becomes the branch's routed `event`, so validation and routing
+        # share one extraction and the cached micro-batch frame carries
+        # compact typed structs (≈1 payload's worth across branches,
+        # since each row populates exactly one) instead of the variant
+        # binary.  Invalid data => dead letter.
         data_invalid = F.lit(False)
         for sid, (compiled, _) in sorted(self._registry.items()):
-            branch_event = F.from_json(F.col("payload"), compiled.struct)
+            on_branch = F.col("data_schema") == F.lit(sid)
+            branch_event = F.when(
+                on_branch,
+                F.try_variant_get(
+                    F.col("_parsed"), "$", compiled.struct.simpleString()
+                ),
+            )
+            df = df.withColumn(self._event_col(sid), branch_event)
             # Gate the payload on the branch condition BEFORE it reaches
             # the validator: Catalyst extracts pandas UDFs into an
             # ArrowEvalPython node evaluated for EVERY row regardless of
@@ -290,11 +315,9 @@ class RoutingEngine:
             # outside the branch carry NULL payloads through the UDF —
             # the Python side's null check skips them at ~zero cost.
             # (The JVM fast path ignores the payload column entirely.)
-            gated_payload = F.when(
-                F.col("data_schema") == F.lit(sid), F.col("payload")
-            )
-            branch_bad = (F.col("data_schema") == F.lit(sid)) & ~compiled.validate(
-                gated_payload, branch_event
+            gated_payload = F.when(on_branch, F.col("payload"))
+            branch_bad = on_branch & ~compiled.validate(
+                gated_payload, F.col(self._event_col(sid))
             )
             data_invalid = data_invalid | F.coalesce(branch_bad, F.lit(False))
         df = df.withColumn(
@@ -303,11 +326,21 @@ class RoutingEngine:
                 data_invalid, REASON_DATA_INVALID
             ),
         )
-        # Drop parse intermediates: downstream channels need only the
-        # envelope columns + payload/reason/data_schema. Keeping the
-        # variant/struct helpers would triple the size of the cached
-        # micro-batch frame (run_stream persists this).
+        # Drop ALL parse intermediates including the variant: the routed
+        # branches read their pre-extracted `_event_<i>` structs, so
+        # nothing downstream needs `_parsed`, and the cached micro-batch
+        # frame stays payload + typed structs (keeping the variant
+        # measurably slowed the cache write/read path).
         return df.drop("_payload_bytes", "_parsed", "_env", "_env_schema")
+
+    @staticmethod
+    def _event_col(sid: str) -> str:
+        """Internal per-branch typed-struct column name (schema ids
+        contain '/' and '.', which are fine in quoted column names but
+        hashed here to keep plans readable)."""
+        import hashlib
+
+        return "_event_" + hashlib.md5(sid.encode()).hexdigest()[:8]
 
     def process_batch(self, records: DataFrame, *, cache: bool = False) -> RoutingResult:
         """Route one batch (R4 entry point; also the foreachBatch body).
@@ -368,7 +401,7 @@ class RoutingEngine:
         for sid, (compiled, handler) in sorted(self._registry.items()):
             branch = (
                 valid.filter(F.col("data_schema") == F.lit(sid))
-                .withColumn("event", F.from_json(F.col("payload"), compiled.struct))
+                .withColumn("event", F.col(self._event_col(sid)))
                 .select(
                     *[c for c in records.columns if c in enriched.columns],
                     "event",
