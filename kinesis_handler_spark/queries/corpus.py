@@ -309,9 +309,17 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tokenizer = shared `normalize_text` (functions/text.py), mirrored
     by the oracle's regexp chain."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        F.explode(F.split(normalize_text("text"), " ")).alias("tok")
-    ).where(F.col("tok") != "")
+    # Materialize the token stream once: three consumers scan it (MG
+    # candidates, global total, candidate-filtered exact count), and
+    # without truncation each re-runs the 3-regex normalize chain +
+    # explode over the full corpus (sf1.0 probe: 14.9 s → 6.3 s).
+    toks = (
+        d.select(
+            F.explode(F.split(normalize_text("text"), " ")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .localCheckpoint(eager=False)
+    )
     cand = toks.mapInPandas(_mg_candidates, schema="tok string").distinct()
     total = toks.agg(F.count(F.lit(1)).alias("n"))
     return (
