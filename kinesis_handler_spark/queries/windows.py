@@ -155,7 +155,8 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN (
       SELECT o_custkey, o_orderkey,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                                ORDER BY o_orderdate DESC NULLS LAST,
+                                         o_orderkey DESC NULLS LAST) AS rn
       FROM orders
     ) t ON t.o_custkey = e.user_id AND t.rn = 1
     WHERE e.event_type = 'purchase'
@@ -170,7 +171,8 @@ def join_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+        F.col("o_orderdate").desc_nulls_last(),
+        F.col("o_orderkey").desc_nulls_last(),
     )
     latest = (
         table(spark, sf_dir, "orders")
@@ -193,8 +195,9 @@ def join_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
              abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)) AS diff_us,
              ROW_NUMBER() OVER (
                PARTITION BY e.event_id
-               ORDER BY abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)),
-                        o.o_orderkey) AS rn
+               ORDER BY abs(epoch_us(e.ts) - epoch_us(o.o_orderdate))
+                          NULLS LAST,
+                        o.o_orderkey NULLS LAST) AS rn
       FROM events e JOIN orders o ON o.o_custkey = e.user_id
       WHERE e.event_type = 'signup'
     ) t
@@ -217,7 +220,13 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cast to (LTZ) timestamp is value-preserving and unix_micros exact.
     odate = F.col("o_orderdate").cast("timestamp")
     diff = F.abs(F.unix_micros(F.col("ts")) - F.unix_micros(odate))
-    w = Window.partitionBy("event_id").orderBy(diff.asc(), F.col("o_orderkey"))
+    # NULLS LAST pinned (registry NULL rules): a NULL o_orderdate under
+    # a live o_custkey makes diff NULL, and Spark's NULLS-FIRST default
+    # would crown the unknown-distance order "nearest" while DuckDB's
+    # NULLS-LAST picks a real one (caught by the r6 mixed-null twin).
+    w = Window.partitionBy("event_id").orderBy(
+        diff.asc_nulls_last(), F.col("o_orderkey").asc_nulls_last()
+    )
     return (
         joined.select(
             "event_id",

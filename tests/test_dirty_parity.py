@@ -81,6 +81,11 @@ ONCE_DRIFTED = {
         # plus the session oracle's missing tie-break (ADVICE r5 class).
         "scd2_intervals", "window_groups_frame", "events_transition",
         "window_first_last", "window_lag_lead", "window_running_frame",
+        # r6 second wave: mixed-null rows extended to orders/lineitem/
+        # customer — NULL o_orderdate under a live o_custkey made the
+        # as-of distance NULL, and Spark's NULLS-FIRST default crowned
+        # the unknown-distance order "nearest".
+        "join_asof_nearest", "join_asof_latest",
     ]),
     "dups": ("sf_dup", [
         "dedup_embedding_cosine", "embed_quantize", "sim_cosine_topk",

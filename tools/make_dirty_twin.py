@@ -12,12 +12,14 @@ fixture artifact.
 Modes (second positional arg of :func:`build`):
 
 * ``nulls`` (default) — per table: 20 real rows + 5 rows with every
-  non-leading column NULL + 3 all-NULL rows.  ``events`` additionally
-  gets MIXED-null rows: live user_id with NULL ts, and live (user_id,
-  ts) with NULL event_type/value — the ADVICE r5 shape that an
-  all-or-nothing NULL pattern can never exercise (an unpinned window
-  ORDER BY drifts between Spark's NULLS FIRST and DuckDB's NULLS LAST
-  only when a NULL sort key appears inside a live partition key).
+  non-leading column NULL + 3 all-NULL rows.  ``events``, ``orders``,
+  ``lineitem`` and ``customer`` additionally get MIXED-null rows: live
+  partition/join keys with NULL sort/measure columns on alternating
+  rows — the ADVICE r5 shape that an all-or-nothing NULL pattern can
+  never exercise (an unpinned window ORDER BY drifts between Spark's
+  NULLS FIRST and DuckDB's NULLS LAST only when a NULL sort key
+  appears inside a live partition key; round 6 caught six such queries
+  the moment the events twin gained these rows).
 * ``dups`` — per table: 20 real rows + the first 5 duplicated verbatim
   (twice more).  Catches per-row-impl vs GROUP-BY-oracle drift (an
   oracle that aggregates away duplicate keys the implementation keeps —
@@ -93,6 +95,36 @@ def _mixed_null_events_piece(path: str):
     )
 
 
+#: Key columns kept LIVE in the generic mixed-null pieces (the first
+#: is also the offset/alternation key).  Every non-key column is
+#: NULLed on an alternating half of the rows, so each (live-key,
+#: NULL-measure) and (live-key, live-measure-with-NULL-sibling) combo
+#: exists — the shape the all-or-nothing partial rows can never make.
+_MIXED_KEYS = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    "customer": ["c_custkey", "c_nationkey"],
+}
+_MIXED_OFFSET = 700_000
+
+
+def _mixed_null_piece(table: str, path: str, names: list[str]):
+    keys = _MIXED_KEYS[table]
+    alt = keys[0]
+    cols = []
+    for j, c in enumerate(names):
+        if c == alt:
+            cols.append(f'"{c}" + {_MIXED_OFFSET} AS "{c}"')
+        elif c in keys:
+            cols.append(f'"{c}"')
+        else:
+            cols.append(
+                f'CASE WHEN ("{alt}" + {j}) % 2 = 0 THEN NULL '
+                f'ELSE "{c}" END AS "{c}"'
+            )
+    return f"(SELECT {', '.join(cols)} FROM '{path}' LIMIT 8)"
+
+
 def _dup_pieces(path: str):
     return [
         f"(SELECT * FROM '{path}' LIMIT 5)",
@@ -142,6 +174,8 @@ def build(src: str, out: str, mode: str = "nulls") -> None:
                 pieces += _null_pieces(path, names, types)
                 if t == "events":
                     pieces.append(_mixed_null_events_piece(path))
+                if t in _MIXED_KEYS:
+                    pieces.append(_mixed_null_piece(t, path, names))
             if mode in ("dups", "chaos"):
                 pieces += _dup_pieces(path)
             if t == "embeddings" and mode in ("ragged", "chaos"):
