@@ -159,6 +159,16 @@ def _unicode_piece():
 
 
 def build(src: str, out: str, mode: str = "nulls") -> None:
+    # Wipe the output dir first: the fixture layer (_materialize,
+    # ensure_bucketed) caches DERIVED artifacts (csv/json/orc twins,
+    # bucketed tables) INSIDE the sf dir keyed by its basename, under
+    # the assumption that sources are immutable.  Rebuilding a twin in
+    # place with a newer recipe would leave those stale derived caches
+    # pointing at the OLD data — exactly the drift the r6 parity
+    # artifact caught when the twin recipe changed between runs.
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for t in TABLES:
