@@ -101,24 +101,34 @@ def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       COUNT(*) AS n_rows,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      CAST(CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(18,6))))
+           AS DECIMAL(38,0)) AS DOUBLE) AS sum_qty,
       CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
       CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
-      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+      CAST(CAST(CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,6))))
+           AS DECIMAL(38,0)) AS DOUBLE)
            / COUNT(l_extendedprice) AS DOUBLE) AS avg_price
     FROM lineitem
     """,
 )
 def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ungrouped aggregate — partial aggregation per partition then a
-    single-row final combine; no full shuffle of the fact table."""
+    single-row final combine; no full shuffle of the fact table.
+    Global sums FLOOR-quantize to DECIMAL(38,0) before the double cast
+    (the 2⁵³ rule — see agg_groupby_pricing; the whole-table price sum
+    crosses it at sf1.0): sum_qty is integral so nothing is lost, and
+    flooring the avg numerator perturbs the mean by <10⁻¹⁰ relative."""
     l = table(spark, sf_dir, "lineitem")
+
+    def fsum(col):
+        return F.floor(F.sum(col)).cast("decimal(38,0)").cast("double")
+
     return l.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        dec_sum("l_quantity").alias("sum_qty"),
+        fsum(dec("l_quantity")).alias("sum_qty"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
-        (F.sum(dec("l_extendedprice")).cast("double") / F.count("l_extendedprice"))
+        (fsum(dec("l_extendedprice")) / F.count("l_extendedprice"))
         .alias("avg_price"),
     )
 
@@ -129,17 +139,19 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       l_returnflag,
       l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
-        AS sum_base_price,
-      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-               * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6))
-           AS DOUBLE) AS sum_disc_price,
-      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+      CAST(CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(18,6))))
+           AS DECIMAL(38,0)) AS DOUBLE) AS sum_qty,
+      CAST(CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,6))))
+           AS DECIMAL(38,0)) AS DOUBLE) AS sum_base_price,
+      CAST(CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+               * (1 - CAST(l_discount AS DECIMAL(18,6)))))
+           AS DECIMAL(38,0)) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
                * (1 - CAST(l_discount AS DECIMAL(18,6)))
-               * (1 + CAST(l_tax AS DECIMAL(18,6)))) AS DECIMAL(38,6))
-           AS DOUBLE) AS sum_charge,
-      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               * (1 + CAST(l_tax AS DECIMAL(18,6)))))
+           AS DECIMAL(38,0)) AS DOUBLE) AS sum_charge,
+      CAST(CAST(CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(18,6))))
+           AS DECIMAL(38,0)) AS DOUBLE)
            / COUNT(l_quantity) AS DOUBLE) AS avg_qty,
       CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
            / COUNT(l_discount) AS DOUBLE) AS avg_disc,
@@ -156,25 +168,35 @@ def agg_groupby_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle moves O(groups × partitions), not O(rows) — the plan
     that survives 100 TB.  Mirrors the reference's role as the
     "summarize the stream" workload (kinesisHandler.js has no agg; this
-    is north-star SURVEY §2.B)."""
+    is north-star SURVEY §2.B).
+
+    Determinism at scale: all big-money sums (and the avg_qty
+    numerator) are FLOOR-quantized to DECIMAL(38,0) before the single
+    double cast.  The previous DECIMAL(38,6) quantization is bit-exact
+    only while Σ×10⁶ < 2⁵³ — true at sf0.1, violated at sf1.0, where
+    the sf1 parity sweep measured 1-2 ULP drift (Spark rounds the exact
+    BigDecimal, DuckDB converts int128 then divides).  FLOOR + one
+    integer→double conversion is single-rounded at any magnitude
+    (whole-unit sums are the declared spec; sum_qty/avg_qty lose
+    nothing — quantities are integral).  avg_disc keeps the fractional
+    numerator: Σdisc×10⁶ stays under 2⁵³ through ~sf10000."""
     l = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-09-02")
     )
     disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     charge = disc_price * (F.lit(1) + dec("l_tax"))
+
+    def fsum(col):
+        return F.floor(F.sum(col)).cast("decimal(38,0)").cast("double")
+
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dec_sum("l_quantity").alias("sum_qty"),
-            dec_sum("l_extendedprice").alias("sum_base_price"),
-            # Quantize the scale-12 product sum to scale 6 BEFORE the double
-            # cast: a scale-6 raw value fits a double's 53-bit mantissa, so
-            # both engines make one exact rounding and agree bit-for-bit.
-            F.sum(disc_price).cast("decimal(38,6)").cast("double")
-            .alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(38,6)").cast("double")
-            .alias("sum_charge"),
-            (F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity"))
+            fsum(dec("l_quantity")).alias("sum_qty"),
+            fsum(dec("l_extendedprice")).alias("sum_base_price"),
+            fsum(disc_price).alias("sum_disc_price"),
+            fsum(charge).alias("sum_charge"),
+            (fsum(dec("l_quantity")) / F.count("l_quantity"))
             .alias("avg_qty"),
             (F.sum(dec("l_discount")).cast("double") / F.count("l_discount"))
             .alias("avg_disc"),

@@ -236,16 +236,16 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_weighted_avg",
     oracle="""
     SELECT l_returnflag,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,3))
-                     * CAST(l_extendedprice AS DECIMAL(12,3)))
-                   AS DECIMAL(38,6)) AS DOUBLE)
-             / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,3)))
-                   AS DECIMAL(38,6)) AS DOUBLE) AS wavg_price,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,3))
-                     * CAST(l_discount AS DECIMAL(8,6)))
-                   AS DECIMAL(38,6)) AS DOUBLE)
-             / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,3)))
-                   AS DECIMAL(38,6)) AS DOUBLE) AS wavg_discount
+           CAST(CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(8,3))
+                     * CAST(l_extendedprice AS DECIMAL(12,3))))
+                   AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(8,3))))
+                   AS DECIMAL(38,0)) AS DOUBLE) AS wavg_price,
+           CAST(CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,3))
+                     * CAST(l_discount AS DECIMAL(8,6))))
+                   AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,3))))
+                   AS DECIMAL(38,0)) AS DOUBLE) AS wavg_discount
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -254,9 +254,16 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted averages (quantity-weighted unit price, revenue-weighted
     discount) — the aggregate every pricing mart needs that plain AVG
     gets wrong.  Numerator and denominator are each an exact decimal
-    sum quantized to DECIMAL(38,6) and converted to double once; the
-    final value is then ONE IEEE division — fully order-independent on
-    both engines.  Same single-shuffle partial+final shape as any hash
+    sum FLOOR-quantized to DECIMAL(38,0) and converted to double once;
+    the final value is then ONE IEEE division — fully order-independent
+    on both engines AT ANY SCALE (the sf1.0 probe caught the previous
+    DECIMAL(38,6) quantization drifting 1-2 ULPs once the sum's integer
+    representation Σ×10⁶ crossed 2⁵³ — past that, Spark rounds the
+    exact BigDecimal while DuckDB converts int128 then divides, two
+    different roundings; FLOOR + integer→double is single-rounded
+    everywhere, the agg_corr_regression recipe).  Flooring a ~10¹²
+    numerator perturbs the quotient by <10⁻¹² relative — part of the
+    operator spec.  Same single-shuffle partial+final shape as any hash
     aggregate.
 
     Decimal widths are sized to the DATA (quantity fits DECIMAL(8,3),
@@ -270,7 +277,7 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = dec_t(F.col("l_discount"), "decimal(8,6)")
 
     def dsum(col):
-        return F.sum(col).cast("decimal(38,6)").cast("double")
+        return F.floor(F.sum(col)).cast("decimal(38,0)").cast("double")
 
     return li.groupBy("l_returnflag").agg(
         (dsum(qty * price) / dsum(qty)).alias("wavg_price"),
