@@ -84,6 +84,46 @@ def generate(src_dir: str, n: int, files: int = 32) -> None:
                 seq += 1
 
 
+def bench_ordered(spark, work: str, n_records: int) -> dict:
+    """R16 throughput: per-key ORDERED processing via
+    ``RoutingEngine.process_ordered`` (hash-partition by partitionKey,
+    numeric sequence sort within the group, one Arrow-batched pandas
+    call per key).  Batch-mode: the ordered discipline is a per-batch
+    contract, so the stream wrapper adds nothing to what this measures.
+    The reference's synchronous handler replays records strictly one at
+    a time on one event loop — this is the distributed counterpart with
+    the same per-key guarantee."""
+    from kinesis_handler_spark.routing.engine import ENVELOPE_SCHEMA
+
+    src = os.path.join(work, "ordered_src")
+    os.makedirs(src, exist_ok=True)
+    generate(src, n_records)
+    records = spark.read.schema(ENVELOPE_SCHEMA).json(src)
+
+    def fn(pdf):
+        # representative ordered-consumer work: per-key running position
+        # over the (sorted) frame plus a payload-size projection
+        out = pdf[["partitionKey", "sequenceNumber"]].copy()
+        out["pos"] = range(len(pdf))
+        out["payload_len"] = pdf["data"].str.len()
+        return out
+
+    t0 = time.perf_counter()
+    RoutingEngine.process_ordered(
+        records, fn,
+        "partitionKey STRING, sequenceNumber STRING, pos LONG, "
+        "payload_len LONG",
+    ).write.format("noop").mode("overwrite").save()
+    elapsed = time.perf_counter() - t0
+    return {
+        "metric": "ordered_records_per_sec",
+        "value": round(n_records / elapsed),
+        "unit": "records/sec",
+        "n_records": n_records,
+        "elapsed_sec": round(elapsed, 2),
+    }
+
+
 def main(n_records: int) -> None:
     spark = get_spark("routing-throughput-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -150,6 +190,7 @@ def main(n_records: int) -> None:
                 }
             )
         )
+        print(json.dumps(bench_ordered(spark, work, n_records)))
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
