@@ -61,5 +61,24 @@ def dec_sum(col: Column | str) -> Column:
     return F.sum(dec(col)).cast("double")
 
 
+def floor_sum(col: Column, *, zero_if_null: bool = False) -> Column:
+    """Exact decimal SUM, FLOOR-quantized to DECIMAL(38,0) before ONE
+    integer→double conversion — the 2⁵³ rule (registry.py): a plain
+    decimal→double cast drifts 1-2 ULPs between engines once the sum's
+    integer representation (value × 10^scale) crosses 2⁵³, because
+    Spark rounds the exact BigDecimal while DuckDB converts int128 then
+    divides.  FLOOR + integer→double is single-rounded at ANY
+    magnitude.  Use for every sum whose group cardinality is BOUNDED
+    (global / per-year / per-nation / per-flag totals grow linearly
+    with corpus size; per-entity sums whose entity count grows with the
+    corpus stay bounded and don't need this).  Oracle mirror:
+    ``CAST(CAST(FLOOR(SUM(...)) AS DECIMAL(38,0)) AS DOUBLE)`` (wrap in
+    COALESCE(..., 0) when ``zero_if_null``)."""
+    s = F.floor(F.sum(col)).cast("decimal(38,0)")
+    if zero_if_null:
+        s = F.coalesce(s, F.lit(0).cast("decimal(38,0)"))
+    return s.cast("double")
+
+
 # Back-compat alias; both names now surface double.
 dec_sum_as_double = dec_sum

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kinesis_handler_spark.functions.numeric import dec
+from kinesis_handler_spark.functions.numeric import dec, floor_sum
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
 
@@ -74,20 +74,20 @@ def join_returns_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_promo_share",
     oracle="""
     SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS month,
-           CAST(COALESCE(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+           CAST(CAST(COALESCE(FLOOR(SUM(CASE WHEN p.p_type = 'PROMO'
                     THEN CAST(l.l_extendedprice AS DECIMAL(18,6))
-                         * (1 - CAST(l.l_discount AS DECIMAL(18,6))) END)
-                  AS DECIMAL(38,6)), 0) AS DOUBLE) AS promo_revenue,
-           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
-                  AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue,
-           100.0 * CAST(COALESCE(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,6))) END)), 0)
+                  AS DECIMAL(38,0)) AS DOUBLE) AS promo_revenue,
+           CAST(CAST(FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,6)))))
+                  AS DECIMAL(38,0)) AS DOUBLE) AS total_revenue,
+           100.0 * CAST(CAST(COALESCE(FLOOR(SUM(CASE WHEN p.p_type = 'PROMO'
                     THEN CAST(l.l_extendedprice AS DECIMAL(18,6))
-                         * (1 - CAST(l.l_discount AS DECIMAL(18,6))) END)
-                  AS DECIMAL(38,6)), 0) AS DOUBLE)
-               / CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
-                  AS DECIMAL(38,6)) AS DOUBLE) AS promo_pct
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,6))) END)), 0)
+                  AS DECIMAL(38,0)) AS DOUBLE)
+               / CAST(CAST(FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,6)))))
+                  AS DECIMAL(38,0)) AS DOUBLE) AS promo_pct
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     GROUP BY 1
     """,
@@ -100,19 +100,19 @@ def agg_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection while it fits and shuffle-joins beyond (SCALE.md
     broadcast policy: hint only geography-bounded dims).  The
     conditional sum is one pass (SUM(CASE) — no second scan for the
-    numerator); both sums stay exact DECIMAL until one double cast
-    each, and the share is a single IEEE multiply+divide, so both
-    engines agree bit-for-bit."""
+    numerator); both sums stay exact DECIMAL and are FLOOR-quantized
+    (functions/numeric.floor_sum — the 2⁵³ rule: monthly groups are
+    BOUNDED, so these revenue sums grow linearly with corpus size and
+    the old (38,6)→double cast would start drifting ULPs near sf2),
+    and the share is a single IEEE multiply+divide, so both engines
+    agree bit-for-bit at any scale."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
     revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
-    promo = F.coalesce(
-        F.sum(F.when(F.col("p_type") == "PROMO", revenue)).cast(
-            "decimal(38,6)"
-        ),
-        F.lit(0).cast("decimal(38,6)"),
-    ).cast("double")
-    total = F.sum(revenue).cast("decimal(38,6)").cast("double")
+    promo = floor_sum(
+        F.when(F.col("p_type") == "PROMO", revenue), zero_if_null=True
+    )
+    total = floor_sum(revenue)
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("month"))
@@ -480,9 +480,9 @@ def agg_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_disjunctive",
     oracle="""
     SELECT COUNT(*) AS n_items,
-           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
-                  AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+           CAST(CAST(FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,6)))))
+                  AS DECIMAL(38,0)) AS DOUBLE) AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
            AND l.l_quantity >= 1 AND l.l_quantity <= 20)
@@ -523,7 +523,7 @@ def filter_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     return joined.filter(branch1 | branch2 | branch3).agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.sum(revenue).cast("decimal(38,6)").cast("double").alias("revenue"),
+        floor_sum(revenue).alias("revenue"),
     )
 
 
@@ -532,9 +532,9 @@ def filter_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
-           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
-                  AS DECIMAL(38,6)) AS DOUBLE) AS volume,
+           CAST(CAST(FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,6)))))
+                  AS DECIMAL(38,0)) AS DOUBLE) AS volume,
            COUNT(*) AS n_items
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -581,7 +581,7 @@ def join_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
         .agg(
-            F.sum(revenue).cast("decimal(38,6)").cast("double").alias("volume"),
+            floor_sum(revenue).alias("volume"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_handler_spark.functions.numeric import dec, dec_sum, dec_t
+from kinesis_handler_spark.functions.numeric import dec, dec_sum, dec_t, floor_sum
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
 
@@ -421,9 +421,9 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r.r_name AS region, n.n_name AS nation,
            COUNT(*) AS n_lineitems,
-           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
-                AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+           CAST(CAST(FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,6)))))
+                AS DECIMAL(38,0)) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey  = c.c_custkey
@@ -451,7 +451,7 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("n_lineitems"),
-            F.sum(revenue).cast("decimal(38,6)").cast("double").alias("revenue"),
+            floor_sum(revenue).alias("revenue"),
         )
     )
 
@@ -806,9 +806,9 @@ def join_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_multi_star",
     oracle="""
     SELECT n.n_name,
-           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
-                  AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+           CAST(CAST(FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,6)))))
+                  AS DECIMAL(38,0)) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM region r
     JOIN nation n    ON n.n_regionkey = r.r_regionkey
@@ -858,7 +858,7 @@ def join_multi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.sum(revenue).cast("decimal(38,6)").cast("double").alias("revenue"),
+            floor_sum(revenue).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -920,9 +920,9 @@ def agg_having_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q6_SQL = """
-SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                     * CAST(l_discount AS DECIMAL(18,6)))
-                 AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+SELECT CAST(CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                     * CAST(l_discount AS DECIMAL(18,6))))
+                 AS DECIMAL(38,0)) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'

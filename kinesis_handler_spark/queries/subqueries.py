@@ -212,8 +212,8 @@ def agg_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY 1
     )
     SELECT COUNT(*) AS n_items,
-           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)))
-                AS DECIMAL(38,6)) AS DOUBLE) / 7.0 AS avg_yearly
+           CAST(CAST(FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))))
+                AS DECIMAL(38,0)) AS DOUBLE) / 7.0 AS avg_yearly
     FROM lineitem l JOIN a ON a.l_partkey = l.l_partkey
     WHERE l.l_quantity < CAST(0.2 AS DOUBLE) * a.avg_qty
     """,
@@ -224,9 +224,11 @@ def agg_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     The correlated scalar subquery AVG(l_quantity per part)
     decorrelates to one per-part aggregate joined back to the fact —
     the aggregate side is O(parts), broadcast-eligible under AQE since
-    it is two columns.  The average is one deterministic IEEE division
-    of an exact decimal sum; the 0.2× threshold and final /7 are single
-    double ops, identical on both engines."""
+    it is two columns.  The per-part average is one deterministic IEEE
+    division of an exact decimal sum (per-part sums stay bounded at any
+    corpus size); the GLOBAL revenue sum FLOOR-quantizes first (2⁵³
+    rule — it grows with the corpus); the 0.2× threshold and final /7
+    are single double ops, identical on both engines."""
     li = table(spark, sf_dir, "lineitem")
     avg_qty = (
         F.sum(dec("l_quantity")).cast("decimal(38,6)").cast("double")
@@ -239,7 +241,8 @@ def agg_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.agg(
         F.count(F.lit(1)).alias("n_items"),
         (
-            F.sum(dec("l_extendedprice")).cast("decimal(38,6)").cast("double")
+            F.floor(F.sum(dec("l_extendedprice")))
+            .cast("decimal(38,0)").cast("double")
             / F.lit(7.0)
         ).alias("avg_yearly"),
     )

@@ -46,11 +46,11 @@ _DEC_REV = (
       WHERE r.r_name = 'ASIA'
     )
     SELECT o_year,
-           CAST(CAST(SUM(CASE WHEN supp_nation = 7 THEN volume END)
-                  AS DECIMAL(38,6)) AS DOUBLE)
-             / CAST(CAST(SUM(volume) AS DECIMAL(38,6)) AS DOUBLE)
+           CAST(CAST(FLOOR(SUM(CASE WHEN supp_nation = 7 THEN volume END))
+                  AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(CAST(FLOOR(SUM(volume)) AS DECIMAL(38,0)) AS DOUBLE)
              AS mkt_share,
-           CAST(CAST(SUM(volume) AS DECIMAL(38,6)) AS DOUBLE)
+           CAST(CAST(FLOOR(SUM(volume)) AS DECIMAL(38,0)) AS DOUBLE)
              AS total_volume
     FROM sales
     GROUP BY o_year
@@ -64,7 +64,11 @@ def join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum / total sum computed in ONE aggregation pass (`SUM(CASE)`, no
     second scan).  Both geography dims broadcast (bounded by the data
     model); the two fact joins shuffle on their keys.  Sums stay exact
-    DECIMAL; the share is one IEEE division."""
+    DECIMAL and are FLOOR-quantized (per-year groups are BOUNDED, so
+    they grow linearly with corpus size — the 2⁵³ rule,
+    functions/numeric.floor_sum; the sf1 magnitude audit measured this
+    query's totals AT the drift bound); the share is one IEEE
+    division of the floored sums."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -92,10 +96,10 @@ def join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey").alias("supp_nation"),
         )
     )
-    num = F.sum(F.when(F.col("supp_nation") == 7, F.col("volume"))).cast(
-        "decimal(38,6)"
-    )
-    tot = F.sum("volume").cast("decimal(38,6)")
+    num = F.floor(
+        F.sum(F.when(F.col("supp_nation") == 7, F.col("volume")))
+    ).cast("decimal(38,0)")
+    tot = F.floor(F.sum("volume")).cast("decimal(38,0)")
     return sales.groupBy("o_year").agg(
         (num.cast("double") / tot.cast("double")).alias("mkt_share"),
         tot.cast("double").alias("total_volume"),
@@ -107,13 +111,13 @@ def join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT sn.n_nationkey AS nation,
            CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-           CAST(CAST(SUM(
+           CAST(CAST(FLOOR(SUM(
              CAST(l.l_extendedprice AS DECIMAL(18,6))
                * (1 - CAST(l.l_discount AS DECIMAL(18,6)))
              - CAST(CAST(p.p_retailprice AS DECIMAL(18,6))
                     * CAST(0.1 AS DECIMAL(2,1)) AS DECIMAL(18,6))
                * CAST(l.l_quantity AS DECIMAL(18,6))
-           ) AS DECIMAL(38,6)) AS DOUBLE) AS profit
+           )) AS DECIMAL(38,0)) AS DOUBLE) AS profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -131,7 +135,9 @@ def agg_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q9's).  The part-name predicate is pushed into the part scan and
     shrinks the fact side at its FIRST join; profit stays exact
     DECIMAL through the sum (0.1 is a decimal literal — exact scale-7
-    products on both engines) with one double cast at output."""
+    products on both engines), FLOOR-quantized before the one double
+    cast (bounded nation×year groups — the 2⁵³ rule; FLOOR is toward
+    -inf on both engines, so negative profits floor identically)."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey",
         "l_quantity", "l_extendedprice", "l_discount",
@@ -162,8 +168,8 @@ def agg_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
         .agg(
-            F.sum(profit_term)
-            .cast("decimal(38,6)")
+            F.floor(F.sum(profit_term))
+            .cast("decimal(38,0)")
             .cast("double")
             .alias("profit")
         )

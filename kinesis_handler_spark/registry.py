@@ -30,8 +30,15 @@ Cross-engine determinism rules (why oracle hashes match):
   cast: past 2^53 Spark casts the exact BigDecimal but DuckDB converts
   int128 then divides by 10^scale (two roundings), and decimal
   DOWNSCALE itself truncates in DuckDB while Spark rounds half-up.
-  FLOOR + integer→double is single-rounded everywhere (see
-  ``agg_corr_regression``).
+  FLOOR + integer→double is single-rounded everywhere
+  (``functions/numeric.floor_sum``).  WHICH sums can cross 2^53: any
+  sum into a group of BOUNDED cardinality (global / per-year /
+  per-nation / per-flag) grows linearly with corpus size and MUST
+  floor-quantize — the round-6 sf1.0 magnitude audit found three such
+  sums already past the bound and six within 100× of it, all now
+  floored.  Per-entity sums (per-customer / per-order / per-part) stay
+  bounded because the entity COUNT grows instead, and keep the
+  fractional ``DECIMAL(38,6)`` quantization.
   ``tools/check_oracle.py`` enforces all of this type-strictly.
 
 NULL rules (dirty data must hash-match too — enforced by the dirty-twin
