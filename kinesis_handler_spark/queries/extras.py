@@ -30,15 +30,16 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
            CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > {SESSION_GAP_US}
                          THEN 1 ELSE 0 END)
                   OVER (PARTITION BY user_id
-                        ORDER BY ts NULLS LAST, event_id NULLS LAST
+                        ORDER BY rn
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS BIGINT) AS session_seq
     FROM (
       SELECT event_id, user_id, ts,
-             epoch_us(ts) - LAG(epoch_us(ts))
-               OVER (PARTITION BY user_id
-                     ORDER BY ts NULLS LAST, event_id NULLS LAST) AS gap_us
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+             ROW_NUMBER() OVER w AS rn
       FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts NULLS LAST, event_id NULLS LAST)
     ) t
     """,
 )
@@ -48,7 +49,15 @@ def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     number per user (lag + conditional running sum — the standard
     gap-and-island rewrite).  ONE shuffle on user_id serves both windows;
     gaps are exact integer microseconds.  At scale this is the batch twin
-    of ``streaming.windows.session_aggregate``."""
+    of ``streaming.windows.session_aggregate``.
+
+    Duplicate-row-proof oracle (r6 verdict class): the LAG pass emits
+    ROW_NUMBER() over the same window and the running-SUM pass orders by
+    that rn, so both passes share one total order even when full-row
+    duplicates make (ts, event_id) ambiguous — otherwise DuckDB may
+    permute ties between its two parallel window sorts (~5% flake seen
+    on the sibling scd2_intervals).  Spark computes both windows in one
+    sorted pass and was already bit-stable."""
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
     )

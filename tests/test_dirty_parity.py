@@ -108,3 +108,50 @@ def test_full_suite_parity_on_chaos_corpus():
     """All 155 queries hash-match DuckDB on the union of every hostile
     shape: NULL rows, duplicate rows, ragged vectors, unicode text."""
     _sweep(_twin("sf_chaos", "chaos"), [])
+
+
+# The three gaps-and-islands queries whose DuckDB oracles were caught
+# nondeterministic under full-row duplicates (r6 verdict headline find:
+# ~5% standalone flake on scd2_intervals, higher under CPU contention;
+# the two siblings shared the latent two-pass shape).  Fixed by emitting
+# ROW_NUMBER() in the same window pass as the LAG and ordering the
+# running-SUM pass by that rn.  A single green sweep cannot prove a
+# flake is gone, so this gate re-runs each oracle N times and demands
+# one identical multiset hash that also matches Spark's answer.
+ISLAND_ORACLES = ["scd2_intervals", "sessionize_gap", "window_session_batch"]
+_REPEAT = 10
+
+
+@pytest.mark.parametrize("name", ISLAND_ORACLES)
+def test_island_oracles_deterministic_on_duplicates(spark, name):
+    """Repeat-run gate: the oracle's multiset hash is stable across
+    _REPEAT evaluations on the chaos twin (full-row duplicates present)
+    and equals Spark's bit-stable answer every time."""
+    import hashlib
+
+    from kinesis_handler_spark.registry import QUERIES, all_oracles
+    from tools.check_oracle import _rows_to_multiset, duckdb_conn
+
+    all_oracles()
+    twin = _twin("sf_chaos", "chaos")
+    q = QUERIES[name]
+    sdf = q.fn(spark, twin)
+    s_cols = sdf.columns
+    s_order = [s_cols.index(c) for c in sorted(s_cols)]
+    s_ms = _rows_to_multiset([tuple(r) for r in sdf.collect()], s_order)
+    s_hash = hashlib.sha256("\n".join(s_ms).encode()).hexdigest()
+    seen = set()
+    for _ in range(_REPEAT):
+        con = duckdb_conn(twin)
+        try:
+            cur = con.execute(q.oracle)
+            d_cols = [c[0] for c in cur.description]
+            d_order = [d_cols.index(c) for c in sorted(d_cols)]
+            d_ms = _rows_to_multiset(cur.fetchall(), d_order)
+        finally:
+            con.close()
+        seen.add(hashlib.sha256("\n".join(d_ms).encode()).hexdigest())
+    assert seen == {s_hash}, (
+        f"{name}: duckdb oracle produced {len(seen)} distinct hashes over "
+        f"{_REPEAT} runs (spark match: {s_hash in seen})"
+    )
