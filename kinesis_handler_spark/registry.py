@@ -112,77 +112,70 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   2. oracle-backed queries by last-green round ascending (stalest first);
 #   3. rows-only queries never occupy a verdict slot (no hash check).
 # Everything past _FRONT follows in registration order via _driver_order.
-# Round-6 rotation (VERDICT.md r5 "Next round" item 1): head slots go to the
-# 5 queries no driver round ever checked — the 3 never-green oracle-backed
-# (source_text_scan, scd2_intervals, window_groups_frame) plus, as the same
-# ONE-TIME exception to rule 3 used in r5, the 2 rows-only queries absent
-# from every CORRECTNESS_r1-r5 artifact (events_rolling_distinct_hll,
-# sim_ann_ivf_search — cold-execution evidence only) — then scalar_math
-# (yielded its r5 slot) and the r3-stale remainder.  With these 6 green,
-# driver evidence covers 155/155 declared queries.
-# Late-round re-rotation: the tail 10 slots go to queries whose semantics
-# or plans CHANGED in round 6 (NULLS LAST pins, as-of ordering, the 2^53
-# floor-quantization, heavy-hitters checkpoint, bucketed-table sidecar) —
-# changed > r3-stale, the r5 precedent; the displaced r3-stale fillers
-# rotate back in r7.  (agg_histogram / window_session_batch also changed
-# but only on inputs absent from clean driver fixtures — extreme prices /
-# duplicate timestamps — so they wait for r7 with the stale tier.)
+# Round-7 rotation (VERDICT.md r6 "Next round" item 2): head slots go to
+# the 9 queries whose VALUES changed in the round-6 2^53 floor-
+# quantization but whose green driver rows predate the change (judge
+# re-verified all 9 locally; driver-side evidence still needed), then
+# dedup_simhash (rows-only, plan re-banded r6 — same one-time exception
+# to rule 3 as r5/r6, per the verdict's explicit ask for fresh rows
+# evidence), then the 3 gaps-and-islands queries whose ORACLE SQL was
+# rewritten this round (rn-anchored total order, duplicate-row-proof —
+# the driver runs our oracle, so the new SQL deserves a driver pass).
+# Remaining 37 slots: the 10 r3-stale fillers displaced in r6, then the
+# r4-stale tier in rotate_tiers order.  Rotated OUT (fresh r6 evidence
+# in CORRECTNESS_r06.json): the 5 never-checked head entries and the 10
+# r6-changed tail entries.
 _FRONT = [
-    "source_text_scan",  # NEVER GREEN
-    "scd2_intervals",  # NEVER GREEN
-    "window_groups_frame",  # NEVER GREEN
-    "events_rolling_distinct_hll",  # rows-only, never driver-run - one-time cold-exec evidence
-    "sim_ann_ivf_search",  # rows-only, never driver-run - one-time cold-exec evidence
-    "scalar_math",  # last green r1
-    "text_stats",  # last green r3
-    "text_normalize",  # last green r3
-    "dedup_components",  # last green r3
-    "window_time_bucket",  # last green r3
-    "project_compute",  # last green r3
-    "agg_global",  # last green r3
-    "agg_groupby_pricing",  # last green r3
-    "agg_rollup",  # last green r3
-    "agg_cube",  # last green r3
-    "agg_grouping_sets",  # last green r3
-    "agg_filtered_pivot",  # last green r3
-    "join_inner_equi",  # last green r3
-    "join_broadcast_dims",  # last green r3
-    "join_exists_correlated",  # last green r3
-    "agg_distinct_multi",  # last green r3
-    "join_null_safe",  # last green r3
-    "profile_table",  # last green r3
-    "route_case_tag",  # last green r3
-    "scalar_string",  # last green r3
-    "scalar_array",  # last green r3
-    "scalar_array_explode",  # last green r3
-    "scalar_map_json",  # last green r3
-    "scalar_conditional_null",  # last green r3
-    "scalar_struct",  # last green r3
-    "scalar_hash",  # last green r3
-    "scalar_bitwise",  # last green r3
-    "sort_multi_key",  # last green r3
-    "limit_topk",  # last green r3
-    "set_union_all",  # last green r3
-    "set_intersect",  # last green r3
-    "set_except",  # last green r3
-    "dedup_exact",  # last green r3
-    "set_intersect_all",  # last green r3
-    "source_csv_scan",  # last green r3
-    "events_gapfill_interpolate",  # semantics/plan changed r6 - re-verify
-    "events_transition",  # semantics/plan changed r6 - re-verify
-    "window_first_last",  # semantics/plan changed r6 - re-verify
-    "window_lag_lead",  # semantics/plan changed r6 - re-verify
-    "window_running_frame",  # semantics/plan changed r6 - re-verify
-    "join_asof_nearest",  # semantics/plan changed r6 - re-verify
-    "join_asof_latest",  # semantics/plan changed r6 - re-verify
-    "agg_weighted_avg",  # semantics/plan changed r6 - re-verify
-    "text_heavy_hitters",  # semantics/plan changed r6 - re-verify
-    "join_bucketed_colocated",  # semantics/plan changed r6 - re-verify
-    # 10 r3-stale fillers yielded slots to the r6 changed queries; they
-    # rotate back in r7: agg_histogram, agg_percentiles,
-    # agg_stats_moments, agg_string_concat, reshape_unpivot,
-    # source_json_scan, window_ntile_percent, window_rank_topn,
-    # window_session_batch, window_time_slide
+    "agg_promo_share",  # value changed r6 (2^53 floor) - driver evidence stale
+    "filter_disjunctive",  # value changed r6 (2^53 floor) - driver evidence stale
+    "join_nation_volume",  # value changed r6 (2^53 floor) - driver evidence stale
+    "join_multi_star",  # value changed r6 (2^53 floor) - driver evidence stale
+    "sql_scan_agg_q6",  # value changed r6 (2^53 floor) - driver evidence stale
+    "join_market_share",  # value changed r6 (2^53 floor) - driver evidence stale
+    "agg_profit_by_nation_year",  # value changed r6 (2^53 floor) - driver evidence stale
+    "agg_small_qty_revenue",  # value changed r6 (2^53 floor) - driver evidence stale
+    "agg_corr_regression",  # value changed r6 (2^53 floor) - driver evidence stale
+    "dedup_simhash",  # rows-only; plan re-banded r6 - one-time fresh-rows evidence
+    "scd2_intervals",  # oracle rewritten r7 (rn total order) - re-verify
+    "sessionize_gap",  # oracle rewritten r7 (rn total order) - re-verify
+    "window_session_batch",  # oracle rewritten r7 (rn total order) - re-verify
+    "source_json_scan",  # last green r3
+    "agg_stats_moments",  # last green r3
+    "agg_percentiles",  # last green r3
+    "agg_string_concat",  # last green r3
+    "window_ntile_percent",  # last green r3
+    "reshape_unpivot",  # last green r3
+    "agg_histogram",  # last green r3
+    "window_time_slide",  # last green r3
+    "window_rank_topn",  # last green r3
+    "topk_per_group",  # last green r3
+    "join_returns_by_customer",  # last green r4
+    "agg_late_shipment_priority",  # last green r4
+    "events_daily_ma",  # last green r4
+    "sample_uniform_per_stratum",  # last green r4
+    "audit_referential_integrity",  # last green r4
+    "fuzzy_match_blocked",  # last green r4
+    "agg_custdist",  # last green r4
+    "join_inactive_rich_customers",  # last green r4
+    "text_tfidf_topterms",  # last green r4
+    "text_quality_score",  # last green r4
+    "text_lang_profile",  # last green r4
+    "dedup_near_jaccard",  # last green r4
+    "sim_cosine_topk",  # last green r4
+    "multimodal_binary_meta",  # last green r4
+    "udf_transformer",  # last green r4
+    "udaf_grouped_pandas",  # last green r4
+    "multimodal_features",  # last green r4
+    "embed_quantize",  # last green r4
+    "multimodal_header_parse",  # last green r4
+    "embed_random_projection",  # last green r4
+    "multimodal_decode_bmp",  # last green r4
+    "multimodal_decode_wav",  # last green r4
+    "text_chunk_overlap",  # last green r4
+    "text_repetition_ratio",  # last green r4
+    "sample_hash_stratified",  # last green r4
+    "events_anomaly_zscore",  # last green r4
+    "pipeline_corpus_prep",  # last green r4
 ]
 
 

@@ -7,16 +7,16 @@ from __future__ import annotations
 
 from kinesis_handler_spark.registry import _FRONT, QUERIES, all_queries
 
-# Round-6 one-time exception (same mechanism r5 used for three other
-# rows-only queries): these two were absent from every CORRECTNESS_r1-r5
-# artifact (the driver never executed them) and VERDICT r5 item 1 asks
-# for driver-side evidence.  They occupy two front-50 slots THIS round
-# so the driver records cold-execution evidence (non-null spark_rows);
-# the next rotation (tools/rotate_tiers.py --write) pushes them back
-# behind the oracle-backed queries automatically.
+# Round-7 one-time exception (same mechanism r5/r6 used): dedup_simhash
+# is rows-only but its plan was re-banded in round 6 (distinct-
+# fingerprint banding after the sf1 probe caught a quadratic bucket) and
+# its only driver rows evidence predates that — VERDICT r6 item 2
+# explicitly asks for fresh rows evidence.  It occupies one front-50
+# slot THIS round; the next rotation pushes it back behind the
+# oracle-backed queries automatically.  (r6's two cold-exec exceptions
+# got their evidence in CORRECTNESS_r06.json and rotated out.)
 ROWS_ONLY_COLD_EXEC = {
-    "events_rolling_distinct_hll",
-    "sim_ann_ivf_search",
+    "dedup_simhash",
 }
 
 
