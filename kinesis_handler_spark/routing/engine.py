@@ -256,10 +256,18 @@ class RoutingEngine:
         df = (
             df.withColumn("_parsed", parsed)
             .withColumn(
+                # try_cast with the real StructType, NOT
+                # try_variant_get(..., struct.simpleString()): the
+                # simpleString round-trips through the DDL type parser,
+                # which rejects any JSON property name that is not a
+                # bare identifier (hyphens, spaces, dots — all legal
+                # JSON keys, e.g. "content-type") with a plan-analysis
+                # PARSE/INVALID_IDENTIFIER error that would fail the
+                # whole micro-batch.  Casting a VARIANT to a struct has
+                # the same semantics ("$" extraction, NULL on
+                # mismatch) without ever serializing field names.
                 "_env",
-                F.try_variant_get(
-                    F.col("_parsed"), "$", self.envelope.struct.simpleString()
-                ),
+                F.col("_parsed").try_cast(self.envelope.struct),
             )
             .withColumn(
                 "_env_schema",
@@ -299,11 +307,12 @@ class RoutingEngine:
         data_invalid = F.lit(False)
         for sid, (compiled, _) in sorted(self._registry.items()):
             on_branch = F.col("data_schema") == F.lit(sid)
+            # try_cast(StructType), not try_variant_get(simpleString):
+            # see the _env comment — DDL round-trip breaks on
+            # non-identifier JSON property names.
             branch_event = F.when(
                 on_branch,
-                F.try_variant_get(
-                    F.col("_parsed"), "$", compiled.struct.simpleString()
-                ),
+                F.col("_parsed").try_cast(compiled.struct),
             )
             df = df.withColumn(self._event_col(sid), branch_event)
             # Gate the payload on the branch condition BEFORE it reaches

@@ -314,3 +314,59 @@ def test_randomized_batches_conserve_every_record(spark, engine):
         assert not (routed_ids & unknown_ids)
         assert not (routed_ids & dead_ids)
         assert not (unknown_ids & dead_ids)
+
+
+def test_non_identifier_property_names_route(spark):
+    # ADVICE r6 (medium): extracting typed structs from the parsed
+    # VARIANT via try_variant_get(struct.simpleString()) round-trips
+    # field names through the DDL type parser, which rejects any JSON
+    # property that is not a bare identifier — hyphens, spaces, dots
+    # are all legal (and common) JSON keys.  A schema registering
+    # "content-type" then failed the whole micro-batch at plan
+    # analysis with INVALID_IDENTIFIER.  The engine now casts the
+    # variant with the real StructType, which never serializes names.
+    hyphen_schema = {
+        "self": {"vendor": fx.VENDOR, "name": "http-log", "version": "1-0-0"},
+        "type": "object",
+        "required": ["schema", "data"],
+        "properties": {
+            "schema": {"type": "string"},
+            "data": {
+                "type": "object",
+                "required": ["schema", "content-type"],
+                "properties": {
+                    "schema": {"type": "string"},
+                    "content-type": {"type": "string"},
+                    "x.dotted name": {"type": "integer"},
+                },
+            },
+        },
+    }
+    sid = f"{fx.VENDOR}/http-log/1-0-0"
+    eng = RoutingEngine(fx.ENVELOPE_JSON_SCHEMA)
+    eng.register(hyphen_schema, identity_handler)
+    rows = [
+        fx.record(
+            fx.b64(
+                fx.payload(
+                    sid,
+                    **{"content-type": "application/json", "x.dotted name": 7},
+                )
+            ),
+            seq=90,
+        ),
+        # missing the required content-type => dead letter, proving the
+        # hyphenated name participates in validation too
+        fx.record(fx.b64(fx.payload(sid)), seq=91),
+    ]
+    result = eng.process_batch(make_df(spark, rows))
+    m = result.metrics()
+    assert m[f"routed.{sid}"] == 1
+    assert m["dead_letter"] == 1
+    routed = result.routed[sid].select(
+        F.col("event.data.`content-type`").alias("ct"),
+        F.col("event.data.`x.dotted name`").alias("xn"),
+    ).collect()
+    assert routed == [("application/json", 7)] or (
+        routed[0]["ct"] == "application/json" and routed[0]["xn"] == 7
+    )
