@@ -91,8 +91,15 @@ def run_bench(sf_dir: str) -> dict:
 def compact_line(result: dict) -> str:
     """The driver-facing summary: complete JSON guaranteed to fit whole
     inside a 2000-char stdout tail.  ``qvals[i]`` is the timing of the
-    i-th name in ``sorted(timings)`` (all queries minus ``qerr``)."""
+    i-th name in ``sorted(timings)`` (all queries minus ``qerr``).
+    ``qfp`` fingerprints the sorted timed-name list so an equal-count
+    registry change (rename, or one query added + one removed) is a
+    hard expand-time error instead of silently misattributing every
+    timing after the first divergent name (ADVICE r6)."""
+    import hashlib
+
     timings = result["queries"]
+    timed = sorted(timings)
     out = {
         "metric": result["metric"],
         "value": result["value"],
@@ -100,7 +107,8 @@ def compact_line(result: dict) -> str:
         "sf": result["sf"],
         "n_queries": len(timings),
         "qkeys": "sorted(all_queries)-qerr; expand: tools/expand_bench.py",
-        "qvals": [timings[n] for n in sorted(timings)],
+        "qfp": hashlib.sha256(",".join(timed).encode()).hexdigest()[:8],
+        "qvals": [timings[n] for n in timed],
         "qerr": sorted(result.get("errors", {})),
     }
     return json.dumps(out, separators=(",", ":"))

@@ -175,9 +175,17 @@ def ensure_bucketed(
     try:
         os.rename(tmp, final)
     except OSError:
-        # Lost the publish race: another session renamed first.  Its
-        # contents are deterministic-equal; discard ours.
-        shutil.rmtree(tmp, ignore_errors=True)
+        # Only treat this as "lost the publish race" when a winner's
+        # complete output actually exists — its contents are
+        # deterministic-equal, so ours can go.  Any other rename
+        # failure (EXDEV across filesystems, permissions) must NOT
+        # silently destroy the freshly written bucket files and then
+        # surface later as a misleading missing-sidecar error
+        # (ADVICE r6).
+        if (final / "_SUCCESS").exists():
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
     _register_over_files(
         spark, df, table_name, bucket_cols, n_buckets, path, sort_cols
     )

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from kinesis_handler_spark.functions.text import normalize_text, word_ngrams
 from kinesis_handler_spark.registry import query
@@ -311,14 +312,19 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     # Materialize the token stream once: three consumers scan it (MG
     # candidates, global total, candidate-filtered exact count), and
-    # without truncation each re-runs the 3-regex normalize chain +
-    # explode over the full corpus (sf1.0 probe: 14.9 s → 6.3 s).
+    # without materialization each re-runs the 3-regex normalize chain
+    # + explode over the full corpus (sf1.0 probe: 14.9 s → 6.3 s).
+    # persist(DISK_ONLY), NOT localCheckpoint (ADVICE r6): both write
+    # the exploded stream — larger than the source corpus — to executor
+    # local disks exactly once, but persist keeps the lineage, so at
+    # 100 TB an executor loss mid-query recomputes the lost partitions
+    # instead of failing the job on truncated lineage.
     toks = (
         d.select(
             F.explode(F.split(normalize_text("text"), " ")).alias("tok")
         )
         .where(F.col("tok") != "")
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.DISK_ONLY)
     )
     cand = toks.mapInPandas(_mg_candidates, schema="tok string").distinct()
     total = toks.agg(F.count(F.lit(1)).alias("n"))

@@ -63,3 +63,20 @@ def test_verbose_line_still_first_contract():
     full = _fake_result()
     assert isinstance(full["queries"], dict)
     assert set(full["queries"]) == set(all_queries())
+
+
+def test_equal_count_name_divergence_is_detected():
+    # ADVICE r6: a rename (or one query added + one removed) keeps the
+    # count equal, so the old alignment check passed while every timing
+    # after the first divergent name was silently misattributed.  The
+    # qfp fingerprint turns that into a hard error.
+    import pytest
+
+    full = _fake_result()
+    parsed = json.loads(compact_line(full))
+    names = sorted(full["queries"])
+    renamed = names[:10] + ["zz_renamed_query"] + names[11:]
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        expand(parsed, names=renamed)
+    # same-name expansion still round-trips
+    assert expand(parsed, names=names) == full["queries"]

@@ -148,3 +148,35 @@ def test_ensure_bucketed_rejects_foreign_success_dir(spark, sf_dir, tmp_path):
             spark, orders, "orders_foreign", ["o_custkey"], 4, path=str(path)
         )
     spark.sql("DROP TABLE IF EXISTS orders_foreign")
+
+
+def test_ensure_bucketed_nonrace_rename_failure_raises(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    # ADVICE r6: an os.rename failure with NO winner present (EXDEV
+    # across filesystems, permissions) must re-raise — not be mistaken
+    # for a lost publish race, which silently deleted the just-written
+    # bucketed data and later failed with a misleading missing-sidecar
+    # error.  Only an existing final/_SUCCESS marks a real race loss.
+    import os as _os
+
+    from kinesis_handler_spark.io import bucketing
+
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    path = tmp_path / "orders_exdev"
+
+    def exdev_rename(src, dst):
+        raise OSError(18, "Invalid cross-device link", str(src))
+
+    monkeypatch.setattr(bucketing.os, "rename", exdev_rename)
+    try:
+        with pytest.raises(OSError, match="cross-device"):
+            bucketing.ensure_bucketed(
+                spark, orders, "orders_exdev", ["o_custkey"], 4, path=str(path)
+            )
+        # the written tmp dir survives for inspection/manual recovery
+        tmps = list(tmp_path.glob(".orders_exdev.tmp.*"))
+        assert tmps and (tmps[0] / "_SUCCESS").exists()
+    finally:
+        monkeypatch.undo()
+        spark.sql("DROP TABLE IF EXISTS orders_exdev")

@@ -33,6 +33,18 @@ def expand(compact: dict, names: list[str] | None = None) -> dict[str, float]:
             f"alignment mismatch: {len(timed)} timed names vs "
             f"{len(qvals)} qvals — registry changed since this bench ran?"
         )
+    # qfp catches EQUAL-count divergence (rename, or one query added
+    # while another was removed), which zip() would silently misalign.
+    if "qfp" in compact:
+        import hashlib
+
+        fp = hashlib.sha256(",".join(timed).encode()).hexdigest()[:8]
+        if fp != compact["qfp"]:
+            raise ValueError(
+                f"name-list fingerprint mismatch: artifact qfp="
+                f"{compact['qfp']}, current registry gives {fp} — the "
+                "registry's query names changed since this bench ran"
+            )
     return dict(zip(timed, qvals))
 
 
