@@ -196,11 +196,11 @@ def test_global_windows_only_on_bounded_inputs(spark, sf_dir):
     # only where that input is bounded independent of corpus size.
     #   events_daily_ma             — 60-row daily spine (O(days))
     #   events_rolling_distinct_hll — per-day HLL rollup (O(days))
-    # (The third documented site, the IVF seed numbering in
-    # queries/llm_scale.py, windows over K = √N rows AFTER a
-    # distributed top-K and sits behind a localCheckpoint, so it never
-    # appears in a final query plan.)  Any other query growing a global
-    # window is a 100 TB plan bug.
+    # (A third site existed through r6 — the IVF seed numbering window
+    # in queries/llm_scale.py — but r7's sample-trained quantizer
+    # removed it: seeds are now numbered driver-side on the bounded
+    # training sample.)  Any other query growing a global window is a
+    # 100 TB plan bug.
     import re
 
     allowed = {"events_daily_ma", "events_rolling_distinct_hll"}
