@@ -18,6 +18,11 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running test (vanilla-session sweep etc.)"
     )
+    config.addinivalue_line(
+        "markers",
+        "sf1: parity checks against the synthesized sf1.0 corpus "
+        "(builds .fixture_cache/sf1.0 on first run; ~4 min total)",
+    )
 
 
 @pytest.fixture(scope="session")
