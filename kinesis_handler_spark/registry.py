@@ -17,6 +17,15 @@ Cross-engine determinism rules (why oracle hashes match):
 * Every computed column is aliased identically in the DataFrame code and
   the oracle SQL (driver compares after sorting columns by name).
 * Ties in top-k / rank queries always carry a deterministic tie-break key.
+* Multi-pass window oracles (gaps-and-islands: LAG pass feeding a
+  running-SUM pass) anchor EVERY pass on ONE total order: the first
+  pass emits ``ROW_NUMBER() OVER (same window)`` and later passes
+  ``ORDER BY rn``.  Ordering each pass independently by the semantic
+  key — even with tie-breaks — is NOT total under full-row duplicates,
+  and DuckDB's parallel window may permute the tied rows between
+  passes (~5% flake, r6 verdict headline).  Spark computes co-windowed
+  functions in one sort and needs no anchor.  Pinned by the 10×
+  repeat-run gate in tests/test_dirty_parity.py.
 * FINAL output columns are restricted to boolean/int/bigint/double/
   string/binary/date/timestamp.  Never surface DECIMAL (engines
   disagree on representation), ARRAY/MAP (unhashable by the driver's

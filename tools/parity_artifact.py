@@ -8,8 +8,17 @@ This tool reruns each sweep in a subprocess and writes ONE json file
 recipe, so the judge reads committed evidence instead of trusting
 prose.
 
-Usage: PYTHONPATH=. python tools/parity_artifact.py PARITY_r06.json
-Takes ~10 min (each sweep is a fresh Spark JVM).
+Usage: PYTHONPATH=. python tools/parity_artifact.py PARITY_r07.json
+Takes ~25 min (each sweep is a fresh Spark JVM, and every twin axis is
+swept REPEATS times).
+
+Repeat-run evidence (VERDICT r6 item 3): a single-pass "all green" is
+exactly what let the scd2_intervals oracle flake hide for two rounds —
+a nondeterministic oracle passes most runs.  Each twin axis is now
+swept ``REPEATS`` (≥3) times and the artifact records every run's
+pass count; since Spark's answers are bit-stable, N consecutive
+all-pass runs means the DuckDB oracle hashed identically to the same
+fixed Spark hash N times.
 """
 
 from __future__ import annotations
@@ -60,23 +69,42 @@ def _axis_queries(mode: str) -> list[str]:
     return ONCE_DRIFTED[_TEST_MODE_NAMES[mode]][1]
 
 
-def sweep_axis(mode: str) -> dict:
+REPEATS = 3
+
+
+def sweep_axis(mode: str, repeats: int = REPEATS) -> dict:
     from tools.make_dirty_twin import build
 
     twin = os.path.join(_REPO, ".fixture_cache", _TWIN_DIR[mode])
     # always rebuild: the artifact must reflect the CURRENT twin recipe
     build("/root/testdata/sf0.001", twin, mode)
-    stdout = _run(
-        [sys.executable, os.path.join(_REPO, "tools", "check_oracle.py"),
-         twin, *_axis_queries(mode)]
-    )
-    m = re.search(r"(\d+)/(\d+) queries pass", stdout)
-    fails = [ln[:200] for ln in stdout.splitlines() if ln.startswith("FAIL")]
+    runs = []
+    fails: list[str] = []
+    for _ in range(repeats):
+        stdout = _run(
+            [sys.executable, os.path.join(_REPO, "tools", "check_oracle.py"),
+             twin, *_axis_queries(mode)]
+        )
+        m = re.search(r"(\d+)/(\d+) queries pass", stdout)
+        runs.append(
+            {"passed": int(m.group(1)) if m else 0,
+             "total": int(m.group(2)) if m else 0}
+        )
+        fails += [
+            ln[:200] for ln in stdout.splitlines() if ln.startswith("FAIL")
+        ]
     return {
         "scope": "full-suite" if mode == "chaos" else "once-drifted list",
-        "passed": int(m.group(1)) if m else 0,
-        "total": int(m.group(2)) if m else 0,
-        "failures": fails,
+        "repeats": repeats,
+        "runs": runs,
+        # all repeats green against Spark's bit-stable answers ⇒ the
+        # oracle hashed identically across every run
+        "passed": min(r["passed"] for r in runs),
+        "total": max(r["total"] for r in runs),
+        "all_runs_identical_green": all(
+            r["passed"] == r["total"] and r["total"] > 0 for r in runs
+        ),
+        "failures": sorted(set(fails)),
     }
 
 
@@ -101,8 +129,13 @@ def main(out_path: str) -> int:
     for mode in AXES:
         res = sweep_axis(mode)
         artifact["axes"][mode] = res
-        ok = ok and res["passed"] == res["total"] and res["total"] > 0
-        print(f"{mode}: {res['passed']}/{res['total']}", flush=True)
+        ok = ok and res["all_runs_identical_green"]
+        print(
+            f"{mode}: {res['passed']}/{res['total']} "
+            f"(x{res['repeats']} runs, identical_green="
+            f"{res['all_runs_identical_green']})",
+            flush=True,
+        )
     v = sweep_vanilla()
     artifact["vanilla_hostile_tz"] = v
     ok = ok and not v.get("failures") and v.get("ts_ok")
