@@ -71,7 +71,8 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(day(o_orderdate)   AS INTEGER) AS order_day,
       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS order_dow,
       date_trunc('month', o_orderdate) AS order_month_start,
-      CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+      CASE WHEN o_orderdate <= DATE '9999-12-01'
+           THEN CAST(o_orderdate + INTERVAL 30 DAY AS DATE) END AS due_date,
       CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
            AS INTEGER) AS days_since_epoch_start,
       CAST(epoch(o_orderdate) AS BIGINT) AS order_unix
@@ -84,16 +85,38 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     DuckDB ``dayofweek`` is 0=Sunday; Spark ``dayofweek`` is 1=Sunday —
     oracle adds 1.  All timestamps are midnight-aligned so day diffs are
-    unambiguous."""
+    unambiguous.
+
+    ``due_date`` NULLs past the calendar ceiling (r7 times-twin find):
+    9999-12-31 + 30 days is year 10000, which both engines compute
+    internally but neither can surface through the Python/Arrow date
+    bridge (datetime.date caps at 9999) — the driver collect would
+    crash on legal input.  NULL-as-unrepresentable is the engine's
+    standing rule (registry docstring: out-of-range doubles, NaN)."""
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    due_ok = F.col("o_orderdate").cast("date") <= F.lit("9999-12-01").cast(
+        "date"
+    )
     return o.select(
         "o_orderkey",
         F.year("o_orderdate").alias("order_year"),
         F.month("o_orderdate").alias("order_month"),
         F.dayofmonth("o_orderdate").alias("order_day"),
         F.dayofweek("o_orderdate").alias("order_dow"),
-        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
-        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        # date_trunc promotes the NTZ input to tz-aware TIMESTAMP; cast
+        # back to NTZ because the tz-aware Python bridge
+        # (datetime.fromtimestamp) probes ±1 day for DST folds and
+        # raises "year 0 is out of range" for instants within a day of
+        # the 0001-01-01 calendar floor — the NTZ bridge converts via
+        # epoch arithmetic and covers the whole calendar (r7
+        # extreme-date twin find).  Session TZ is pinned UTC, so the
+        # cast is value-preserving.
+        F.date_trunc("month", "o_orderdate")
+        .cast("timestamp_ntz")
+        .alias("order_month_start"),
+        F.when(
+            due_ok, F.date_add(F.col("o_orderdate").cast("date"), 30)
+        ).alias("due_date"),
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
         .alias("days_since_epoch_start"),
         F.unix_timestamp("o_orderdate").alias("order_unix"),

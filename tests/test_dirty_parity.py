@@ -94,6 +94,19 @@ ONCE_DRIFTED = {
     "empty": ("sf_void", ["agg_rollup", "agg_cube", "profile_table"]),
     "ragged": ("sf_ragged_duck", ["embed_vector_stats", "scalar_array"]),
     "unicode": ("sf_unicode", ["text_normalize", "source_text_scan"]),
+    # r7: extreme-but-legal temporal values (TIMESTAMP_NS range edges,
+    # pre-epoch, calendar floor/ceiling, 1582 cutover).  Three finds on
+    # the first sweeps: scalar_date's due_date crossed the year-9999
+    # calendar ceiling (datetime.date caps at 9999 — now
+    # NULL-on-overflow); scalar_date's order_month_start crashed the
+    # tz-aware Python bridge within a day of the 0001-01-01 floor
+    # (CPython's DST fold probe — now surfaced as TIMESTAMP_NTZ); and
+    # events_gapfill_interpolate's [CURRENT ROW, UNBOUNDED FOLLOWING]
+    # frame went O(n^2) on a 213k-day spine (now a running frame over
+    # day DESC; plan-gated in test_plan_quality).  The gapfill spine
+    # (~150 s here) is exercised by the slow chaos sweep, not this
+    # cheap per-run gate.
+    "times": ("sf_times", ["scalar_date"]),
 }
 
 

@@ -38,9 +38,19 @@ Modes (second positional arg of :func:`build`):
   and case-mapping edge cases (ß, İ).  Proves the text operators'
   length / case / regex / hash semantics agree across engines on the
   text a real web corpus contains.
+* ``times`` — tables unchanged except ``events`` gains rows with
+  extreme-but-legal timestamps (the TIMESTAMP_NS range edges 1677/2262
+  — the driver's generator MAY ship events as parquet NANOS — plus
+  pre-epoch negatives, epoch zero, a leap day) and ``orders`` /
+  ``lineitem`` gain date extremes (0001-01-01, the 1582 Julian→
+  Gregorian cutover straddle, 9999-12-31).  Proves the date/window
+  arithmetic (date_trunc, epoch conversions, datediff, year
+  extraction, interval windows) agrees across engines over the whole
+  proleptic-Gregorian range, not just the fixture's native decade.
 * ``chaos`` — all of the above at once: every table gets the NULL rows
   AND the duplicate rows; ``embeddings`` additionally gets the ragged
-  vectors and ``documents`` the unicode rows.  The integration gate —
+  vectors, ``documents`` the unicode rows, and ``events`` / ``orders``
+  / ``lineitem`` the extreme-temporal rows.  The integration gate —
   catches interactions between the per-axis alignments (e.g. a
   duplicate key whose twin row is NULL-ridden).
 
@@ -125,6 +135,67 @@ def _mixed_null_piece(table: str, path: str, names: list[str]):
     return f"(SELECT {', '.join(cols)} FROM '{path}' LIMIT 8)"
 
 
+#: Extreme-but-legal instants.  The first/last sit just inside the
+#: parquet TIMESTAMP_NS int64 range (1677-09-21..2262-04-11) so the
+#: twin stays valid whichever physical shape (NANOS or MICROS) the
+#: source generation shipped; the middle ones cover pre-epoch negative
+#: micros, epoch zero, and a leap day.
+_EXTREME_TS = [
+    "1677-09-22 00:00:01",
+    "1969-12-31 23:59:59.999999",
+    "1970-01-01 00:00:00",
+    "2000-02-29 12:00:00",
+    "2262-04-11 23:47:16",
+    "1883-11-18 12:00:00",
+]
+#: Date extremes: calendar floor/ceiling plus the 1582 Julian→Gregorian
+#: cutover straddle (both engines are proleptic Gregorian — these rows
+#: prove it stays true).
+_EXTREME_DATES = ["0001-01-01", "1582-10-04", "1582-10-15", "9999-12-31"]
+_TIMES_OFFSET = 850_000
+
+
+def _times_piece(table: str, path: str, names: list[str]):
+    """Extreme-temporal rows: key offset so they never collide with the
+    real slice; every non-temporal column kept live (the temporal
+    hostility must interact with real group keys / measures)."""
+    key_col, date_cols = {
+        "events": ("event_id", ["ts"]),
+        "orders": ("o_orderkey", ["o_orderdate"]),
+        "lineitem": ("l_orderkey", ["l_shipdate"]),
+    }[table]
+    if table == "events":
+        case = (
+            "CASE CAST(rn % 6 AS INTEGER) "
+            + " ".join(
+                f"WHEN {i} THEN TIMESTAMP_NS '{s}'"
+                for i, s in enumerate(_EXTREME_TS)
+            )
+            + " END"
+        )
+        n = 6
+    else:
+        case = (
+            "CASE CAST(rn % 4 AS INTEGER) "
+            + " ".join(
+                f"WHEN {i} THEN DATE '{s}'"
+                for i, s in enumerate(_EXTREME_DATES)
+            )
+            + " END"
+        )
+        n = 4
+    sel = ", ".join(
+        f'"{c}" + {_TIMES_OFFSET} AS "{c}"' if c == key_col
+        else f'{case} AS "{c}"' if c in date_cols
+        else f'"{c}"'
+        for c in names
+    )
+    return (
+        f"(SELECT {sel} FROM (SELECT *, row_number() OVER () AS rn"
+        f" FROM '{path}' LIMIT {n}) s)"
+    )
+
+
 def _dup_pieces(path: str):
     return [
         f"(SELECT * FROM '{path}' LIMIT 5)",
@@ -192,6 +263,10 @@ def build(src: str, out: str, mode: str = "nulls") -> None:
                 pieces.append(_ragged_piece(path))
             if t == "documents" and mode in ("unicode", "chaos"):
                 pieces.append(_unicode_piece())
+            if t in ("events", "orders", "lineitem") and mode in (
+                "times", "chaos"
+            ):
+                pieces.append(_times_piece(t, path, names))
             body = "\n UNION ALL BY NAME\n".join(pieces)
         con.execute(
             f"COPY ({body}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
