@@ -115,10 +115,17 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc_nulls_last("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # The forward fill is expressed as a RUNNING frame over day DESC, not
+    # a [CURRENT ROW, UNBOUNDED FOLLOWING] frame over day ASC: Spark's
+    # UnboundedFollowing frame re-aggregates suffixes per row — O(n^2)
+    # per user — while the running UnboundedPreceding frame streams in
+    # O(n).  Identical output (last non-null at-or-after = last non-null
+    # at-or-before in reverse order); the r7 extreme-timestamp twin
+    # turned a 213k-day spine user from 21+ min into seconds.
     fwd = (
         Window.partitionBy("user_id")
-        .orderBy(F.asc_nulls_last("day"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc_nulls_last("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs = F.col("obs")
     obs_day = F.when(obs.isNotNull(), F.col("day"))
@@ -128,8 +135,8 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "obs",
         F.last("obs", ignorenulls=True).over(back).alias("prev_val"),
         F.last(obs_day, ignorenulls=True).over(back).alias("prev_day"),
-        F.first("obs", ignorenulls=True).over(fwd).alias("next_val"),
-        F.first(obs_day, ignorenulls=True).over(fwd).alias("next_day"),
+        F.last("obs", ignorenulls=True).over(fwd).alias("next_val"),
+        F.last(obs_day, ignorenulls=True).over(fwd).alias("next_day"),
     )
     frac = F.datediff("day", "prev_day").cast("double") / F.datediff(
         "next_day", "prev_day"

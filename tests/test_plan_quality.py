@@ -216,3 +216,40 @@ def test_global_windows_only_on_bounded_inputs(spark, sf_dir):
         if rx.search(plan):
             offenders.append(name)
     assert not offenders, f"unbounded global windows: {offenders}"
+
+
+def test_no_shrinking_unbounded_following_frames(spark, sf_dir):
+    # r7 extreme-timestamp-twin find: a window frame [CURRENT ROW,
+    # UNBOUNDED FOLLOWING] is evaluated by Spark's
+    # UnboundedFollowingWindowFunctionFrame, which RE-AGGREGATES the
+    # whole suffix for every row — O(n^2) per partition.  One user with
+    # a 213k-day gapfill spine turned events_gapfill_interpolate into a
+    # 21-minute query; the same forward fill as a running frame over
+    # day DESC streams in O(n).  Whole-partition frames
+    # [UNBOUNDED PRECEDING, UNBOUNDED FOLLOWING] aggregate once per
+    # partition and stay allowed; any OTHER frame ending at
+    # unboundedfollowing is the quadratic class and is banned
+    # repo-wide.
+    def has_shrinking_suffix_frame(plan: str) -> bool:
+        # A frame's upper bound is quadratic iff it is unboundedfollowing
+        # while the lower bound is anything but unboundedpreceding; the
+        # lower bound is the text between "...Frame," and the bound that
+        # closes the specifiedwindowframe(...) call.
+        needle = "unboundedfollowing$())"
+        start = 0
+        while (i := plan.find(needle, start)) != -1:
+            start = i + 1
+            j = plan.rfind("specifiedwindowframe(", 0, i)
+            if j == -1:
+                continue
+            lower = plan[j:i].split("Frame,", 1)[-1].strip(" ,")
+            if lower != "unboundedpreceding$()":
+                return True
+        return False
+
+    offenders = [
+        name
+        for name in sorted(all_queries())
+        if has_shrinking_suffix_frame(plan_of(spark, name, sf_dir, mode="simple"))
+    ]
+    assert not offenders, f"O(n^2) suffix window frames: {offenders}"
