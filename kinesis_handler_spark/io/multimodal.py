@@ -277,8 +277,15 @@ def make_headered_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     def be4(col: F.Column) -> F.Column:
         return F.unhex(F.lpad(F.hex(col), 8, "0"))
 
-    width = (F.lit(64) + F.col("doc_id") % 192).cast("int")
-    height = (F.lit(64) + (F.col("doc_id") * 7) % 192).cast("int")
+    # pmod, not %: dims must stay in [64, 256) for negative ids too (a
+    # negative "width" would be nonsense in the header and diverge the
+    # engines), and the pre-reduction before *7 keeps the arithmetic
+    # int64-safe for full-range ids — both engines raise on int64
+    # overflow (r7 extreme-key twin find).  Identical to the old
+    # expressions for the fixtures' non-negative ids.
+    d192 = F.pmod(F.col("doc_id"), F.lit(192))
+    width = (F.lit(64) + d192).cast("int")
+    height = (F.lit(64) + (d192 * 7) % 192).cast("int")
     return d.select(
         F.col("doc_id").alias("media_id"),
         F.concat(
@@ -385,7 +392,10 @@ WAV_RATE, WAV_N = 8000, 240  # 30 ms of 16-bit mono PCM
 
 def _wav_sample(doc_id: int, i: int) -> int:
     """Deterministic 16-bit PCM sample in [-32768, 32767] — a ramp the
-    oracle replays: ((doc_id*31 + i*17) % 65536) - 32768."""
+    oracle replays: ((doc_id*31 + i*17) % 65536) - 32768 (as
+    pmod(doc_id, 65536)*31 — Python's floor-mod here is exact-bignum
+    and non-negative, so the oracle pre-reduces the id to match without
+    int64 overflow on full-range ids)."""
     return ((doc_id * 31 + i * 17) % 65536) - 32768
 
 
@@ -475,7 +485,9 @@ PNG_W, PNG_H = 12, 8
 
 def _png_pixel(doc_id: int, x: int, y: int, c: int) -> int:
     """Deterministic pixel value, c in {0,1,2} = R,G,B — the arithmetic
-    the DuckDB oracle replays: (doc_id*11 + x*7 + y*13 + c*5) % 256."""
+    the DuckDB oracle replays: (doc_id*11 + x*7 + y*13 + c*5) % 256
+    (as pmod(doc_id, 256)*11 — see `_wav_sample` on why the oracle
+    pre-reduces the id)."""
     return (doc_id * 11 + x * 7 + y * 13 + c * 5) % 256
 
 

@@ -625,24 +625,32 @@ def udf_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's user `transformer(payload, record)` hook
     (kinesisHandler.js:62-64,176-178) as a *vectorized* pandas UDF —
     Arrow batches instead of per-record Python.  String-only logic keeps
-    it oracle-checkable."""
+    it oracle-checkable.
+
+    The id crosses the Python boundary AS A STRING, rendered JVM-side:
+    an int64 column that contains NULLs arrives in pandas as float64
+    (Arrow→pandas default), and ids above 2^53 are not float64-
+    representable — the r7 chaos twin (extreme key + NULL sibling rows
+    in one batch) caught 9223372036854775800 silently round-tripping
+    to INT64_MIN.  Rule for every pandas-UDF signature: nullable ints
+    cross as strings or are JVM-filtered null-free first (the media
+    builders' isNotNull pre-filter)."""
 
     @F.pandas_udf("string")
     def routed_tag(event_type: pd.Series, user_id: pd.Series) -> pd.Series:
         # NULL-propagating like the oracle's || chain: a NULL in either
-        # input yields NULL (and astype("int64") on NaN would raise).
+        # input yields NULL.
         mask = event_type.notna() & user_id.notna()
         out = pd.Series([None] * len(event_type), dtype=object)
-        out[mask] = (
-            event_type[mask].str.upper()
-            + ":"
-            + user_id[mask].astype("int64").astype(str)
-        )
+        out[mask] = event_type[mask].str.upper() + ":" + user_id[mask]
         return out
 
     e = table(spark, sf_dir, "events").filter(F.col("event_id") % 6 == 0)
     return e.select(
-        "event_id", routed_tag("event_type", "user_id").alias("routed_tag")
+        "event_id",
+        routed_tag(
+            "event_type", F.col("user_id").cast("string")
+        ).alias("routed_tag"),
     )
 
 

@@ -784,8 +784,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id AS media_id,
            TRUE AS is_png,
-           CAST(64 + doc_id % 192 AS INTEGER) AS width,
-           CAST(64 + (doc_id * 7) % 192 AS INTEGER) AS height,
+           CAST(64 + ((doc_id % 192) + 192) % 192 AS INTEGER) AS width,
+           CAST(64 + ((((doc_id % 192) + 192) % 192) * 7) % 192 AS INTEGER)
+             AS height,
            CAST(16 + plen AS BIGINT) AS n_bytes,
            CAST(len(bytes) AS INTEGER) AS head_n,
            -- empty-head guards mirror the impl's defaults (sum=0,
@@ -940,8 +941,9 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id AS media_id,
            TRUE AS is_png,
-           CAST(64 + doc_id % 192 AS INTEGER) AS width,
-           CAST(64 + (doc_id * 7) % 192 AS INTEGER) AS height,
+           CAST(64 + ((doc_id % 192) + 192) % 192 AS INTEGER) AS width,
+           CAST(64 + ((((doc_id % 192) + 192) % 192) * 7) % 192 AS INTEGER)
+             AS height,
            CAST(16 + octet_length(encode(text)) AS BIGINT) AS n_bytes
     FROM documents
     WHERE doc_id IS NOT NULL AND text IS NOT NULL
@@ -1068,15 +1070,15 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS media_id,
            10 AS width, 6 AS height, 24 AS bpp, 60 AS n_pixels,
            CAST(list_sum(list_transform(range(0, 60),
-             i -> (doc_id*7 + (i % 10)*3 + (i // 10)*5) % 256))
+             i -> (((doc_id % 256) + 256) % 256 * 7 + (i % 10)*3 + (i // 10)*5) % 256))
              AS BIGINT) AS sum_r,
            CAST(list_sum(list_transform(range(0, 60),
-             i -> (doc_id*7 + (i % 10)*3 + (i // 10)*5 + 11) % 256))
+             i -> (((doc_id % 256) + 256) % 256 * 7 + (i % 10)*3 + (i // 10)*5 + 11) % 256))
              AS BIGINT) AS sum_g,
            CAST(list_sum(list_transform(range(0, 60),
-             i -> (doc_id*7 + (i % 10)*3 + (i // 10)*5 + 22) % 256))
+             i -> (((doc_id % 256) + 256) % 256 * 7 + (i % 10)*3 + (i // 10)*5 + 22) % 256))
              AS BIGINT) AS sum_b,
-           CAST((doc_id*7) % 256 AS INTEGER) AS p00_r
+           CAST((((doc_id % 256) + 256) % 256 * 7) % 256 AS INTEGER) AS p00_r
     FROM documents
     WHERE doc_id IS NOT NULL
     """,
@@ -1139,15 +1141,15 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS media_id,
            8000 AS sample_rate, 1 AS channels, 240 AS n_samples,
            CAST(list_sum(list_transform(range(0, 240),
-             i -> ((doc_id*31 + i*17) % 65536) - 32768))
+             i -> ((((doc_id % 65536) + 65536) % 65536 * 31 + i*17) % 65536) - 32768))
              AS BIGINT) AS sum_amp,
            CAST(list_max(list_transform(range(0, 240),
-             i -> ((doc_id*31 + i*17) % 65536) - 32768))
+             i -> ((((doc_id % 65536) + 65536) % 65536 * 31 + i*17) % 65536) - 32768))
              AS INTEGER) AS max_amp,
            CAST(list_min(list_transform(range(0, 240),
-             i -> ((doc_id*31 + i*17) % 65536) - 32768))
+             i -> ((((doc_id % 65536) + 65536) % 65536 * 31 + i*17) % 65536) - 32768))
              AS INTEGER) AS min_amp,
-           CAST(((doc_id*31) % 65536) - 32768 AS INTEGER) AS s0
+           CAST(((((doc_id % 65536) + 65536) % 65536 * 31) % 65536) - 32768 AS INTEGER) AS s0
     FROM documents
     WHERE doc_id IS NOT NULL
     """,
@@ -1204,16 +1206,16 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS media_id,
            12 AS width, 8 AS height, 2 AS color_type, 96 AS n_pixels,
            CAST(list_sum(list_transform(range(0, 96),
-             i -> (doc_id*11 + (i % 12)*7 + (i // 12)*13) % 256))
+             i -> (((doc_id % 256) + 256) % 256 * 11 + (i % 12)*7 + (i // 12)*13) % 256))
              AS BIGINT) AS sum_r,
            CAST(list_sum(list_transform(range(0, 96),
-             i -> (doc_id*11 + (i % 12)*7 + (i // 12)*13 + 5) % 256))
+             i -> (((doc_id % 256) + 256) % 256 * 11 + (i % 12)*7 + (i // 12)*13 + 5) % 256))
              AS BIGINT) AS sum_g,
            CAST(list_sum(list_transform(range(0, 96),
-             i -> (doc_id*11 + (i % 12)*7 + (i // 12)*13 + 10) % 256))
+             i -> (((doc_id % 256) + 256) % 256 * 11 + (i % 12)*7 + (i // 12)*13 + 10) % 256))
              AS BIGINT) AS sum_b,
-           CAST((doc_id*11) % 256 AS INTEGER) AS p00_r,
-           CAST((doc_id*11 + 11*7 + 7*13 + 10) % 256 AS INTEGER)
+           CAST((((doc_id % 256) + 256) % 256 * 11) % 256 AS INTEGER) AS p00_r,
+           CAST((((doc_id % 256) + 256) % 256 * 11 + 11*7 + 7*13 + 10) % 256 AS INTEGER)
              AS p_last_b
     FROM documents
     WHERE doc_id IS NOT NULL
@@ -1283,10 +1285,10 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH r AS (
       SELECT doc_id,
              list_transform(range(0, 24), i ->
-               (( (doc_id*11 + ((i%6)*2)*7     + ((i//6)*2)*13)     % 256
-                + (doc_id*11 + ((i%6)*2+1)*7   + ((i//6)*2)*13)     % 256
-                + (doc_id*11 + ((i%6)*2)*7     + ((i//6)*2+1)*13)   % 256
-                + (doc_id*11 + ((i%6)*2+1)*7   + ((i//6)*2+1)*13)   % 256
+               (( (((doc_id % 256) + 256) % 256 * 11 + ((i%6)*2)*7     + ((i//6)*2)*13)     % 256
+                + (((doc_id % 256) + 256) % 256 * 11 + ((i%6)*2+1)*7   + ((i//6)*2)*13)     % 256
+                + (((doc_id % 256) + 256) % 256 * 11 + ((i%6)*2)*7     + ((i//6)*2+1)*13)   % 256
+                + (((doc_id % 256) + 256) % 256 * 11 + ((i%6)*2+1)*7   + ((i//6)*2+1)*13)   % 256
                ) // 4)) AS rs
       FROM documents
       WHERE doc_id IS NOT NULL

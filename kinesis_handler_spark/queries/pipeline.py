@@ -173,17 +173,47 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # point is a *portable* deterministic sample (same subset from Spark,
 # DuckDB, or a resumed pipeline run), unlike RNG-based df.sample whose
 # output depends on partitioning.
+#
+# TOTALITY (r7 extreme-key twin find): the naive ``doc_id * KNUTH``
+# overflows int64 for |doc_id| > 2^63/KNUTH ≈ 3.5e9, and BOTH engines
+# raise on int64 overflow under ANSI semantics — one scraper-assigned
+# full-range id would kill the whole job.  The hash is therefore
+# computed as (pmod(doc_id, 2^32) * KNUTH) mod 2^32 with the multiply
+# split at 16 bits so every intermediate stays below 2^49.  For the
+# non-negative sub-2^32 ids of the fixtures this is bit-identical to
+# the naive form (mod distributes over the product), so recorded
+# outputs are unchanged; for extreme keys it is defined instead of
+# fatal, and the pmod keeps buckets in [0, 1000) for negatives on both
+# engines (Spark % and DuckDB % are both sign-of-dividend).
 _KNUTH = 2654435761
 _MOD = 4294967296  # 2^32
+_KHI, _KLO = divmod(_KNUTH, 65536)  # 40503, 31153
+
+
+def _bucket_col(key: str):
+    """[0, 1000) sampling bucket of a BIGINT key — overflow-free."""
+    y = F.pmod(F.col(key), F.lit(_MOD))
+    t1 = y * F.lit(_KLO)
+    t3 = F.pmod(y * F.lit(_KHI), F.lit(_MOD)) * F.lit(65536)
+    return F.pmod(t1 + F.pmod(t3, F.lit(_MOD)), F.lit(_MOD)) % F.lit(1000)
+
+
+def _bucket_sql(key: str) -> str:
+    """The identical bucket in portable SQL (DuckDB oracle side)."""
+    y = f"((({key}) % {_MOD}) + {_MOD}) % {_MOD}"
+    return (
+        f"((({y}) * {_KLO} + ((({y}) * {_KHI}) % {_MOD}) * 65536 % {_MOD})"
+        f" % {_MOD}) % 1000"
+    )
 
 
 @query(
     "sample_hash_stratified",
     oracle=f"""
     SELECT doc_id, lang, source,
-           (doc_id * {_KNUTH}) % {_MOD} % 1000 AS bucket
+           {_bucket_sql("doc_id")} AS bucket
     FROM documents
-    WHERE (doc_id * {_KNUTH}) % {_MOD} % 1000
+    WHERE {_bucket_sql("doc_id")}
           < CASE WHEN lang = 'en' THEN 100 ELSE 200 END
     """,
 )
@@ -198,7 +228,7 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle, no sort, no sampling state, and adding strata or
     re-rates only changes the CASE table."""
     d = table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_MOD) % F.lit(1000)
+    bucket = _bucket_col("doc_id")
     rate = F.when(F.col("lang") == "en", F.lit(100)).otherwise(F.lit(200))
     return (
         d.filter(bucket < rate)
@@ -434,7 +464,7 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, toks
       FROM dedup
       WHERE rn = 1
-        AND (doc_id * {_KNUTH}) % {_MOD} % 1000 < 500
+        AND {_bucket_sql("doc_id")} < 500
     ),
     chunks AS (
       SELECT doc_id, lang, toks,
@@ -475,7 +505,7 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = d.select("doc_id", "lang", ntext.alias("ntext"))
     quality = norm.filter(F.size(F.split("ntext", " ")) >= 20)
     w = Window.partitionBy("ntext").orderBy("doc_id")
-    bucket = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_MOD) % F.lit(1000)
+    bucket = _bucket_col("doc_id")
     sampled = (
         quality.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (bucket < 500))

@@ -356,7 +356,16 @@ def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_bitwise",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           (l_orderkey << 3)                          AS key_shl,
+           -- Spark's shiftleft wraps like the machine (two's-complement
+           -- mod 2^64); DuckDB's << RAISES on int64 overflow, so the
+           -- oracle reproduces the wrap through a HUGEINT intermediate
+           -- (r7 extreme-key twin find).  Identical to (l_orderkey << 3)
+           -- wherever that doesn't overflow.
+           CAST((((CAST(l_orderkey AS HUGEINT) * 8)
+                   % 18446744073709551616
+                  + 18446744073709551616 + 9223372036854775808)
+                 % 18446744073709551616)
+                - 9223372036854775808 AS BIGINT)      AS key_shl,
            (l_orderkey >> 1)                          AS key_shr,
            CAST(l_orderkey & 255 AS BIGINT)           AS key_low_byte,
            CAST(l_orderkey | 4096 AS BIGINT)          AS key_or,

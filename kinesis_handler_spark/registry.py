@@ -75,6 +75,28 @@ parity sweep, ``tools/make_dirty_twin.py`` + ``tests/test_dirty_parity.py``):
   non-finite to NULL while DuckDB errors even under TRY_CAST — the
   engines genuinely diverge, and Spark's NULL-as-undecodable is the
   robust semantics this engine keeps.
+
+Extreme-value rules (r7 ``times``/``keys`` twins — the full BIGINT,
+timestamp, and calendar ranges are legal input):
+
+* Key arithmetic never multiplies a raw key: pre-reduce pmod-style
+  first (``(pmod(key, m) * k) % m``, multiply split so intermediates
+  stay < 2^49) — BOTH engines raise on int64 overflow under ANSI, so
+  ``key * 2654435761`` is a job-killer, not a hash.  Bit-identical to
+  the naive form on sub-2^32 non-negative ids.
+* Spark ``shiftleft`` wraps two's-complement; DuckDB ``<<`` raises on
+  overflow — oracles reproduce the wrap via a HUGEINT intermediate.
+* Nullable int64 columns NEVER cross a pandas-UDF boundary as ints:
+  Arrow→pandas turns them into float64, silently corrupting ids above
+  2^53 (chaos-twin find).  Render to string JVM-side or pre-filter
+  null-free (the media builders' ``isNotNull``).
+* tz-aware TIMESTAMP outputs cannot represent instants within a day of
+  0001-01-01 through the Python bridge (CPython DST fold-probe) — emit
+  TIMESTAMP_NTZ for derived instants; date arithmetic that can cross
+  9999-12-31 NULLs on overflow (unrepresentable→NULL rule).
+* Window frames never end at UNBOUNDED FOLLOWING unless they start at
+  UNBOUNDED PRECEDING (Spark evaluates shrinking suffix frames
+  O(n^2) per partition — plan-gated in ``tests/test_plan_quality.py``).
 """
 
 from __future__ import annotations

@@ -107,6 +107,28 @@ ONCE_DRIFTED = {
     # (~150 s here) is exercised by the slow chaos sweep, not this
     # cheap per-run gate.
     "times": ("sf_times", ["scalar_date"]),
+    # r7 second wave: extreme-but-legal 64-bit keys (INT64 edges,
+    # negatives, a negative prime; FK pairs share the extreme so joins
+    # match).  First sweep found two fatal classes — the Knuth sampling
+    # hash (doc_id * 2654435761) and the media-synthesis arithmetic
+    # (doc_id*7 etc.) overflow int64, and BOTH engines raise under ANSI
+    # semantics, so one scraper-assigned full-range id killed the job;
+    # DuckDB additionally raises where Spark's shiftleft wraps.  All
+    # key arithmetic is now pre-reduced pmod-style (bit-identical on
+    # the fixtures' ids) and the bitwise oracle reproduces the
+    # two's-complement wrap through a HUGEINT intermediate.
+    "keys": ("sf_keys", [
+        "sample_hash_stratified", "pipeline_corpus_prep", "scalar_bitwise",
+        "multimodal_features", "multimodal_header_parse",
+        "multimodal_decode_bmp", "multimodal_decode_wav",
+        "multimodal_decode_png", "multimodal_resize",
+    ]),
+    # A tenth drift surfaced only on CHAOS (keys × nulls interaction,
+    # invisible to either axis alone): an int64 column with NULLs in
+    # the batch crosses Arrow→pandas as float64, so udf_transformer's
+    # extreme user_id 9223372036854775800 (not float64-representable)
+    # silently became INT64_MIN.  Ids now cross the pandas-UDF boundary
+    # as JVM-rendered strings; the chaos full sweep is the gate.
 }
 
 

@@ -47,10 +47,17 @@ Modes (second positional arg of :func:`build`):
   arithmetic (date_trunc, epoch conversions, datediff, year
   extraction, interval windows) agrees across engines over the whole
   proleptic-Gregorian range, not just the fixture's native decade.
+* ``keys`` — every keyed table gains rows whose key columns take
+  extreme-but-legal 64-bit values (INT64 edges, negatives, a negative
+  prime), with matching extremes across FK pairs so the join paths
+  exercise them.  Proves key arithmetic (multiplicative hashes, bit
+  ops, modulo filters, hash joins) is total and engine-aligned over
+  the whole BIGINT range, not just the fixtures' small positives.
 * ``chaos`` — all of the above at once: every table gets the NULL rows
   AND the duplicate rows; ``embeddings`` additionally gets the ragged
-  vectors, ``documents`` the unicode rows, and ``events`` / ``orders``
-  / ``lineitem`` the extreme-temporal rows.  The integration gate —
+  vectors, ``documents`` the unicode rows, ``events`` / ``orders``
+  / ``lineitem`` the extreme-temporal rows, and every keyed table the
+  extreme-key rows.  The integration gate —
   catches interactions between the per-axis alignments (e.g. a
   duplicate key whose twin row is NULL-ridden).
 
@@ -196,6 +203,56 @@ def _times_piece(table: str, path: str, names: list[str]):
     )
 
 
+#: Extreme-but-legal 64-bit keys.  Scraper-assigned ids routinely come
+#: from full-range hashes, so INT64 edges, negatives, and a large
+#: negative prime are all legal key values; none collide with the
+#: fixtures' small positive key space.  The same value list is used for
+#: every key column, so extreme FKs MATCH across tables (an INT64_MIN
+#: order joins an INT64_MIN customer) — the join paths must survive
+#: them, not just orphan them.
+_EXTREME_KEYS = [
+    -9223372036854775808,  # INT64_MIN: negation/abs raise under ANSI
+    -9223372036854775801,
+    -999_983,  # negative prime — exercises % sign-of-dividend
+    -1,
+    9223372036854775800,
+    9223372036854775807,  # INT64_MAX: any multiply/shift overflows
+]
+_KEYS_COLS = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["user_id", "event_id"],
+}
+
+
+def _keys_piece(table: str, path: str, names: list[str]):
+    """Extreme-key rows: every key column of the table takes the rn-th
+    extreme value (so FK pairs land on the SAME extreme and the joins
+    actually match); every non-key column stays live so the hostile
+    keys flow through real measures, text, and vectors."""
+    keys = _KEYS_COLS[table]
+    case = (
+        "CASE CAST(rn % 6 AS INTEGER) "
+        + " ".join(
+            f"WHEN {i} THEN CAST('{v}' AS BIGINT)"
+            for i, v in enumerate(_EXTREME_KEYS)
+        )
+        + " END"
+    )
+    sel = ", ".join(
+        f'{case} AS "{c}"' if c in keys else f'"{c}"' for c in names
+    )
+    return (
+        f"(SELECT {sel} FROM (SELECT *, row_number() OVER () AS rn"
+        f" FROM '{path}' LIMIT 6) s)"
+    )
+
+
 def _dup_pieces(path: str):
     return [
         f"(SELECT * FROM '{path}' LIMIT 5)",
@@ -267,6 +324,8 @@ def build(src: str, out: str, mode: str = "nulls") -> None:
                 "times", "chaos"
             ):
                 pieces.append(_times_piece(t, path, names))
+            if t in _KEYS_COLS and mode in ("keys", "chaos"):
+                pieces.append(_keys_piece(t, path, names))
             body = "\n UNION ALL BY NAME\n".join(pieces)
         con.execute(
             f"COPY ({body}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"

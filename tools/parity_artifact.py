@@ -40,15 +40,18 @@ if _REPO not in sys.path:
 # once-drifted regression list on its own twin to isolate the axis on
 # failure.  A full sweep per axis would cost ~7 min × 6 for no extra
 # drift coverage.
-AXES = ["nulls", "dups", "empty", "ragged", "unicode", "times", "chaos"]
+AXES = [
+    "nulls", "dups", "empty", "ragged", "unicode", "times", "keys", "chaos",
+]
 _TWIN_DIR = {
     "nulls": "sf_dirty_art", "dups": "sf_dup_art", "empty": "sf_void_art",
     "ragged": "sf_ragged_art", "unicode": "sf_unicode_art",
-    "times": "sf_times_art", "chaos": "sf_chaos_art",
+    "times": "sf_times_art", "keys": "sf_keys_art", "chaos": "sf_chaos_art",
 }
 _TEST_MODE_NAMES = {
     "nulls": "nulls", "dups": "dups", "empty": "empty",
     "ragged": "ragged", "unicode": "unicode", "times": "times",
+    "keys": "keys",
 }
 
 
