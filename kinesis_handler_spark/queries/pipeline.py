@@ -297,11 +297,11 @@ def events_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_id, e.event_type, e.value,
            (e.value - m.s1 / m.n)
-             / NULLIF(sqrt((m.s2 - m.s1 * m.s1 / m.n)
+             / NULLIF(sqrt(GREATEST(m.s2 - m.s1 * m.s1 / m.n, 0)
                            / NULLIF(m.n - 1, 0)), 0) AS z
     FROM events e JOIN m ON m.event_type = e.event_type
     WHERE abs((e.value - m.s1 / m.n)
-              / NULLIF(sqrt((m.s2 - m.s1 * m.s1 / m.n)
+              / NULLIF(sqrt(GREATEST(m.s2 - m.s1 * m.s1 / m.n, 0)
                             / NULLIF(m.n - 1, 0)), 0)) > 2.5
     """,
 )
@@ -331,9 +331,20 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # raises on BOTH (doubles included, unlike IEEE), so dirty slices
     # would kill the job.  NULL z-scores fall out of the > 2.5 filter
     # the same way in both engines.
+    # GREATEST(·, 0) clamp (identical in the oracle): on a
+    # near-constant group the catastrophic cancellation s2 - s1²/n can
+    # land a hair below zero (the floor-quantized s2 shaves up to one
+    # unit), and the engines then DIVERGE fatally — Spark sqrt(neg) is
+    # NaN (which its NaN-greatest ordering would pass through the
+    # > 2.5 filter), DuckDB sqrt(neg) raises.  Clamped, both produce
+    # sd = 0 → NULLIF → NULL z → row dropped.  Found by the r7
+    # hostile-JSON twin's duplicated-value rows.
     sd = F.nullif(
         F.sqrt(
-            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            F.greatest(
+                F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"),
+                F.lit(0.0),
+            )
             / F.nullif(F.col("n") - 1, F.lit(0.0))
         ),
         F.lit(0.0),
@@ -376,10 +387,11 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n,
            (n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             / NULLIF(sqrt(GREATEST(n * sxx - sx * sx, 0))
+                      * sqrt(GREATEST(n * syy - sy * sy, 0)), 0)
              AS corr_qty_price,
-           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+           (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) AS slope,
+           (sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * sx) / n
              AS intercept
     FROM m
     """,
@@ -421,12 +433,24 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
     cov_n = n * sxy - sx * sy
-    slope = cov_n / (n * sxx - sx * sx)
+    # Degenerate-group guards (identical in the oracle; same class as
+    # events_anomaly_zscore's, found by the r7 hostile-JSON twin and
+    # hardened here as the latent sibling): a constant-x group makes
+    # n·sxx − sx² exactly zero or — after the floor-shave — a hair
+    # negative, where Spark's sqrt(neg)/x÷0 and DuckDB's genuinely
+    # diverge (NaN/raise).  GREATEST clamps the discriminants, NULLIF
+    # turns the zero denominators into NULL stats for that group.
+    dx = F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    slope = cov_n / dx
+    denom = F.nullif(
+        F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0)))
+        * F.sqrt(F.greatest(n * syy - sy * sy, F.lit(0.0))),
+        F.lit(0.0),
+    )
     return m.select(
         "l_returnflag",
         n.cast("bigint").alias("n"),
-        (cov_n / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)))
-        .alias("corr_qty_price"),
+        (cov_n / denom).alias("corr_qty_price"),
         slope.alias("slope"),
         ((sy - slope * sx) / n).alias("intercept"),
     )

@@ -26,17 +26,40 @@ REGISTERED_TYPES = ("click", "purchase", "signup")
 @query(
     "json_extract_props",
     oracle="""
-    SELECT event_id, event_type,
-           CAST(regexp_extract(props, '"k":\\s*(-?[0-9]+)', 1) AS INTEGER) AS k
-    FROM events
-    WHERE CAST(regexp_extract(props, '"k":\\s*(-?[0-9]+)', 1) AS INTEGER) >= 50
+    SELECT event_id, event_type, k
+    FROM (
+      SELECT event_id, event_type,
+             CASE WHEN json_type(props, '$.k')
+                       IN ('BIGINT', 'UBIGINT', 'VARCHAR')
+                  THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS k
+      FROM events
+    ) x
+    WHERE k >= 50
     """,
 )
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse the JSON-string `props` column (reference: JSON.parse at
-    kinesisHandler.js:171) and filter on an extracted field."""
+    kinesisHandler.js:171) and filter on an extracted field.
+
+    Extraction contract (r7 hostile-JSON twin): ``k`` is surfaced when
+    ``$.k`` is an integer-valued token within int64 — a bare JSON
+    integer or a quoted integer string — and is NULL for everything
+    else that is still legal JSON: floats and scientific notation,
+    out-of-int64 magnitudes (JSON numbers are unbounded), objects,
+    arrays, booleans, JSON null, a missing key, and 1e400 (which
+    ``get_json_object`` surfaces as the string ``"Infinity"``).  The
+    previous ANSI ``CAST(... AS INT)`` raised on most of those — one
+    float in one payload killed the job.  ``try_cast`` encodes the
+    NULL-as-unextractable rule; both sides use a real JSON parser, so a
+    '"k": 123' substring embedded inside another field's STRING value
+    does not fool them (the old regex oracle would have matched it).
+    Duplicate-key objects are excluded from the parity contract: RFC
+    8259 leaves them interop-undefined and the engines genuinely differ
+    (Spark first-wins, DuckDB last-wins).  Scan-fused projection; no
+    shuffle."""
     e = table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = F.expr("try_cast(get_json_object(props, '$.k') as bigint)")
     return e.select("event_id", "event_type", k.alias("k")).filter(F.col("k") >= 50)
 
 

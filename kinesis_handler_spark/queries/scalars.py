@@ -230,21 +230,47 @@ def scalar_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_map_json",
     oracle="""
     SELECT event_id,
-           CAST(regexp_extract(props, '"k":\\s*(-?[0-9]+)', 1) AS INTEGER) AS k_value,
-           CASE WHEN props IS NOT NULL THEN 'k' END AS first_key
-    FROM events
-    WHERE event_id % 9 = 0
+           CASE WHEN ok AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+           END AS k_value,
+           CASE WHEN ok THEN json_keys(props)[1] END AS first_key
+    FROM (
+      SELECT event_id, props,
+             coalesce(list_aggregate(list_transform(json_keys(props), kk ->
+                 json_type(props, '$."' || kk || '"')
+                   IN ('BIGINT', 'UBIGINT', 'NULL')
+                 AND (json_type(props, '$."' || kk || '"') = 'NULL'
+                      OR TRY_CAST(json_extract_string(props, '$."' || kk || '"')
+                                  AS BIGINT) IS NOT NULL)),
+               'bool_and'), TRUE) AS ok
+      FROM events
+      WHERE event_id % 9 = 0
+    ) x
     """,
 )
 def scalar_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-string → MapType via from_json; map_keys/element access.
-    (Reference analogue: the JSON.parse step, kinesisHandler.js:171.)"""
+    (Reference analogue: the JSON.parse step, kinesisHandler.js:171.)
+
+    Typed-parse contract (r7 hostile-JSON twin): ``from_json`` with
+    ``map<string,bigint>`` is all-or-nothing — ONE value that is not an
+    int64-representable JSON integer (a float, a quoted number, a
+    nested object, a beyond-int64 magnitude, 1e400) NULLs the whole
+    map, while JSON-null values are allowed inside an otherwise valid
+    map.  The oracle replays exactly that via json_keys +
+    per-key json_type (bracket-quoted paths, so a '"k": 123' decoy
+    inside a string value cannot fool it; keys containing a double
+    quote are out of contract).  First-key access uses ``F.get`` — the
+    ANSI ``[0]`` on an EMPTY map's key array raises
+    INVALID_ARRAY_INDEX, which the empty-object payload triggered.
+    Duplicate-key objects are interop-undefined (RFC 8259) and
+    excluded, as in ``json_extract_props``."""
     e = table(spark, sf_dir, "events").filter(F.col("event_id") % 9 == 0)
-    m = F.from_json("props", "map<string,int>")
+    m = F.from_json("props", "map<string,bigint>")
     return e.select(
         "event_id",
         m.getItem("k").alias("k_value"),
-        F.map_keys(m).getItem(0).alias("first_key"),
+        F.get(F.map_keys(m), F.lit(0)).alias("first_key"),
     )
 
 

@@ -97,6 +97,16 @@ timestamp, and calendar ranges are legal input):
 * Window frames never end at UNBOUNDED FOLLOWING unless they start at
   UNBOUNDED PRECEDING (Spark evaluates shrinking suffix frames
   O(n^2) per partition — plan-gated in ``tests/test_plan_quality.py``).
+* JSON field extraction is ``try_cast``-total and parser-honest (the
+  ``json`` twin): a JSON number can exceed int64, be a float, or be
+  1e400, and an ANSI CAST of the extracted token raises on all of
+  them; oracles use DuckDB's real JSON functions (``json_type`` /
+  ``json_extract_string`` / ``json_keys``), never regex-scraping,
+  which an embedded '"k": 123' inside a STRING value fools.
+  Empty-array/map indexing uses ``F.get``/``try_element_at`` (ANSI
+  ``[0]`` raises).  Out of parity scope, documented: malformed JSON
+  (streaming dead-letter contract) and duplicate-key objects
+  (RFC 8259 interop-undefined; Spark first-wins, DuckDB last-wins).
 """
 
 from __future__ import annotations

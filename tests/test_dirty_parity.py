@@ -123,6 +123,25 @@ ONCE_DRIFTED = {
         "multimodal_decode_bmp", "multimodal_decode_wav",
         "multimodal_decode_png", "multimodal_resize",
     ]),
+    # r7 third wave: hostile-but-VALID JSON payloads in events.props
+    # (int64-edge and beyond-int64 numbers, floats, quoted numbers,
+    # nested/array/bool/null values, missing and case-mismatched keys,
+    # 1e400, an embedded '"k": 123' string decoy).  First probe showed
+    # the old ANSI CAST(get_json_object(...) AS INT) RAISES on most of
+    # them — one float payload killed the job — and map_keys(...)[0]
+    # raises on the empty object; the old regex oracles also matched
+    # the decoy inside a string value.  Both queries now carry
+    # documented total contracts (try_cast token extraction; the
+    # all-or-nothing typed map) with real-parser oracles.  Malformed
+    # JSON stays the streaming dead-letter layer's contract; duplicate
+    # keys are interop-undefined (RFC 8259) and excluded.
+    # The twin's duplicated-value rows also caught a fatal engine
+    # divergence in events_anomaly_zscore: near-constant groups make
+    # the variance term float-negative, where Spark sqrt gives NaN but
+    # DuckDB raises — now GREATEST(·, 0)-clamped on both sides.
+    "json": ("sf_json", [
+        "json_extract_props", "scalar_map_json", "events_anomaly_zscore",
+    ]),
     # A tenth drift surfaced only on CHAOS (keys × nulls interaction,
     # invisible to either axis alone): an int64 column with NULLs in
     # the batch crosses Arrow→pandas as float64, so udf_transformer's

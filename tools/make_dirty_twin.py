@@ -53,6 +53,17 @@ Modes (second positional arg of :func:`build`):
   exercise them.  Proves key arithmetic (multiplicative hashes, bit
   ops, modulo filters, hash joins) is total and engine-aligned over
   the whole BIGINT range, not just the fixtures' small positives.
+* ``json`` — ``events`` gains rows whose ``props`` payload is hostile
+  but VALID JSON: int64-edge and beyond-int64 numbers (JSON numbers
+  are unbounded), floats and scientific notation, quoted numbers,
+  null/missing/case-mismatched keys, nested objects, arrays, booleans,
+  1e400, and a field whose STRING value embeds a '"k": 123' decoy.
+  Proves the JSON extraction path is total and that both engines parse
+  (not regex-scrape) the payload.  Malformed JSON is deliberately
+  excluded — that is the streaming dead-letter layer's contract
+  (tests/test_routing_stream.py), not the batch oracles'.  Duplicate
+  keys are also excluded: RFC 8259 leaves them interop-undefined and
+  the engines genuinely differ (first-wins vs last-wins).
 * ``chaos`` — all of the above at once: every table gets the NULL rows
   AND the duplicate rows; ``embeddings`` additionally gets the ragged
   vectors, ``documents`` the unicode rows, ``events`` / ``orders``
@@ -230,6 +241,52 @@ _KEYS_COLS = {
 }
 
 
+#: Hostile-but-VALID JSON payloads (see module docstring for scope).
+_HOSTILE_PROPS = [
+    '{"k": -9223372036854775808}',
+    '{"k": 9223372036854775807}',
+    '{"k": 18446744073709551615}',
+    '{"k": 1.5}',
+    '{"k": 1.5e2}',
+    '{"k": "99"}',
+    '{"k": "1.5"}',
+    '{"k": null}',
+    "{}",
+    '{"k": {"x": 1}}',
+    '{"k": [1, 2]}',
+    '{ "k" :\t4242 }',
+    '{"K": 7}',
+    '{"k": 1e400}',
+    '{"k": true}',
+    '{"trap": "\\"k\\": 123", "k": 5555}',
+]
+_JSON_OFFSET = 950_000
+
+
+def _json_piece(path: str, names: list[str]):
+    """Hostile-props rows: event_id offset past every other piece,
+    every non-props column kept live."""
+    n = len(_HOSTILE_PROPS)
+    case = (
+        f"CASE CAST(rn % {n} AS INTEGER) "
+        + " ".join(
+            "WHEN {} THEN '{}'".format(i, p.replace("'", "''"))
+            for i, p in enumerate(_HOSTILE_PROPS)
+        )
+        + " END"
+    )
+    sel = ", ".join(
+        f'"{c}" + {_JSON_OFFSET} AS "{c}"' if c == "event_id"
+        else f'{case} AS "{c}"' if c == "props"
+        else f'"{c}"'
+        for c in names
+    )
+    return (
+        f"(SELECT {sel} FROM (SELECT *, row_number() OVER () AS rn"
+        f" FROM '{path}' LIMIT {n}) s)"
+    )
+
+
 def _keys_piece(table: str, path: str, names: list[str]):
     """Extreme-key rows: every key column of the table takes the rn-th
     extreme value (so FK pairs land on the SAME extreme and the joins
@@ -326,6 +383,8 @@ def build(src: str, out: str, mode: str = "nulls") -> None:
                 pieces.append(_times_piece(t, path, names))
             if t in _KEYS_COLS and mode in ("keys", "chaos"):
                 pieces.append(_keys_piece(t, path, names))
+            if t == "events" and mode in ("json", "chaos"):
+                pieces.append(_json_piece(path, names))
             body = "\n UNION ALL BY NAME\n".join(pieces)
         con.execute(
             f"COPY ({body}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"

@@ -41,17 +41,19 @@ if _REPO not in sys.path:
 # failure.  A full sweep per axis would cost ~7 min × 6 for no extra
 # drift coverage.
 AXES = [
-    "nulls", "dups", "empty", "ragged", "unicode", "times", "keys", "chaos",
+    "nulls", "dups", "empty", "ragged", "unicode", "times", "keys",
+    "json", "chaos",
 ]
 _TWIN_DIR = {
     "nulls": "sf_dirty_art", "dups": "sf_dup_art", "empty": "sf_void_art",
     "ragged": "sf_ragged_art", "unicode": "sf_unicode_art",
-    "times": "sf_times_art", "keys": "sf_keys_art", "chaos": "sf_chaos_art",
+    "times": "sf_times_art", "keys": "sf_keys_art", "json": "sf_json_art",
+    "chaos": "sf_chaos_art",
 }
 _TEST_MODE_NAMES = {
     "nulls": "nulls", "dups": "dups", "empty": "empty",
     "ragged": "ragged", "unicode": "unicode", "times": "times",
-    "keys": "keys",
+    "keys": "keys", "json": "json",
 }
 
 
