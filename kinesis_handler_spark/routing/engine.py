@@ -282,7 +282,9 @@ class RoutingEngine:
         # R9: fast-path envelopes evaluate a codegen predicate over the
         # parsed struct; fallback envelopes (composition keywords) run
         # jsonschema over the raw payload in an Arrow-batched pandas UDF.
-        envelope_ok = self.envelope.validate(F.col("payload"), F.col("_env"))
+        envelope_ok = self.envelope.validate(
+            F.col("payload"), F.col("_env"), F.col("_parsed")
+        )
         reason = (
             F.when(F.col("data").isNull(), REASON_MISSING_DATA)
             .when(F.col("_payload_bytes").isNull(), REASON_BAD_BASE64)
@@ -326,7 +328,7 @@ class RoutingEngine:
             # (The JVM fast path ignores the payload column entirely.)
             gated_payload = F.when(on_branch, F.col("payload"))
             branch_bad = on_branch & ~compiled.validate(
-                gated_payload, F.col(self._event_col(sid))
+                gated_payload, F.col(self._event_col(sid)), F.col("_parsed")
             )
             data_invalid = data_invalid | F.coalesce(branch_bad, F.lit(False))
         df = df.withColumn(

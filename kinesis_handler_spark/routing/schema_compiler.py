@@ -131,17 +131,32 @@ class CompiledSchema:
             )
         return _predicate(self.doc, col, required=True)
 
-    def validate(self, payload_col: Column, parsed_col: Column) -> Column:
+    def validate(
+        self,
+        payload_col: Column,
+        parsed_col: Column,
+        variant_col: Column | None = None,
+    ) -> Column:
         """Boolean validity Column for one record.
 
         JVM fast path: evaluates the compiled constraint predicate over
-        the parsed struct at ``parsed_col`` (codegen, no Python).
+        the parsed struct at ``parsed_col`` (codegen, no Python).  When
+        ``variant_col`` (the shared ``try_parse_json`` variant) is also
+        given, a TYPE-FIDELITY conjunct checks each scalar-typed
+        property's JSON token type — the variant→struct cast silently
+        COERCES (``"99"``→99, 1.5→1, 123→"123"), so the struct alone
+        cannot see JS-visible type violations the reference's AJV
+        rejects (r7 hostile-payload find: a float quantity routed as a
+        truncated integer).
         Python fallback: runs the full ``jsonschema`` validator over the
         raw JSON text at ``payload_col`` in an Arrow-batched pandas UDF
-        (``parsed_col`` unused — composition semantics need the exact
-        document, not the struct projection)."""
+        (``parsed_col``/``variant_col`` unused — composition semantics
+        need the exact document, not the struct projection)."""
         if self.mode == "jvm":
-            return _predicate(self.doc, parsed_col, required=True)
+            base = _predicate(self.doc, parsed_col, required=True)
+            if variant_col is not None:
+                base = base & _type_fidelity(self.doc, variant_col)
+            return base
         # Build the pandas UDF once per CompiledSchema (not once per
         # micro-batch): process_batch calls validate() every batch, and
         # a fresh UDF each time re-ships a new closure and re-pays
@@ -217,6 +232,76 @@ def _scalar_constraints(doc: dict, col: Column) -> list[Column]:
     if "maxLength" in doc:
         preds.append(F.length(col) <= F.lit(doc["maxLength"]))
     return preds
+
+
+_IDENT_RE = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _variant_path(components: tuple[str, ...]) -> str:
+    """Variant extraction path for a nested property — dot form for
+    bare identifiers, bracket-quoted otherwise (verified on Spark 4.1:
+    ``$['content-type']`` resolves).  Names containing a single quote
+    cannot be bracket-escaped; ``_needs_fallback`` routes such schemas
+    to the jsonschema tier before this is ever called."""
+    out = "$"
+    for name in components:
+        out += f".{name}" if _IDENT_RE.match(name) else f"['{name}']"
+    return out
+
+
+def _scalar_paths(doc: dict, prefix: tuple[str, ...] = ()):
+    """Yield (path_components, jtype) for every scalar-typed property
+    reachable through nested objects.  Array ITEM types are excluded —
+    variant paths cannot quantify over elements; item values keep the
+    struct-cast coercion semantics (documented limitation)."""
+    jtype = doc.get("type", "object")
+    if jtype == "object":
+        for name, sub in doc.get("properties", {}).items():
+            yield from _scalar_paths(sub, prefix + (name,))
+    elif jtype in _SCALAR_TYPES and prefix:
+        yield prefix, jtype
+
+
+def _type_fidelity(doc: dict, variant_col: Column) -> Column:
+    """JS-faithful JSON-token type checks over the shared variant.
+
+    The struct cast coerces across types, so these run on the variant's
+    own type tags (``schema_of_variant`` per extracted field):
+
+    * string  → token must be STRING (123 must not coerce to "123");
+    * boolean → token must be BOOLEAN;
+    * number  → token must be numeric (BIGINT/DOUBLE/DECIMAL — a quoted
+      "1.5" is a type violation even though it casts);
+    * integer → numeric AND integral AND int64-representable, checked
+      as bigint-extraction non-null and double-equal (1.0 is integer —
+      AJV's ``Number.isInteger`` semantics — 1.5, 1e400, and 2^64 are
+      not; beyond-int64 integrals are rejected as unrepresentable in
+      the routed struct, stricter than JS where noted in SCALE.md).
+
+    JSON ``null`` and absent fields are NOT type violations here — the
+    presence/required logic in ``_predicate`` owns null semantics."""
+    checks: list[Column] = []
+    numeric_types = ("BIGINT", "DOUBLE")
+    for components, jtype in _scalar_paths(doc):
+        path = _variant_path(components)
+        tv = F.try_variant_get(variant_col, path, "variant")
+        st = F.schema_of_variant(tv)
+        if jtype == "string":
+            ok = st == "STRING"
+        elif jtype == "boolean":
+            ok = st == "BOOLEAN"
+        else:
+            ok = st.isin(*numeric_types) | st.startswith("DECIMAL")
+            if jtype == "integer":
+                lv = F.try_variant_get(variant_col, path, "bigint")
+                dv = F.try_variant_get(variant_col, path, "double")
+                ok = ok & lv.isNotNull() & (lv.cast("double") == dv)
+        checks.append(
+            F.when(tv.isNull() | (st == "VOID"), F.lit(True)).otherwise(
+                F.coalesce(ok, F.lit(False))
+            )
+        )
+    return reduce(lambda a, b: a & b, checks, F.lit(True))
 
 
 def _predicate(doc: dict, col: Column, required: bool) -> Column:
@@ -321,6 +406,13 @@ def _needs_fallback(doc: dict) -> bool:
         # Only the jsonschema fallback over raw text can enforce it;
         # absent or `true` means unconstrained and stays fast-path.
         if node.get("additionalProperties") not in (None, True):
+            return True
+        # A property NAME containing a single quote cannot be expressed
+        # as a variant extraction path for the type-fidelity conjunct —
+        # the jsonschema tier validates such documents with full
+        # fidelity instead.
+        props = node.get("properties")
+        if isinstance(props, dict) and any("'" in name for name in props):
             return True
     return False
 

@@ -370,3 +370,71 @@ def test_non_identifier_property_names_route(spark):
     assert routed == [("application/json", 7)] or (
         routed[0]["ct"] == "application/json" and routed[0]["xn"] == 7
     )
+
+
+def test_hostile_payload_values_classify_not_crash(spark, engine):
+    """r7 totality probe for the decode->parse->validate->route path:
+    payloads that are hostile-but-VALID JSON (beyond-int64 numbers,
+    1e400, floats where integers are required, NUL/line-separator
+    unicode, 50-deep nesting, 200 KB strings) must each land in
+    exactly one channel -- routed, or dead-letter with a precise
+    reason -- and never kill the micro-batch.  This is the streaming
+    face of the batch `json` hostile twin (tests/test_dirty_parity.py)."""
+    hostile_id = "\u0000\u2028\u00fc"
+    deep = 7
+    for _ in range(50):
+        deep = {"d": deep}
+    rows = [
+        # beyond-int64 / int64-max / float quantity: all violate the
+        # purchase schema (integer, 1..100) -- precise data-invalid, not
+        # a parse crash, even though the first is unrepresentable in
+        # any engine integer type.
+        fx.record(fx.b64(fx.payload(
+            fx.PRODUCT_PURCHASE_ID, id="p-1",
+            quantity=18446744073709551615)), seq=0),
+        fx.record(fx.b64(fx.payload(
+            fx.PRODUCT_PURCHASE_ID, id="p-2",
+            quantity=9223372036854775807)), seq=1),
+        fx.record(fx.b64(fx.payload(
+            fx.PRODUCT_PURCHASE_ID, id="p-3", quantity=1.5)), seq=2),
+        # 1e400: grammatically valid JSON whose value no binary format
+        # holds -- classification may be bad-json or data-invalid
+        # depending on the parser's overflow stance, but never a crash.
+        fx.record(fx.b64(
+            '{"schema": "%s", "data": {"schema": "%s", "id": "p-4", '
+            '"quantity": 1e400}}' % (fx.STREAM_SCHEMA_ID,
+                                     fx.PRODUCT_PURCHASE_ID)), seq=3),
+        # Hostile-but-schema-valid creates: these must ROUTE.
+        fx.record(fx.b64(fx.payload(
+            fx.PRODUCT_CREATE_ID, id="p-big", category="Sweaters",
+            price=1e308)), seq=4),
+        fx.record(fx.b64(fx.payload(
+            fx.PRODUCT_CREATE_ID, id=hostile_id,
+            category="Pants", price=0)), seq=5),
+        fx.record(fx.b64(fx.payload(
+            fx.PRODUCT_CREATE_ID, id="p-deep", category="Shoes",
+            price=1.0, extra=deep)), seq=6),
+        fx.record(fx.b64(fx.payload(
+            fx.PRODUCT_CREATE_ID, id="p-long", category="Shoes",
+            price=2.0, extra="x" * 200_000)), seq=7),
+    ]
+    result = engine.process_batch(make_df(spark, rows))
+    m = result.metrics()
+    total = (
+        sum(m[f"routed.{sid}"] for sid in
+            (fx.PRODUCT_CREATE_ID, fx.PRODUCT_PURCHASE_ID))
+        + m["unknown"] + m["dead_letter"]
+    )
+    assert total == len(rows), m
+    assert m[f"routed.{fx.PRODUCT_CREATE_ID}"] == 4, m
+    assert m[f"routed.{fx.PRODUCT_PURCHASE_ID}"] == 0, m
+    dead = result.dead_letter.collect()
+    assert len(dead) == 4, [(r["sequenceNumber"], r["reason"]) for r in dead]
+    by_seq = sorted(dead, key=lambda r: r["sequenceNumber"])
+    assert [r["reason"] for r in by_seq[:3]] == [REASON_DATA_INVALID] * 3
+    assert by_seq[3]["reason"] in (REASON_BAD_JSON, REASON_DATA_INVALID)
+    # the hostile unicode id survives byte-exact through decode ->
+    # parse -> validate -> route
+    created = result.routed[fx.PRODUCT_CREATE_ID]
+    ids = {r["id"] for r in created.select("event.data.id").collect()}
+    assert hostile_id in ids, ids
