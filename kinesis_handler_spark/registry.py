@@ -205,15 +205,15 @@ _FRONT = [
     "sim_cosine_topk",  # last green r4
     "multimodal_binary_meta",  # last green r4
     "udf_transformer",  # last green r4
-    "udaf_grouped_pandas",  # last green r4
+    "scalar_bitwise",  # r7: HUGEINT wrap oracle - fresh oracle evidence
     "multimodal_features",  # last green r4
-    "embed_quantize",  # last green r4
+    "scalar_map_json",  # r7: typed-map contract - k_value now BIGINT
     "multimodal_header_parse",  # last green r4
-    "embed_random_projection",  # last green r4
+    "events_gapfill_interpolate",  # r7: O(n) running-frame rewrite - fresh plan evidence
     "multimodal_decode_bmp",  # last green r4
     "multimodal_decode_wav",  # last green r4
-    "text_chunk_overlap",  # last green r4
-    "text_repetition_ratio",  # last green r4
+    "scalar_date",  # r7: due_date NULL-on-overflow + NTZ month start - outputs re-typed
+    "json_extract_props",  # r7: try_cast total contract - k now BIGINT
     "sample_hash_stratified",  # last green r4
     "events_anomaly_zscore",  # last green r4
     "pipeline_corpus_prep",  # last green r4
