@@ -279,3 +279,95 @@ def test_fallback_validate_matches_jsonschema(spark, compiled_fallback, batch):
         (p, g, w) for p, g, w in zip(cleaned, got, want) if g != w
     ]
     assert not mismatches, f"first mismatch: {mismatches[0]}"
+
+
+# -- type-fidelity tier (r7) ----------------------------------------------
+# The r7 hostile-payload find: the variant->struct cast COERCES across
+# JSON types (1.5 -> integer 1, "99" -> 99, 123 -> "123"), so the struct
+# predicate alone cannot see type violations AJV rejects.  validate()
+# with the variant column conjoins per-field token-type checks; this
+# property pins that the full fast path now classifies MIS-TYPED
+# payloads exactly like the jsonschema library.
+#
+# Carve-outs, both documented in the compiler: JSON null is
+# null-as-absent on our side (referee strips nulls first), and array
+# ITEM types keep cast semantics (strategy only generates well-typed
+# array items).  Integers stay within int64 (beyond-int64 integrals are
+# deliberately stricter than JS).
+
+_typed = {
+    "int": st.integers(-(2**63), 2**63 - 1),
+    "float": st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+    "text": _short_text(8),
+    "bool": st.booleans(),
+    "null": st.none(),
+}
+_any_scalar = st.one_of(*_typed.values())
+
+mistyped_payloads = st.fixed_dictionaries(
+    {},
+    optional={
+        "schema": _maybe(
+            st.one_of(st.just("com.example/prop-test/1-0-0"), _any_scalar)
+        ),
+        "origin": _maybe(_any_scalar),
+        "data": _maybe(
+            st.one_of(
+                _any_scalar,
+                st.fixed_dictionaries(
+                    {},
+                    optional={
+                        "id": _maybe(_any_scalar),
+                        "category": _maybe(
+                            st.one_of(st.sampled_from(["A", "B", "D"]),
+                                      _any_scalar)
+                        ),
+                        "quantity": _maybe(
+                            st.one_of(st.integers(-5, 105), _any_scalar)
+                        ),
+                        "price": _maybe(_any_scalar),
+                        "flag": _maybe(_any_scalar),
+                        "tags": _maybe(
+                            st.lists(_short_text(8), max_size=5)
+                        ),
+                    },
+                ),
+            )
+        ),
+    },
+)
+
+
+def _strip_nulls(obj):
+    if isinstance(obj, dict):
+        return {k: _strip_nulls(v) for k, v in obj.items() if v is not None}
+    return obj
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batch=st.lists(mistyped_payloads, min_size=20, max_size=40))
+def test_fast_path_type_fidelity_matches_jsonschema(spark, compiled, batch):
+    cleaned = [_strip_absent(p) for p in batch]
+    df = spark.createDataFrame(
+        [(json.dumps(p),) for p in cleaned], "payload string"
+    )
+    variant = F.try_parse_json(F.col("payload"))
+    parsed = variant.try_cast(compiled.struct)
+    got = [
+        r.ok
+        for r in df.select(
+            F.coalesce(
+                compiled.validate(F.col("payload"), parsed, variant),
+                F.lit(False),
+            ).alias("ok")
+        ).collect()
+    ]
+    want = [_jsonschema_ok(_strip_nulls(p)) for p in cleaned]
+    mismatches = [
+        (p, g, w) for p, g, w in zip(cleaned, got, want) if g != w
+    ]
+    assert not mismatches, f"{len(mismatches)} mismatches; first: {mismatches[0]}"
