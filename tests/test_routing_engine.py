@@ -224,10 +224,19 @@ def test_process_ordered_sorts_sequence_numbers_numerically(spark):
 
     from kinesis_handler_spark.routing.engine import RoutingEngine
 
+    # Real Kinesis sequence numbers are ~56-digit decimals — far past
+    # int64, so the sort must go through arbitrary-precision ints
+    # (pandas map(int) yields Python bignums), never a 64-bit cast.
+    # '9223372036854775808' (2^63, 19 digits) numerically precedes
+    # '18446744073709551616' (2^64, 20 digits) but follows it
+    # lexicographically — and both overflow a long.
     rows = [
         ("k", "100", "c"),
         ("k", "99", "b"),
         ("k", "9", "a"),
+        ("k", "49590338271490256608559692538361571095921575989136588898", "f"),
+        ("k", "18446744073709551616", "e"),
+        ("k", "9223372036854775808", "d"),
     ]
     df = spark.createDataFrame(
         rows, "partitionKey string, sequenceNumber string, tag string"
@@ -242,7 +251,7 @@ def test_process_ordered_sorts_sequence_numbers_numerically(spark):
     out = RoutingEngine.process_ordered(
         df, fn, "partitionKey string, order string"
     ).collect()
-    assert out[0]["order"] == "abc"
+    assert out[0]["order"] == "abcdef"
 
 
 def test_metrics_match_channels_with_empty_registry(spark):
