@@ -24,6 +24,8 @@ Module map (mirrors SURVEY.md §2.B sections):
 * :mod:`extras`      — remaining window/dedup/scalar-subquery shapes
 * :mod:`timeseries`  — gap-fill + interpolation, SCD2 intervals,
                        GROUPS-frame window emulation
+* :mod:`training`    — training-data assembly: context-window packing,
+                       mixture re-weighting, duplicate-span detection
 """
 
 from kinesis_handler_spark.queries import (  # noqa: F401
@@ -43,5 +45,6 @@ from kinesis_handler_spark.queries import (  # noqa: F401
     temporal,
     timeseries,
     tpch_tail,
+    training,
     windows,
 )

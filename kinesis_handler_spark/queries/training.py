@@ -1,0 +1,389 @@
+"""Training-data assembly operators (round 7): context-window packing,
+corpus mixture re-weighting, and exact duplicate-span detection — the
+last-mile ops a pre-training pipeline runs AFTER hygiene (dedup /
+quality / contamination, :mod:`corpus` and :mod:`llm`) to turn a clean
+corpus into a training mix.
+
+All three are oracle-backed, following the registry.py determinism
+rules (integer token counts, IEEE-single-division shares, power-of-two
+offsets via arithmetic shifts so BIGINT-edge doc_ids never overflow).
+
+Reference note: the reference library (lib/kinesisHandler.js) has no
+text surface — these are north-star mandates (SURVEY.md §2.B LLM-scale
+family).
+
+Scale design, per operator:
+
+* ``pack_context_windows`` — the distributed two-level prefix scan:
+  per-bucket running sums shuffle-partition-parallel, then one bounded
+  global pass over the O(N/bucket_width) bucket rollup.  The classic
+  GPU/MPI scan shape, expressed in two window passes.
+* ``corpus_mixture_weights`` — one partial+final aggregate to O(#sources)
+  rows plus a one-row global total that AQE broadcasts.
+* ``dedup_span_exact`` — positional shingle equi-join (the
+  Lee et al. 2021 "Deduplicating Training Data" exact-substring signal,
+  at fixed span length instead of suffix arrays); singleton spans are
+  pruned BEFORE the self-join and stop-pattern spans (>64 docs) are
+  capped, so join fanout is bounded and never corpus².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_handler_spark.functions.text import word_ngrams
+from kinesis_handler_spark.registry import query
+from kinesis_handler_spark.tables import table
+
+#: Context window length in tokens.  Power of two so window ids are
+#: arithmetic shifts (total over the whole BIGINT offset range).
+_CTX_BITS = 8  # 256-token windows
+
+#: Packing scan bucket width (2^10 docs per bucket).  The second-level
+#: cumulative pass runs over O(N / 1024) bucket-rollup rows; production
+#: sets 2^20 (one rollup row per ~10^6 docs => a 10^12-doc corpus leaves
+#: a 10^6-row second level, ~16 MB — trivially one partition), and at
+#: exa-scale the same two-pass shape cascades to a third level.
+_BUCKET_BITS = 10
+
+_N_TOK_SQL = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+
+
+@query(
+    "pack_context_windows",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_N_TOK_SQL} AS n_tok, doc_id >> {_BUCKET_BITS} AS bucket
+      FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    intra AS (
+      SELECT doc_id, n_tok, bucket,
+             SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id) AS cum
+      FROM base
+    ),
+    btot AS (SELECT bucket, SUM(n_tok) AS btot FROM base GROUP BY 1),
+    bases AS (
+      SELECT bucket, SUM(btot) OVER (ORDER BY bucket) - btot AS base
+      FROM btot
+    )
+    SELECT i.doc_id,
+           i.n_tok,
+           CAST(b.base + i.cum - i.n_tok AS BIGINT) AS tok_start,
+           CAST((b.base + i.cum - i.n_tok) >> {_CTX_BITS} AS BIGINT)
+             AS first_win,
+           CAST((b.base + i.cum - 1) >> {_CTX_BITS} AS BIGINT) AS last_win,
+           CAST(((b.base + i.cum - 1) >> {_CTX_BITS})
+                - ((b.base + i.cum - i.n_tok) >> {_CTX_BITS}) + 1 AS BIGINT)
+             AS n_win
+    FROM intra i JOIN bases b USING (bucket)
+    """,
+)
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: concatenate the corpus in doc_id order
+    and slice it into fixed 256-token training windows — each document
+    gets its global token offset and the span of window ids it lands in
+    (how real LLM pre-training consumes a corpus: tokens are packed
+    back-to-back, documents straddle window boundaries).
+
+    The global prefix sum is the textbook TWO-LEVEL DISTRIBUTED SCAN:
+    level 1 computes running sums WITHIN doc_id-range buckets (window
+    partitioned by bucket — shuffle-parallel), level 2 cumulates the
+    O(N/2^10) per-bucket totals in one bounded global window and joins
+    the bucket base offsets back.  Nothing corpus-sized ever sorts on
+    one partition (SCALE.md allowlists the bounded level-2 window).
+    All offset→window arithmetic is arithmetic right-shift (floor
+    division by a power of two), total over BIGINT-edge doc_ids; ties
+    from duplicate doc_ids resolve identically on both engines because
+    the default RANGE frame makes duplicates peers (same cum for all).
+    Docs with NULL identity or NULL text cannot be packed and are
+    filtered on both sides (documented totality rule)."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    base = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        F.shiftright("doc_id", _BUCKET_BITS).alias("bucket"),
+    )
+    w_intra = Window.partitionBy("bucket").orderBy(F.asc("doc_id"))
+    intra = base.withColumn("cum", F.sum("n_tok").over(w_intra))
+    btot = base.groupBy("bucket").agg(F.sum("n_tok").alias("btot"))
+    # level 2: bounded global pass over the bucket rollup (O(N/2^10)
+    # rows; 2^20 in production — see _BUCKET_BITS note)
+    w_bucket = Window.orderBy(F.asc("bucket"))
+    bases = btot.select(
+        "bucket",
+        (F.sum("btot").over(w_bucket) - F.col("btot")).alias("base"),
+    )
+    end = F.col("base") + F.col("cum")
+    start = end - F.col("n_tok")
+    first_win = F.shiftright(start, _CTX_BITS)
+    last_win = F.shiftright(end - F.lit(1), _CTX_BITS)
+    return intra.join(bases, "bucket").select(
+        "doc_id",
+        "n_tok",
+        start.cast("bigint").alias("tok_start"),
+        first_win.cast("bigint").alias("first_win"),
+        last_win.cast("bigint").alias("last_win"),
+        (last_win - first_win + F.lit(1)).cast("bigint").alias("n_win"),
+    )
+
+
+@query(
+    "corpus_mixture_weights",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(COALESCE({_N_TOK_SQL}, 0)) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(n_tokens) AS tot,
+             CAST(COUNT(source) AS BIGINT) AS k
+      FROM per
+    )
+    SELECT p.source, p.n_docs, p.n_tokens,
+           CASE WHEN t.tot > 0
+                THEN CAST(p.n_tokens AS DOUBLE) / CAST(t.tot AS DOUBLE)
+                END AS token_share,
+           CASE WHEN t.tot > 0 AND p.n_tokens > 0 AND t.k > 0
+                THEN LEAST(4.0,
+                           (1.0 / CAST(t.k AS DOUBLE))
+                           / (CAST(p.n_tokens AS DOUBLE)
+                              / CAST(t.tot AS DOUBLE)))
+                ELSE 4.0 END AS mix_weight
+    FROM per p, tot t
+    """,
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture re-weighting: per-source token shares and the
+    sampling weight that moves the mix toward a uniform per-source
+    token budget, capped at 4× upsampling (the standard guard against
+    repeating a tiny source until it memorizes).  This is the op that
+    turns "we crawled N sources" into "sample source s with weight w"
+    — the input to every data-mixture ablation.
+
+    One partial+final aggregate reduces the corpus to O(#sources) rows;
+    the global total and source count are a ONE-ROW aggregate that AQE
+    broadcasts onto the per-source side (agg_value_share's Q11 shape).
+    Weights are two IEEE divisions and a LEAST — bit-identical across
+    engines; zero-token and zero-total groups take the 4× cap / NULL
+    share through explicit CASE guards, so no division-by-zero
+    semantics (where the engines differ: DuckDB NULLs, Spark Infs) is
+    ever exercised."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.coalesce(F.size(F.split("text", " ")).cast("bigint"), F.lit(0))
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot"),
+        F.count("source").alias("k"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("tot").cast("double")
+    weight = F.least(
+        F.lit(4.0), (F.lit(1.0) / F.col("k").cast("double")) / share
+    )
+    return per.crossJoin(tot).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.when(F.col("tot") > 0, share).alias("token_share"),
+        F.when(
+            (F.col("tot") > 0) & (F.col("n_tokens") > 0) & (F.col("k") > 0),
+            weight,
+        )
+        .otherwise(F.lit(4.0))
+        .alias("mix_weight"),
+    )
+
+
+@query(
+    "pack_greedy_bins",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, {_N_TOK_SQL} AS n_tok,
+             doc_id >> {_BUCKET_BITS} AS bucket,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id >> {_BUCKET_BITS}
+               ORDER BY doc_id, {_N_TOK_SQL}
+             ) AS rn
+      FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    walk AS (
+      SELECT bucket, rn, doc_id, n_tok,
+             CAST(0 AS BIGINT) AS bin_id, n_tok AS bin_fill
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.bucket, b.rn, b.doc_id, b.n_tok,
+             CASE WHEN w.bin_fill + b.n_tok > 256
+                  THEN w.bin_id + 1 ELSE w.bin_id END,
+             CASE WHEN w.bin_fill + b.n_tok > 256
+                  THEN b.n_tok ELSE w.bin_fill + b.n_tok END
+      FROM walk w
+      JOIN base b ON b.bucket = w.bucket AND b.rn = w.rn + 1
+    )
+    SELECT doc_id, n_tok, bucket, bin_id, bin_fill FROM walk
+    """,
+)
+def pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy whole-document bin packing: within each doc_id bucket,
+    documents in (doc_id, n_tok) order fill 256-token bins first-come —
+    a bin closes when the next document would overflow it; a document
+    longer than a whole bin occupies one alone.  The no-split
+    alternative to `pack_context_windows` for fine-tuning corpora where
+    examples must not straddle sequence boundaries.
+
+    This is the engine's declared SEQUENTIAL-STATE escape hatch done
+    right: the fold (bin fill so far) cannot be expressed as a window
+    frame, so each bucket runs an `applyInPandas` kernel — buckets are
+    2^10 docs wide, so the stateful scan is embarrassingly parallel
+    across buckets and per-task state is one counter, never the corpus.
+    The DuckDB oracle replays the identical fold as a recursive CTE
+    anchored on one ROW_NUMBER total order (registry rn-anchor rule;
+    the n_tok tie-break makes differing rows under a duplicated doc_id
+    order-total, and fully identical rows are interchangeable)."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    base = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        F.shiftright("doc_id", _BUCKET_BITS).alias("bucket"),
+    )
+
+    def fold(pdf):
+        pdf = pdf.sort_values(
+            ["doc_id", "n_tok"], kind="mergesort"
+        ).reset_index(drop=True)
+        bin_ids, fills = [], []
+        cur_bin, cur_fill = 0, 0
+        for n in pdf["n_tok"]:
+            n = int(n)
+            if cur_fill > 0 and cur_fill + n > 256:
+                cur_bin += 1
+                cur_fill = 0
+            cur_fill += n
+            bin_ids.append(cur_bin)
+            fills.append(cur_fill)
+        pdf["bin_id"] = bin_ids
+        pdf["bin_fill"] = fills
+        return pdf[["doc_id", "n_tok", "bucket", "bin_id", "bin_fill"]]
+
+    return base.groupBy("bucket").applyInPandas(
+        fold,
+        "doc_id bigint, n_tok bigint, bucket bigint, "
+        "bin_id bigint, bin_fill bigint",
+    )
+
+
+#: Exact-span length in tokens and the stop-pattern cap: a span seen in
+#: more than _SPAN_MAX_DOCS documents is boilerplate (licence headers,
+#: navigation chrome), not a duplication signal — and unbounded hot
+#: spans are exactly what makes a shingle self-join quadratic.
+_SPAN_TOKENS = 8
+_SPAN_MAX_DOCS = 64
+
+_SPAN_CONCAT = " || ' ' || ".join(f"t[i+{k}]" for k in range(_SPAN_TOKENS))
+
+
+@query(
+    "dedup_span_exact",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        AND len(string_split(text, ' ')) >= {_SPAN_TOKENS}
+    ),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, len(t) - {_SPAN_TOKENS - 1}))
+               AS i
+      FROM toks
+    ),
+    per AS (
+      SELECT doc_id, {_SPAN_CONCAT} AS span, CAST(MIN(i) AS BIGINT) AS pos
+      FROM idx GROUP BY 1, 2
+    ),
+    ok AS (
+      SELECT span FROM per
+      GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND {_SPAN_MAX_DOCS}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, b.pos AS pb
+      FROM per a JOIN ok USING (span) JOIN per b USING (span)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_spans,
+           MIN(pa) AS first_pos_a,
+           MIN(pb) AS first_pos_b
+    FROM pairs GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span detection: document pairs sharing at least
+    two distinct 8-token spans, with each pair's earliest span position
+    on both sides — the fixed-length-window form of the exact-substring
+    dedup signal (Lee et al. 2021 use suffix arrays; an equi-join on
+    positional shingles finds the same ≥k-token overlaps at fixed k and
+    distributes trivially).  Downstream, first_pos_* is where a span
+    trimmer starts cutting.
+
+    Scale shape: positions collapse to one row per DISTINCT (doc, span)
+    before any join; spans seen in only ONE doc (the overwhelming
+    majority) are pruned by the candidate filter, and spans seen in
+    more than 64 docs are stop-patterns (boilerplate) and dropped —
+    the same frequency cap that keeps every LSH-family self-join
+    linear.  What remains joins on span equality — shuffle equi-join,
+    never corpus²."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= _SPAN_TOKENS
+    )
+    spans = toks.select(
+        "doc_id",
+        F.posexplode(word_ngrams("t", _SPAN_TOKENS)).alias("i0", "span"),
+    )
+    per = spans.groupBy("doc_id", "span").agg(
+        (F.min("i0") + F.lit(1)).cast("bigint").alias("pos")
+    )
+    ok = (
+        per.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(
+            (F.col("nd") >= 2) & (F.col("nd") <= _SPAN_MAX_DOCS)
+        )
+        .select("span")
+    )
+    cand = per.join(ok, "span")
+    a = cand.select(
+        F.col("span").alias("s"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("pos").alias("pa"),
+    )
+    b = cand.select(
+        F.col("span").alias("s"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pb"),
+    )
+    pairs = a.join(b, "s").filter(F.col("doc_a") < F.col("doc_b"))
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_spans"),
+            F.min("pa").alias("first_pos_a"),
+            F.min("pb").alias("first_pos_b"),
+        )
+        .filter(F.col("n_shared_spans") >= 2)
+    )

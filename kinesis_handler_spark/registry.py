@@ -167,6 +167,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # in CORRECTNESS_r06.json): the 5 never-checked head entries and the 10
 # r6-changed tail entries.
 _FRONT = [
+    # rule 1 (never-checked first): the three round-7 training-data
+    # assembly operators (queries/training.py) have no driver evidence
+    # in any round — they outrank every stale-green tier.
+    "pack_context_windows",  # new r7 - never driver-checked
+    "corpus_mixture_weights",  # new r7 - never driver-checked
+    "dedup_span_exact",  # new r7 - never driver-checked
+    "pack_greedy_bins",  # new r7 - never driver-checked
     "agg_promo_share",  # value changed r6 (2^53 floor) - driver evidence stale
     "filter_disjunctive",  # value changed r6 (2^53 floor) - driver evidence stale
     "join_nation_volume",  # value changed r6 (2^53 floor) - driver evidence stale

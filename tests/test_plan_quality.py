@@ -96,6 +96,7 @@ def test_jvm_only_queries_have_no_python_stage(spark, sf_dir):
         "multimodal_decode_png",  # real stdlib-zlib PNG decode (mapInPandas)
         "multimodal_resize",  # PNG decode + numpy box downsample (mapInPandas)
         "text_heavy_hitters",  # Misra-Gries candidate pass (mapInPandas)
+        "pack_greedy_bins",  # sequential bin-fill fold (applyInPandas)
     }
     offenders = []
     for name in sorted(all_queries()):
@@ -179,6 +180,7 @@ def test_no_cartesian_product_outside_declared_brute_force(spark, sf_dir):
         "join_top_revenue_supplier",  # one-row MAX scalar (Q15 shape)
         "text_unigram_logloss",  # one-row corpus-total scalar (LM norm)
         "text_heavy_hitters",  # one-row corpus-total scalar (threshold)
+        "corpus_mixture_weights",  # one-row total+source-count scalar
     }
     offenders = []
     for name in sorted(all_queries()):
@@ -203,7 +205,15 @@ def test_global_windows_only_on_bounded_inputs(spark, sf_dir):
     # 100 TB plan bug.
     import re
 
-    allowed = {"events_daily_ma", "events_rolling_distinct_hll"}
+    #   pack_context_windows        — level-2 scan over the per-bucket
+    #       rollup: O(N/2^10) rows here, 2^20-wide buckets in
+    #       production (queries/training.py _BUCKET_BITS note) — the
+    #       bounded second pass of a textbook two-level prefix scan.
+    allowed = {
+        "events_daily_ma",
+        "events_rolling_distinct_hll",
+        "pack_context_windows",
+    }
     # partition columns precede the ordering inside
     # windowspecdefinition(...); a sort direction in the FIRST argument
     # means the partition spec is empty.

@@ -1,0 +1,139 @@
+"""Semantic gates for the round-7 training-data assembly operators
+(queries/training.py).  The oracle suite owns cross-engine value
+equality; these tests pin the INVARIANTS that make the outputs usable
+by a trainer — packing really is contiguous and gap-free, bins really
+respect the token budget, mixture weights really move the mix toward
+uniform, reported duplicate spans really exist in the text.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from kinesis_handler_spark.registry import all_queries
+
+_CTX = 256
+
+
+def _rows(spark, sf_dir, name):
+    return all_queries()[name](spark, sf_dir).collect()
+
+
+def test_pack_context_windows_is_contiguous_and_gap_free(spark, sf_dir):
+    rows = sorted(
+        _rows(spark, sf_dir, "pack_context_windows"),
+        key=lambda r: r.tok_start,
+    )
+    assert rows, "empty packing on the clean fixture"
+    offset = 0
+    for r in rows:
+        # concatenation semantics: each doc starts exactly where the
+        # previous one ended — no token gap, no overlap
+        assert r.tok_start == offset
+        assert r.n_tok >= 1
+        assert r.first_win == r.tok_start // _CTX
+        assert r.last_win == (r.tok_start + r.n_tok - 1) // _CTX
+        assert r.n_win == r.last_win - r.first_win + 1
+        offset += r.n_tok
+    # every window id up to the last is inhabited (dense packing)
+    covered = set()
+    for r in rows:
+        covered.update(range(r.first_win, r.last_win + 1))
+    assert covered == set(range(max(covered) + 1))
+
+
+def test_pack_greedy_bins_respects_token_budget(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "pack_greedy_bins")
+    assert rows
+    bins = defaultdict(list)
+    for r in rows:
+        bins[(r.bucket, r.bin_id)].append(r)
+    for (_, _), docs in bins.items():
+        total = sum(r.n_tok for r in docs)
+        # a bin either fits the budget or is a single oversized doc
+        assert total <= _CTX or len(docs) == 1
+        assert max(r.bin_fill for r in docs) == total
+    # bin ids are contiguous from 0 within each bucket
+    by_bucket = defaultdict(set)
+    for r in rows:
+        by_bucket[r.bucket].add(r.bin_id)
+    for ids in by_bucket.values():
+        assert ids == set(range(len(ids)))
+
+
+def test_pack_greedy_bins_is_actually_greedy(spark, sf_dir):
+    # greedy property: consecutive bins cannot be merged — bin k's
+    # total plus bin k+1's FIRST doc must overflow the budget
+    # (otherwise the fold would have kept filling bin k)
+    rows = _rows(spark, sf_dir, "pack_greedy_bins")
+    per_bucket = defaultdict(list)
+    for r in rows:
+        per_bucket[r.bucket].append(r)
+    merge_checks = 0
+    for docs in per_bucket.values():
+        docs.sort(key=lambda r: (r.doc_id, r.n_tok))
+        totals = defaultdict(int)
+        first_doc = {}
+        for r in docs:
+            totals[r.bin_id] += r.n_tok
+            if r.bin_id not in first_doc:
+                first_doc[r.bin_id] = r.n_tok
+        for b in range(len(totals) - 1):
+            assert totals[b] + first_doc[b + 1] > _CTX
+            merge_checks += 1
+    assert merge_checks > 0, "fixture produced a single bin per bucket"
+
+
+def test_corpus_mixture_weights_move_toward_uniform(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "corpus_mixture_weights")
+    real = [r for r in rows if r.source is not None and r.n_tokens > 0]
+    assert len(real) >= 2
+    shares = [r.token_share for r in real]
+    assert abs(sum(r.token_share for r in rows if r.token_share) - 1.0) < 1e-9
+    k = len(real)
+    for r in real:
+        assert 0.0 < r.mix_weight <= 4.0
+    # post-reweight shares are (weight*share) renormalized; their
+    # spread around uniform must shrink vs the raw shares
+    post = [r.mix_weight * r.token_share for r in real]
+    tot = sum(post)
+    post = [p / tot for p in post]
+    spread_pre = max(shares) - min(shares)
+    spread_post = max(post) - min(post)
+    assert spread_post <= spread_pre + 1e-12
+    # any source already above the uniform target is downweighted
+    for r in real:
+        if r.token_share > 1.0 / k:
+            assert r.mix_weight < 1.0
+
+
+def test_dedup_span_exact_reports_real_spans(spark, sf_dir):
+    from kinesis_handler_spark.tables import table
+
+    pairs = _rows(spark, sf_dir, "dedup_span_exact")
+    assert pairs, "no duplicate spans on the clean fixture"
+    docs = {
+        r.doc_id: r.text
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def spans(did):
+        toks = docs[did].split(" ")
+        return {
+            " ".join(toks[i : i + 8]) for i in range(len(toks) - 7)
+        }, toks
+
+    for p in pairs[:20]:
+        sa, ta = spans(p.doc_a)
+        sb, tb = spans(p.doc_b)
+        shared = sa & sb
+        # reported count never exceeds the true shared-span count (the
+        # stop-pattern cap can only REMOVE candidates) and ≥2 must exist
+        assert p.n_shared_spans >= 2
+        assert len(shared) >= p.n_shared_spans
+        # reported first positions point at genuinely shared spans when
+        # the span at that position survived the frequency cap
+        assert 1 <= p.first_pos_a <= len(ta) - 7
+        assert 1 <= p.first_pos_b <= len(tb) - 7
