@@ -1,12 +1,16 @@
 """Training-data assembly operators (round 7): context-window packing,
-corpus mixture re-weighting, and exact duplicate-span detection — the
-last-mile ops a pre-training pipeline runs AFTER hygiene (dedup /
-quality / contamination, :mod:`corpus` and :mod:`llm`) to turn a clean
-corpus into a training mix.
+greedy bin packing, corpus mixture re-weighting, exact duplicate-span
+detection, and learned embedding projection (PCA) — the last-mile ops a
+pre-training pipeline runs AFTER hygiene (dedup / quality /
+contamination, :mod:`corpus` and :mod:`llm`) to turn a clean corpus
+into a training mix.
 
-All three are oracle-backed, following the registry.py determinism
-rules (integer token counts, IEEE-single-division shares, power-of-two
-offsets via arithmetic shifts so BIGINT-edge doc_ids never overflow).
+The packing/mixture/span ops are oracle-backed, following the
+registry.py determinism rules (integer token counts,
+IEEE-single-division shares, power-of-two offsets via arithmetic shifts
+so BIGINT-edge doc_ids never overflow); `embed_pca` is rows-only (an
+eigendecomposition is not SQL-expressible) with exact-integer outputs
+and numpy-parity pytest gates.
 
 Reference note: the reference library (lib/kinesisHandler.js) has no
 text surface — these are north-star mandates (SURVEY.md §2.B LLM-scale
@@ -387,3 +391,125 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_shared_spans") >= 2)
     )
+
+
+#: PCA output dimensionality (matches the JL sketch width so the two
+#: projection tiers are comparable) and the fixed-point scale for the
+#: integer projection matrix.
+_PCA_DIMS = 8
+_PCA_W_BITS = 20
+
+
+@query("embed_pca")  # rows-only: eigendecomposition is not SQL-expressible
+def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED embedding projection: PCA 64 -> 8 — the data-dependent
+    sibling of `embed_random_projection` (JL keeps distances obliviously;
+    PCA keeps the variance this corpus actually has, the standard
+    pre-step before clustering or coarse ANN when a training pass over
+    the vectors is affordable).
+
+    Scale architecture (why this survives 100 TB):
+
+    1. MOMENT PASS — one `mapInPandas` sweep emits per-Arrow-batch
+       integer partial moments of the ×1000-quantized vectors (count,
+       per-dim sums, upper-triangle co-moment sums as (idx, val) pairs:
+       d(d+3)/2 + 1 = 2145 rows per batch).  Exact integer partials
+       (|batch co-moment| < 2^41), summed across batches as exact
+       DECIMAL(38,0) — order-independent, so the covariance matrix is
+       BIT-IDENTICAL whatever the partitioning.
+    2. DRIVER SOLVE — the aggregated 2145 moment cells `collect()` to
+       the driver (bounded by d², independent of corpus size — same
+       contract as the IVF coarse-quantizer artifact), covariance +
+       `eigh` on the 64×64 matrix, sign-fixed eigenvectors (largest-
+       magnitude component made positive; first index wins ties).
+    3. PROJECT PASS — the top-8 basis is re-quantized to a 2^20
+       fixed-point INTEGER matrix and applied as an integer GEMM per
+       Arrow batch (|coordinate| < 2^42): outputs are exact BIGINTs,
+       reproducible across runs, partitionings, and BLAS threading.
+
+    Two linear passes, no shuffle wider than 2145-row moment cells,
+    nothing corpus-sized on the driver."""
+    import pandas as pd
+
+    from kinesis_handler_spark.queries.llm import (  # local: avoid cycle
+        _clean_embeddings,
+        _quantized,
+    )
+    from kinesis_handler_spark.tables import EMBEDDING_DIM
+
+    d = EMBEDDING_DIM
+    emb = _clean_embeddings(spark, sf_dir)
+    qv = emb.select("vec_id", _quantized().alias("q"))
+
+    def moments(batches):
+        import numpy as np
+
+        r0, r1 = np.triu_indices(d)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            g = q.T @ q  # exact: |elem| <= rows * (|q|max)^2 << 2^63
+            out = np.concatenate(
+                ([len(q)], q.sum(axis=0), g[r0, r1])
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {"idx": np.arange(out.size, dtype=np.int64), "val": out}
+            )
+
+    cells = (
+        qv.mapInPandas(moments, "idx bigint, val bigint")
+        .groupBy("idx")
+        # DECIMAL(38,0) accumulation: exact at any corpus size (int64
+        # batch partials would themselves overflow past ~2^63 moments)
+        .agg(F.sum(F.col("val").cast("decimal(38,0)")).alias("val"))
+        .collect()
+    )
+    if not cells:
+        return spark.createDataFrame(
+            [],
+            "vec_id bigint, " + ", ".join(
+                f"pc{k} bigint" for k in range(_PCA_DIMS)
+            ),
+        )
+
+    import numpy as np
+
+    flat = {int(r["idx"]): int(r["val"]) for r in cells}
+    n = flat[0]
+    s = np.array([flat[1 + j] for j in range(d)], dtype=np.float64)
+    r0, r1 = np.triu_indices(d)
+    g = np.zeros((d, d), dtype=np.float64)
+    for k, (i, j) in enumerate(zip(r0, r1)):
+        g[i, j] = g[j, i] = float(flat[1 + d + k])
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending eigenvalues
+    top = vecs[:, ::-1][:, :_PCA_DIMS].T  # (_PCA_DIMS, d), leading first
+    # deterministic sign: the largest-|.| component of each basis vector
+    # is positive (first index wins exact ties)
+    for row in top:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row *= -1.0
+    w_int = np.round(top * (1 << _PCA_W_BITS)).astype(np.int64)
+    w_bc = spark.sparkContext.broadcast(w_int)
+
+    def project(batches):
+        import numpy as np
+
+        w = w_bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            y = q @ w.T  # exact integer GEMM
+            out = pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy()})
+            for k in range(_PCA_DIMS):
+                out[f"pc{k}"] = y[:, k]
+            yield out
+
+    schema = "vec_id bigint, " + ", ".join(
+        f"pc{k} bigint" for k in range(_PCA_DIMS)
+    )
+    return qv.mapInPandas(project, schema)

@@ -137,3 +137,44 @@ def test_dedup_span_exact_reports_real_spans(spark, sf_dir):
         # the span at that position survived the frequency cap
         assert 1 <= p.first_pos_a <= len(ta) - 7
         assert 1 <= p.first_pos_b <= len(tb) - 7
+
+
+def test_embed_pca_matches_local_eigendecomposition(spark, sf_dir):
+    import numpy as np
+
+    from kinesis_handler_spark.queries.llm import (
+        _clean_embeddings,
+        _quantized,
+    )
+    from kinesis_handler_spark.queries.training import _PCA_W_BITS
+
+    rows = _rows(spark, sf_dir, "embed_pca")
+    assert rows
+    qv = (
+        _clean_embeddings(spark, sf_dir)
+        .select("vec_id", _quantized().alias("q"))
+        .collect()
+    )
+    q = np.stack([np.array(r.q) for r in qv]).astype(np.float64)
+    top = np.linalg.eigvalsh(np.cov(q.T, bias=True))[::-1][:8]
+    y = (
+        np.array(
+            [[r[f"pc{k}"] for k in range(8)] for r in rows],
+            dtype=np.float64,
+        )
+        / (1 << _PCA_W_BITS)
+    )
+    got = y.var(axis=0)
+    # each projected coordinate's variance equals the corresponding
+    # eigenvalue (the defining property of a PCA basis); fixed-point
+    # quantization of the basis costs < 1e-3 relative
+    assert np.all(np.abs(got - top) <= 1e-3 * np.maximum(top, 1.0))
+    # and the learned basis beats the oblivious JL sketch: top-8
+    # captured variance is the max possible, so >= any 8-dim projection
+    assert got.sum() >= 0.999 * top.sum()
+
+
+def test_embed_pca_deterministic_across_runs(spark, sf_dir):
+    a = sorted(map(tuple, _rows(spark, sf_dir, "embed_pca")))
+    b = sorted(map(tuple, _rows(spark, sf_dir, "embed_pca")))
+    assert a == b
