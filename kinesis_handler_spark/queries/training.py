@@ -513,3 +513,145 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"pc{k} bigint" for k in range(_PCA_DIMS)
     )
     return qv.mapInPandas(project, schema)
+
+
+#: BPE training rounds.  Each round is one bounded shuffle over the
+#: DISTINCT-WORD table (vocab-sized, never corpus-sized) plus a one-row
+#: argmax collect — the same bounded-driver-artifact contract as the
+#: IVF centroids.
+_BPE_ROUNDS = 12
+_BPE_END = "</w>"
+
+
+def _bpe_reference(word_freqs, rounds=_BPE_ROUNDS):
+    """Pure-Python reference BPE trainer (tests compare the distributed
+    trainer's merge sequence against this exactly).  Standard
+    Sennrich et al. 2016 formulation: symbols start as codepoints plus
+    an end-of-word marker; each round merges the most frequent adjacent
+    pair, ties broken by the lexicographically smallest (left, right)."""
+    words = [(list(w) + [_BPE_END], f) for w, f in word_freqs]
+    merges = []
+    for _ in range(rounds):
+        counts = {}
+        for sym, f in words:
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        top = max(counts.values())
+        best = min(p for p, c in counts.items() if c == top)
+        merges.append((best[0], best[1], top))
+        a, b = best
+        merged = a + b
+        nxt = []
+        for sym, f in words:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nxt.append((out, f))
+        words = nxt
+    return merges
+
+
+@query("tokenizer_bpe_train")  # rows-only: iterative argmax, not SQL
+def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED BPE tokenizer training (Sennrich et al. 2016): learn
+    the first 12 merge rules from the corpus — the op that turns a raw
+    corpus into the tokenizer the rest of the pipeline counts tokens
+    with.  Output is the ordered merge table (rank, left, right,
+    merged, support).
+
+    Scale architecture: BPE trains on the DISTINCT-WORD frequency
+    table, not the corpus — one corpus-sized aggregation up front, then
+    every round touches only vocab-sized data (10^8 rows at web scale,
+    vs 10^12 corpus tokens).  Per round: adjacent-pair counts via a JVM
+    transform+explode and one partial+final aggregate; the argmax is a
+    ONE-ROW driver read (exact integer counts, ties broken by binary
+    string order — identical in Spark's UTF8String compare, DuckDB, and
+    Python, because UTF-8 byte order preserves codepoint order); the
+    merge applies as an Arrow-batched scan over the word table, and
+    `localCheckpoint` truncates the growing lineage so round N's plan
+    does not replay rounds 1..N-1.  The merge sequence is bit-exact
+    against the pure-Python reference (`_bpe_reference`, pytest-pinned)."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+
+    def symbolize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "sym": [list(w) + [_BPE_END] for w in pdf["w"]],
+                    "freq": pdf["freq"],
+                }
+            )
+
+    cur = words.mapInPandas(
+        symbolize, "sym array<string>, freq bigint"
+    ).localCheckpoint(eager=False)
+
+    pair_struct = F.transform(
+        F.sequence(F.lit(0), F.size("sym") - 2),
+        lambda i: F.struct(
+            F.element_at("sym", i + 1).alias("a"),
+            F.element_at("sym", i + 2).alias("b"),
+        ),
+    )
+    merges = []
+    for _ in range(_BPE_ROUNDS):
+        top = (
+            cur.filter(F.size("sym") >= 2)
+            .select(F.explode(pair_struct).alias("p"), "freq")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((len(merges) + 1, a, b, a + b, cnt))
+
+        # greedy left-to-right merge as a JVM fold: append each symbol,
+        # but when the accumulator ends with `a` and the next symbol is
+        # `b`, replace that tail with the merged token.  Equivalent to
+        # the reference's index walk (the merged token a+b can never
+        # re-match as `a` within the same pass), and it keeps every
+        # round's data path in whole-stage codegen — no Python workers
+        # after the one-time symbolization.
+        la, lb = F.lit(a), F.lit(b)
+        lm = F.array(F.lit(a + b))
+        merged_sym = F.aggregate(
+            "sym",
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == la)
+                & (x == lb),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), lm),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        cur = cur.select(
+            merged_sym.alias("sym"), "freq"
+        ).localCheckpoint(eager=False)
+
+    return spark.createDataFrame(
+        merges,
+        "rank bigint, left string, right string, merged string, "
+        "support bigint",
+    )

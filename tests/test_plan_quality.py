@@ -98,6 +98,7 @@ def test_jvm_only_queries_have_no_python_stage(spark, sf_dir):
         "text_heavy_hitters",  # Misra-Gries candidate pass (mapInPandas)
         "pack_greedy_bins",  # sequential bin-fill fold (applyInPandas)
         "embed_pca",  # moment + projection GEMMs (numpy via mapInPandas)
+        "tokenizer_bpe_train",  # one-time codepoint symbolization pass
     }
     offenders = []
     for name in sorted(all_queries()):

@@ -178,3 +178,33 @@ def test_embed_pca_deterministic_across_runs(spark, sf_dir):
     a = sorted(map(tuple, _rows(spark, sf_dir, "embed_pca")))
     b = sorted(map(tuple, _rows(spark, sf_dir, "embed_pca")))
     assert a == b
+
+
+def test_tokenizer_bpe_train_matches_python_reference(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from kinesis_handler_spark.queries.training import _bpe_reference
+    from kinesis_handler_spark.tables import table
+
+    got = _rows(spark, sf_dir, "tokenizer_bpe_train")
+    assert got, "no merges learned on the clean fixture"
+    wf = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    ref = _bpe_reference([(r["w"], r["count"]) for r in wf])
+    assert [
+        (r["rank"], r["left"], r["right"], r["merged"], r["support"])
+        for r in got
+    ] == [(i + 1, a, b, a + b, c) for i, (a, b, c) in enumerate(ref)]
+    # ranks are learned in non-increasing support order (BPE invariant:
+    # merging can create new pairs but their count never exceeds the
+    # pair they came from... not strictly true in general BPE, so pin
+    # only the well-formedness facts)
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    assert all(r["merged"] == r["left"] + r["right"] for r in got)
