@@ -167,13 +167,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # in CORRECTNESS_r06.json): the 5 never-checked head entries and the 10
 # r6-changed tail entries.
 _FRONT = [
-    # rule 1 (never-checked first): the three round-7 training-data
-    # assembly operators (queries/training.py) have no driver evidence
-    # in any round — they outrank every stale-green tier.
+    # rule 1 (never-checked first): the six round-7 operators
+    # (queries/training.py assembly ops, embed_pca, tokenizer_bpe_train)
+    # have no driver evidence in any round — they outrank every
+    # stale-green tier.  embed_pca and tokenizer_bpe_train are rows-only
+    # (iterative eigen/merge algorithms, no SQL oracle exists) and take
+    # the same one-time never-checked exception dedup_simhash uses.
     "pack_context_windows",  # new r7 - never driver-checked
     "corpus_mixture_weights",  # new r7 - never driver-checked
     "dedup_span_exact",  # new r7 - never driver-checked
     "pack_greedy_bins",  # new r7 - never driver-checked
+    "embed_pca",  # new r7, rows-only - never driver-checked
+    "tokenizer_bpe_train",  # new r7, rows-only - never driver-checked
     "agg_promo_share",  # value changed r6 (2^53 floor) - driver evidence stale
     "filter_disjunctive",  # value changed r6 (2^53 floor) - driver evidence stale
     "join_nation_volume",  # value changed r6 (2^53 floor) - driver evidence stale
@@ -215,12 +220,12 @@ _FRONT = [
     "scalar_bitwise",  # r7: HUGEINT wrap oracle - fresh oracle evidence
     "multimodal_features",  # last green r4
     "scalar_map_json",  # r7: typed-map contract - k_value now BIGINT
-    "multimodal_header_parse",  # last green r4
     "events_gapfill_interpolate",  # r7: O(n) running-frame rewrite - fresh plan evidence
-    "multimodal_decode_bmp",  # last green r4
-    "multimodal_decode_wav",  # last green r4
     "scalar_date",  # r7: due_date NULL-on-overflow + NTZ month start - outputs re-typed
     "json_extract_props",  # r7: try_cast total contract - k now BIGINT
+    "multimodal_header_parse",  # last green r4
+    "multimodal_decode_bmp",  # last green r4
+    "multimodal_decode_wav",  # last green r4
     "sample_hash_stratified",  # last green r4
     "events_anomaly_zscore",  # last green r4
     "pipeline_corpus_prep",  # last green r4

@@ -17,6 +17,11 @@ from kinesis_handler_spark.registry import _FRONT, QUERIES, all_queries
 # got their evidence in CORRECTNESS_r06.json and rotated out.)
 ROWS_ONLY_COLD_EXEC = {
     "dedup_simhash",
+    # New in round 7, never driver-checked, and no SQL oracle can exist
+    # (iterative eigendecomposition / merge loop): take the one-time
+    # never-checked rows-evidence slot this round, rotate out next.
+    "embed_pca",
+    "tokenizer_bpe_train",
 }
 
 
