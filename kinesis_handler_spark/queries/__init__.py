@@ -26,12 +26,15 @@ Module map (mirrors SURVEY.md §2.B sections):
                        GROUPS-frame window emulation
 * :mod:`training`    — training-data assembly: context-window packing,
                        mixture re-weighting, duplicate-span detection
+* :mod:`graph_q`     — graph analytics over relational edge lists
+                       (fixed-point PageRank)
 """
 
 from kinesis_handler_spark.queries import (  # noqa: F401
     composites,
     corpus,
     extras,
+    graph_q,
     llm,
     llm_scale,
     pipeline,
