@@ -336,3 +336,112 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cnt") >= F.lit(0.003) * F.col("n"))
         .select("tok", "cnt")
     )
+
+
+#: Oracle-SQL mirror of ``normalize_text`` (functions/text.py) — must
+#: change in lockstep with it (same chain as the text_heavy_hitters /
+#: text_normalize oracles).
+_NORM_SQL = """trim(regexp_replace(regexp_replace(regexp_replace(
+               lower(text), '\\p{M}', '', 'g'),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"""
+
+
+@query(
+    "corpus_inverted_index",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    tf AS (
+      SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM t2 GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(tf) AS BIGINT) AS total_tf
+      FROM tf GROUP BY 1
+    ),
+    top AS (
+      SELECT tok, doc_id, tf,
+             ROW_NUMBER() OVER (
+               PARTITION BY tok ORDER BY tf DESC, doc_id
+             ) AS rn
+      FROM tf
+    ),
+    post AS (
+      SELECT tok,
+             string_agg(
+               CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+               ',' ORDER BY rn
+             ) AS postings
+      FROM top WHERE rn <= 5 GROUP BY tok
+    )
+    SELECT s.tok, s.df, s.total_tf, p.postings
+    FROM stats s JOIN post p USING (tok)
+    WHERE s.df >= 3
+    """,
+)
+def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped inverted-index construction: for every normalized token
+    appearing in >= 3 documents, its document frequency, total term
+    frequency, and a posting list of the top-5 documents by
+    (tf DESC, doc_id) rendered ``doc:tf,doc:tf`` — the IR-index build
+    a corpus-grep / retrieval layer runs over a crawl.
+
+    Determinism: the rank key (tf DESC, doc_id) is TOTAL within a term
+    (doc_id is unique per (tok, doc) group after the tf aggregation),
+    so the capped posting order is engine-independent, and the oracle
+    anchors its string_agg on the same single ROW_NUMBER pass (rn
+    rule).  NULL-identity/NULL-text docs cannot be indexed and are
+    filtered on both sides (totality rule).
+
+    100 TB: the per-term top-5 is a rank-limit window — Spark's
+    WindowGroupLimit pushes the limit into a PER-PARTITION partial
+    pass before the shuffle, so a stop-word term moves at most
+    5 × n_partitions candidate postings instead of its full
+    document list; the df/total_tf aggregate is partial+final on the
+    same (tok, doc)-reduced frame (vocabulary-sized output, Heaps-law
+    sublinear in corpus size).  No Python, no collect."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(normalize_text("text"), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    stats = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("tok").orderBy(F.desc("tf"), F.asc("doc_id"))
+    post = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .groupBy("tok")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "doc_id", "tf"))
+                    ),
+                    lambda x: F.format_string(
+                        "%d:%d", x["doc_id"], x["tf"]
+                    ),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return stats.join(post, "tok").where(F.col("df") >= 3).select(
+        "tok", "df", "total_tf", "postings"
+    )
