@@ -190,3 +190,134 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank_fixed_point(fwd.union(rev))
     return pr.orderBy(F.desc("rank_fp"), F.asc("node")).limit(100)
+
+
+_TRIANGLE_ORACLE = """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    nxt AS (
+      SELECT o, p, LEAD(p) OVER (PARTITION BY o ORDER BY p) AS np
+      FROM op
+    ),
+    und AS (
+      SELECT DISTINCT p AS s1, np AS s2 FROM nxt WHERE np IS NOT NULL
+    ),
+    deg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM (SELECT s1 AS n FROM und UNION ALL SELECT s2 FROM und)
+      GROUP BY 1
+    ),
+    tri AS (
+      SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+      FROM und e1
+      JOIN und e2 ON e1.s2 = e2.s1
+      JOIN und e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+    ),
+    cnt AS (
+      SELECT n AS part, CAST(COUNT(*) AS BIGINT) AS triangles
+      FROM (SELECT a AS n FROM tri UNION ALL
+            SELECT b FROM tri UNION ALL
+            SELECT c FROM tri)
+      GROUP BY 1
+    )
+    SELECT c.part, d.deg, c.triangles
+    FROM cnt c JOIN deg d ON c.part = d.n
+    ORDER BY c.triangles DESC, c.part
+    LIMIT 100
+    """
+
+
+@query("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-node triangle counting over the part-succession graph:
+    the third classic graph operator (after components and PageRank) —
+    triangle participation measures local clustering, the signal
+    community detection and spam/link-farm filters start from.
+
+    The graph: within each order's distinct part basket, an edge joins
+    each part to its id-successor (a path per basket, union over
+    orders) — linear in lineitems with bounded degree, unlike the
+    co-occurrence clique expansion which is quadratic per basket.
+    Output: the 100 nodes with the most triangles, with degree, total
+    (triangles DESC, part) tie-break.
+
+    The oracle enumerates each triangle once in id order (``a<b<c`` via
+    the ``s1<s2`` canonical edge form); Spark enumerates each triangle
+    once in DEGREE order.  Both are exact single-count enumerations of
+    the same set, so per-node counts agree — the orientation choice is
+    a physical-plan decision, not a semantic one.
+
+    100 TB: Spark orients every edge from its (degree, id)-smaller to
+    its (degree, id)-larger endpoint, so oriented out-degree is
+    O(sqrt(m)) and the wedge join emits O(m^1.5) candidate paths total
+    (Schank-Wagner bound) instead of sum(deg^2) — a celebrity node with
+    10^6 neighbors contributes zero wedges from its own adjacency
+    list.  Wedge close is a semi-join on the oriented edge set; all
+    stages are equi-joins + partial+final aggregates, no windows over
+    the graph, no collect."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+    )
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    nxt = op.withColumn(
+        "np", F.lead("p").over(Window.partitionBy("o").orderBy("p"))
+    )
+    und = (
+        nxt.where(F.col("np").isNotNull())
+        .select(F.col("p").alias("s1"), F.col("np").alias("s2"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("s1").alias("n"))
+        .unionAll(und.select(F.col("s2").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    # Orient each edge toward the (deg, id)-larger endpoint.
+    d1 = deg.select(F.col("n").alias("s1"), F.col("deg").alias("dg1"))
+    d2 = deg.select(F.col("n").alias("s2"), F.col("deg").alias("dg2"))
+    fwd = (
+        (F.col("dg1") < F.col("dg2"))
+        | ((F.col("dg1") == F.col("dg2")) & (F.col("s1") < F.col("s2")))
+    )
+    ow = (
+        und.join(d1, "s1")
+        .join(d2, "s2")
+        .select(
+            F.when(fwd, F.col("s1")).otherwise(F.col("s2")).alias("src"),
+            F.when(fwd, F.col("s2")).otherwise(F.col("s1")).alias("dst"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wedge = (
+        ow.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(
+            ow.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+            "b",
+        )
+    )
+    tri = wedge.join(
+        ow.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+        ["a", "c"],
+        "left_semi",
+    )
+    cnt = (
+        tri.select(F.col("a").alias("part"))
+        .unionAll(tri.select(F.col("b").alias("part")))
+        .unionAll(tri.select(F.col("c").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    )
+    return (
+        cnt.join(deg.withColumnRenamed("n", "part"), "part")
+        .select("part", "deg", "triangles")
+        .orderBy(F.desc("triangles"), F.asc("part"))
+        .limit(100)
+    )

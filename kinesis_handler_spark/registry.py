@@ -181,6 +181,7 @@ _FRONT = [
     "tokenizer_bpe_train",  # new r7, rows-only - never driver-checked
     "graph_pagerank",  # new r7 - never driver-checked
     "corpus_inverted_index",  # new r7 - never driver-checked
+    "graph_triangle_count",  # new r7 - never driver-checked
     "agg_promo_share",  # value changed r6 (2^53 floor) - driver evidence stale
     "filter_disjunctive",  # value changed r6 (2^53 floor) - driver evidence stale
     "join_nation_volume",  # value changed r6 (2^53 floor) - driver evidence stale
@@ -217,11 +218,10 @@ _FRONT = [
     "text_lang_profile",  # last green r4
     "dedup_near_jaccard",  # last green r4
     "sim_cosine_topk",  # last green r4
-    # (multimodal_binary_meta / udf_transformer — r4-green, UNCHANGED —
-    # yielded their staleness-refresh slots to the two late-r7 queries
-    # above; they rotate back in r8.)
+    # (multimodal_binary_meta / udf_transformer / multimodal_features —
+    # r4-green, UNCHANGED — yielded their staleness-refresh slots to the
+    # three late-r7 queries above; they rotate back in r8.)
     "scalar_bitwise",  # r7: HUGEINT wrap oracle - fresh oracle evidence
-    "multimodal_features",  # last green r4
     "scalar_map_json",  # r7: typed-map contract - k_value now BIGINT
     "events_gapfill_interpolate",  # r7: O(n) running-frame rewrite - fresh plan evidence
     "scalar_date",  # r7: due_date NULL-on-overflow + NTZ month start - outputs re-typed
