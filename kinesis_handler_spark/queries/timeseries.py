@@ -267,6 +267,123 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_cdc_apply",
+    oracle="""
+    WITH chg AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN user_id
+                  ELSE ((user_id % 97) + 97) % 97 + 1000000000 END AS key,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             ts, event_id, event_type,
+             CASE WHEN value = 0e0 THEN 0e0 ELSE value END AS valz
+      FROM events
+    ),
+    ranked AS (
+      SELECT key, op, valz,
+             ROW_NUMBER() OVER (
+               PARTITION BY key
+               ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST,
+                        event_type DESC NULLS LAST, valz DESC NULLS LAST
+             ) AS rn
+      FROM chg
+    ),
+    w AS (SELECT key AS wkey, op, valz FROM ranked WHERE rn = 1),
+    snap AS (
+      SELECT c_custkey AS skey, c_name, c_acctbal, 1 AS in_snap
+      FROM customer
+    )
+    SELECT COALESCE(s.skey, w.wkey) AS custkey,
+           CASE WHEN w.op IS NULL THEN 'kept'
+                WHEN s.in_snap = 1 THEN 'updated'
+                ELSE 'inserted' END AS status,
+           s.c_name AS c_name,
+           CASE WHEN w.op = 'U' THEN w.valz ELSE s.c_acctbal END AS acctbal
+    FROM snap s FULL JOIN w ON s.skey = w.wkey
+    WHERE w.op IS NULL OR w.op = 'U'
+    """,
+)
+def events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE-apply: fold a change feed into a dimension snapshot
+    with last-writer-wins upsert/delete semantics — the ``MERGE INTO``
+    primitive a lakehouse runs on every CDC ingest, expressed without a
+    table format: events become changes keyed into the customer key
+    space (even event_ids update/delete their user's row; odd ones land
+    in a disjoint insert key space via overflow-safe ``pmod(user_id,
+    97) + 10^9`` — the extreme-key rule forbids multiplying raw keys),
+    ``error`` events are tombstones.  Per key the LAST change wins;
+    the merged output classifies every surviving row ``kept`` /
+    ``updated`` / ``inserted`` and drops tombstoned keys.
+
+    Determinism: one ROW_NUMBER pass picks the winner; its sort key
+    (ts, event_id, event_type, value — all DESC NULLS LAST) includes
+    EVERY column the output consumes, so rows tied on the full key are
+    payload-identical and any tie-break yields the same hash (the rn
+    rule, single-pass form).  ``value`` is -0.0-canonicalized before
+    sorting or emitting so the engines cannot disagree on a signed-zero
+    pick.  NULL keys never equi-match: NULL-key snapshot rows surface
+    as ``kept``, the NULL-key change winner as ``inserted`` — total, no
+    filters.
+
+    100 TB: the change feed shuffles ONCE on the merge key for the
+    window (partial WindowGroupLimit-style pruning doesn't apply to
+    row_number-pick-1, but the frame is change-sized, not
+    snapshot-sized), then one shuffle-or-broadcast full-outer join
+    against the snapshot; classification and deletion are row-local
+    CASEs.  This is exactly the shuffle profile of a Delta/Iceberg
+    MERGE rewrite job — no per-key state, no collect."""
+    e = table(spark, sf_dir, "events")
+    valz = (
+        F.when(F.col("value") == F.lit(0.0), F.lit(0.0))
+        .otherwise(F.col("value"))
+        .alias("valz")
+    )
+    chg = e.select(
+        F.when((F.col("event_id") % 2) == 0, F.col("user_id"))
+        .otherwise(
+            F.expr("pmod(user_id, 97L)") + F.lit(1_000_000_000).cast("bigint")
+        )
+        .alias("key"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "ts",
+        "event_id",
+        "event_type",
+        valz,
+    )
+    pick = Window.partitionBy("key").orderBy(
+        F.desc_nulls_last("ts"),
+        F.desc_nulls_last("event_id"),
+        F.desc_nulls_last("event_type"),
+        F.desc_nulls_last("valz"),
+    )
+    last = (
+        chg.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(F.col("key").alias("wkey"), "op", "valz")
+    )
+    snap = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("skey"),
+        "c_name",
+        "c_acctbal",
+        F.lit(1).alias("in_snap"),
+    )
+    merged = snap.join(last, snap.skey == last.wkey, "full")
+    return merged.where(
+        F.col("op").isNull() | (F.col("op") == "U")
+    ).select(
+        F.coalesce("skey", "wkey").alias("custkey"),
+        F.when(F.col("op").isNull(), F.lit("kept"))
+        .when(F.col("in_snap") == 1, F.lit("updated"))
+        .otherwise(F.lit("inserted"))
+        .alias("status"),
+        F.col("c_name").alias("c_name"),
+        F.when(F.col("op") == "U", F.col("valz"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("acctbal"),
+    )
+
+
+@query(
     "window_groups_frame",
     oracle="""
     WITH daily AS (

@@ -42,6 +42,10 @@ def test_rows_only_queries_are_marked():
         "dedup_embedding_ann",   # IVF candidate generation (scale tier)
         "text_fingerprint",      # xxhash64 rolling hash
         "dedup_pipeline_scale",  # minhash candidates are engine hashes
+        "embed_pca",             # iterative eigen-solve; basis has no SQL
+                                 # form — exactness pinned in test_training_ops.py
+        "tokenizer_bpe_train",   # iterative merge learning; bit-exact
+                                 # vs pure-Python reference in test_training_ops.py
         "events_rolling_distinct_hll",  # DataSketches HLL estimates are
         # engine-specific; pinned vs the exact tier in
         # tests/test_sketch_quality.py::test_rolling_distinct_hll_tracks_exact
