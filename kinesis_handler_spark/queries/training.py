@@ -393,6 +393,153 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_span_trim",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        AND len(string_split(text, ' ')) >= {_SPAN_TOKENS}
+    ),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, len(t) - {_SPAN_TOKENS - 1}))
+               AS i
+      FROM toks
+    ),
+    per AS (
+      SELECT doc_id, {_SPAN_CONCAT} AS span, CAST(MIN(i) AS BIGINT) AS pos
+      FROM idx GROUP BY 1, 2
+    ),
+    keepers AS (
+      SELECT span, MIN(doc_id) AS keeper FROM per
+      GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND {_SPAN_MAX_DOCS}
+    ),
+    rem AS (
+      SELECT p.doc_id, p.pos
+      FROM per p JOIN keepers k USING (span)
+      WHERE p.doc_id <> k.keeper
+    ),
+    cut AS (
+      SELECT DISTINCT doc_id, i
+      FROM (SELECT doc_id,
+                   unnest(generate_series(pos, pos + {_SPAN_TOKENS - 1}))
+                     AS i
+            FROM rem)
+    ),
+    tokpos AS (
+      SELECT doc_id, i, t[i] AS tok
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+            FROM toks)
+    ),
+    kept AS (
+      SELECT tp.doc_id, tp.i, tp.tok
+      FROM tokpos tp LEFT JOIN cut c
+        ON tp.doc_id = c.doc_id AND tp.i = c.i
+      WHERE c.doc_id IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS trimmed_text
+      FROM kept GROUP BY 1
+    ),
+    nrem AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+      FROM cut GROUP BY 1
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM toks
+    )
+    SELECT r.doc_id, s.n_tok, r.n_removed,
+           COALESCE(a.trimmed_text, '') AS trimmed_text
+    FROM nrem r
+    JOIN sizes s USING (doc_id)
+    LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span TRIMMING: the consumer of ``dedup_span_exact``'s
+    signal.  For every 8-token span duplicated across 2–64 documents,
+    keep the occurrence in the smallest doc_id and cut the span's token
+    window from every other document's first occurrence, then
+    reconstruct each affected document's text without the cut tokens —
+    per-document token count, removed-token count, and the trimmed text
+    (Lee et al. 2021 apply exactly this remove-all-but-one policy with
+    suffix-array spans; fixed-k windows make it a pure equi-join
+    pipeline).
+
+    Determinism: the keeper choice is MIN(doc_id) (total); cut
+    positions are an exact integer set union; reconstruction is
+    ``string_agg ORDER BY position`` where position is unique per doc —
+    total order, engine-independent.  Docs trimmed to nothing still
+    emit a row (LEFT JOIN + COALESCE '' on both sides).
+
+    100 TB: the span table collapses to DISTINCT (doc, span) rows
+    before the keeper join (same pruning as ``dedup_span_exact`` —
+    singleton spans never join, >64-doc boilerplate is capped); cut
+    positions are ≤ 8 × duplicated-occurrence rows; the token-position
+    anti-join is an equi-join on (doc, pos); the per-doc rebuild
+    collects at most one document's tokens per group — bounded by max
+    doc length, the same bound every chunker in the suite carries.  No
+    suffix arrays, no corpus² — linear in tokens end to end."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= _SPAN_TOKENS
+    )
+    per = (
+        toks.select(
+            "doc_id",
+            F.posexplode(word_ngrams("t", _SPAN_TOKENS)).alias("i0", "span"),
+        )
+        .groupBy("doc_id", "span")
+        .agg((F.min("i0") + F.lit(1)).cast("bigint").alias("pos"))
+    )
+    keepers = (
+        per.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("nd"), F.min("doc_id").alias("keeper"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= _SPAN_MAX_DOCS))
+        .select("span", "keeper")
+    )
+    rem = per.join(keepers, "span").filter(
+        F.col("doc_id") != F.col("keeper")
+    )
+    cut = rem.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(_SPAN_TOKENS - 1))
+        ).alias("i"),
+    ).distinct()
+    tokpos = toks.select(
+        "doc_id", F.posexplode("t").alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).cast("bigint").alias("i"), "tok")
+    kept = tokpos.join(cut, ["doc_id", "i"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("trimmed_text")
+    )
+    nrem = cut.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_removed")
+    )
+    sizes = toks.select("doc_id", F.size("t").cast("bigint").alias("n_tok"))
+    return (
+        nrem.join(sizes, "doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_removed",
+            F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
+        )
+    )
+
+
 #: PCA output dimensionality (matches the JL sketch width so the two
 #: projection tiers are comparable) and the fixed-point scale for the
 #: integer projection matrix.

@@ -183,6 +183,7 @@ _FRONT = [
     "corpus_inverted_index",  # new r7 - never driver-checked
     "graph_triangle_count",  # new r7 - never driver-checked
     "events_cdc_apply",  # new r7 - never driver-checked
+    "dedup_span_trim",  # new r7 - never driver-checked
     "agg_promo_share",  # value changed r6 (2^53 floor) - driver evidence stale
     "filter_disjunctive",  # value changed r6 (2^53 floor) - driver evidence stale
     "join_nation_volume",  # value changed r6 (2^53 floor) - driver evidence stale
@@ -217,9 +218,9 @@ _FRONT = [
     "text_tfidf_topterms",  # last green r4
     "text_quality_score",  # last green r4
     "text_lang_profile",  # last green r4
-    "dedup_near_jaccard",  # last green r4
-    # (sim_cosine_topk — r4-green, UNCHANGED — yielded its slot to
-    # events_cdc_apply; rotates back in r8.)
+    # (dedup_near_jaccard / sim_cosine_topk — r4-green, UNCHANGED —
+    # yielded their slots to events_cdc_apply / dedup_span_trim;
+    # rotate back in r8.)
     # (multimodal_binary_meta / udf_transformer / multimodal_features —
     # r4-green, UNCHANGED — yielded their staleness-refresh slots to the
     # three late-r7 queries above; they rotate back in r8.)
