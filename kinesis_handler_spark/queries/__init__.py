@@ -28,9 +28,12 @@ Module map (mirrors SURVEY.md §2.B sections):
                        mixture re-weighting, duplicate-span detection
 * :mod:`graph_q`     — graph analytics over relational edge lists
                        (fixed-point PageRank)
+* :mod:`analytics`   — recursive-CTE hierarchy walk, time-weighted
+                       average, interval-overlap join, Pareto skyline
 """
 
 from kinesis_handler_spark.queries import (  # noqa: F401
+    analytics,
     composites,
     corpus,
     extras,

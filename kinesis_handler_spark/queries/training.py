@@ -802,3 +802,94 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank bigint, left string, right string, merged string, "
         "support bigint",
     )
+
+
+#: Global training-token budget for the apportionment operator.  Power
+#: of two (2^20) purely for recognizability; any positive constant
+#: works — the algebra never divides by it.
+_TOKEN_BUDGET = 1 << 20
+
+
+@query(
+    "corpus_domain_token_budget",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, CAST(SUM({_N_TOK_SQL}) AS BIGINT) AS n_tok
+      FROM documents
+      WHERE source IS NOT NULL AND text IS NOT NULL
+      GROUP BY 1
+    ),
+    t AS (SELECT SUM(n_tok) AS tot FROM tok),
+    q AS (
+      SELECT source, n_tok,
+             (CAST(n_tok AS HUGEINT) * {_TOKEN_BUDGET})
+               // CAST(tot AS HUGEINT) AS q,
+             (CAST(n_tok AS HUGEINT) * {_TOKEN_BUDGET})
+               % CAST(tot AS HUGEINT) AS rem
+      FROM tok, t
+    ),
+    r AS (
+      SELECT source, n_tok, q,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rn,
+             SUM(q) OVER () AS qsum
+      FROM q
+    )
+    SELECT source, n_tok,
+           CAST(q + CASE WHEN rn <= {_TOKEN_BUDGET} - qsum
+                         THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM r
+    """,
+)
+def corpus_domain_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder token-budget apportionment: split a fixed
+    global training budget (2^20 tokens) across sources proportionally
+    to their token counts, with the fractional leftovers awarded +1
+    each to the sources with the largest remainders — Σ alloc equals
+    the budget EXACTLY, which proportional-float rounding never
+    guarantees.  This is the op that turns mixture *shares*
+    (``corpus_mixture_weights``) into an integral per-domain sampling
+    plan a data loader can execute.
+
+    Every step is exact integer arithmetic — quota and remainder come
+    from one widened multiply-divide (DECIMAL(38,0) on Spark, HUGEINT
+    on DuckDB: n_tok × budget can cross int64 once the corpus passes
+    ~8×10^12 tokens, so the widening is the 100 TB correctness rule,
+    not pedantry) — and the remainder ranking tie-breaks on the unique
+    source name, so the +1 winners are total-ordered on both engines.
+    The corpus reduces to O(#sources) rows in one partial+final
+    aggregate; the ranking window is GLOBAL but over that bounded
+    catalog-cardinality rollup (plan-gate allowlisted the same way as
+    the packing scan's level-2 pass).  NULL source / NULL text rows
+    cannot be attributed to a domain and are filtered (documented
+    totality rule).  tot > 0 whenever any row survives the filter
+    (a whitespace split never yields zero tokens), so the integer
+    division is total."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("text").isNotNull()
+    )
+    tok = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("n_tok")
+    )
+    tot = tok.agg(F.sum("n_tok").alias("tot"))
+    q = tok.crossJoin(tot).selectExpr(
+        "source",
+        "n_tok",
+        f"(CAST(n_tok AS DECIMAL(38,0)) * {_TOKEN_BUDGET})"
+        " div CAST(tot AS DECIMAL(38,0)) AS q",
+        f"(CAST(n_tok AS DECIMAL(38,0)) * {_TOKEN_BUDGET})"
+        " % CAST(tot AS DECIMAL(38,0)) AS rem",
+    )
+    w_rank = Window.orderBy(F.desc("rem"), F.asc("source"))
+    r = q.select(
+        "source",
+        "n_tok",
+        "q",
+        F.row_number().over(w_rank).alias("rn"),
+        F.sum("q").over(Window.partitionBy()).alias("qsum"),
+    )
+    alloc = F.col("q") + F.when(
+        F.col("rn") <= F.lit(_TOKEN_BUDGET) - F.col("qsum"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return r.select(
+        "source", "n_tok", alloc.cast("bigint").alias("alloc")
+    )

@@ -184,6 +184,11 @@ _FRONT = [
     "graph_triangle_count",  # new r7 - never driver-checked
     "events_cdc_apply",  # new r7 - never driver-checked
     "dedup_span_trim",  # new r7 - never driver-checked
+    "sql_recursive_cte",  # new r7 wave 2 - never driver-checked
+    "agg_time_weighted_avg",  # new r7 wave 2 - never driver-checked
+    "join_interval_overlap",  # new r7 wave 2 - never driver-checked
+    "window_skyline_pareto",  # new r7 wave 2 - never driver-checked
+    "corpus_domain_token_budget",  # new r7 wave 2 - never driver-checked
     "agg_promo_share",  # value changed r6 (2^53 floor) - driver evidence stale
     "filter_disjunctive",  # value changed r6 (2^53 floor) - driver evidence stale
     "join_nation_volume",  # value changed r6 (2^53 floor) - driver evidence stale
@@ -213,14 +218,14 @@ _FRONT = [
     "sample_uniform_per_stratum",  # last green r4
     "audit_referential_integrity",  # last green r4
     "fuzzy_match_blocked",  # last green r4
-    "agg_custdist",  # last green r4
-    "join_inactive_rich_customers",  # last green r4
-    "text_tfidf_topterms",  # last green r4
-    "text_quality_score",  # last green r4
-    "text_lang_profile",  # last green r4
     # (dedup_near_jaccard / sim_cosine_topk — r4-green, UNCHANGED —
     # yielded their slots to events_cdc_apply / dedup_span_trim;
     # rotate back in r8.)
+    # (agg_custdist / join_inactive_rich_customers / text_tfidf_topterms
+    # / text_quality_score / text_lang_profile — r4-green, UNCHANGED —
+    # yielded their staleness-refresh slots to the five wave-2 r7
+    # queries above, which have NO driver evidence yet and outrank any
+    # stale-but-green tier; rotate back in r8.)
     # (multimodal_binary_meta / udf_transformer / multimodal_features —
     # r4-green, UNCHANGED — yielded their staleness-refresh slots to the
     # three late-r7 queries above; they rotate back in r8.)

@@ -183,6 +183,7 @@ def test_no_cartesian_product_outside_declared_brute_force(spark, sf_dir):
         "text_unigram_logloss",  # one-row corpus-total scalar (LM norm)
         "text_heavy_hitters",  # one-row corpus-total scalar (threshold)
         "corpus_mixture_weights",  # one-row total+source-count scalar
+        "corpus_domain_token_budget",  # one-row corpus-total scalar
     }
     offenders = []
     for name in sorted(all_queries()):
@@ -211,10 +212,15 @@ def test_global_windows_only_on_bounded_inputs(spark, sf_dir):
     #       rollup: O(N/2^10) rows here, 2^20-wide buckets in
     #       production (queries/training.py _BUCKET_BITS note) — the
     #       bounded second pass of a textbook two-level prefix scan.
+    #   corpus_domain_token_budget  — largest-remainder ranking over
+    #       the O(#sources) per-domain rollup: global by definition
+    #       (one budget, one ranking) but bounded by catalog
+    #       cardinality, not corpus size (queries/training.py).
     allowed = {
         "events_daily_ma",
         "events_rolling_distinct_hll",
         "pack_context_windows",
+        "corpus_domain_token_budget",
     }
     # partition columns precede the ordering inside
     # windowspecdefinition(...); a sort direction in the FIRST argument
