@@ -1,6 +1,7 @@
-"""Advanced analytics operators (round 7, second wave): recursive-CTE
+"""Advanced analytics operators (round 7, waves 2-3): recursive-CTE
 hierarchy walk, time-weighted averaging, interval-overlap self-join,
-and per-group Pareto skyline.
+per-group Pareto skyline, RFM segmentation, ABC classification,
+Benford first-digit audit, exact dyadic EWMA, and KWIC concordance.
 
 These close the remaining "a relational engine should have this"
 surface beyond the reference's routing core (lib/kinesisHandler.js has
@@ -315,3 +316,412 @@ def window_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(
         F.col("min_larger").isNull() | (F.col("price") < F.col("min_larger"))
     ).select("p_brand", "p_size", "price", "n_parts")
+
+
+#: EWMA taps: 16 most-recent instants, dyadic weights 2^-1 .. 2^-16
+#: (newest first).  Powers of two so every product is EXACT integer
+#: arithmetic after the scale-4 fixed-point lift — no float summation
+#: order anywhere.
+_EWMA_TAPS = 16
+
+#: Concordance target term — a fixture-common token (~1k occurrences at
+#: sf0.01); a literal here, a parameter in production.
+_CONC_TERM = "join"
+
+_DAY_US = 86_400_000_000
+
+
+def _ewma_terms_sql() -> str:
+    terms = []
+    for j in range(_EWMA_TAPS):
+        src = "lvl_i" if j == 0 else f"LAG(lvl_i, {j}) OVER w"
+        terms.append(f"COALESCE({src}, 0) * {1 << (_EWMA_TAPS - 1 - j)}")
+    return " + ".join(terms)
+
+
+@query(
+    "agg_rfm_segmentation",
+    oracle="""
+    WITH cust_orders AS (
+      SELECT o_custkey, COUNT(*) AS freq,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS mon,
+             MAX(epoch_us(o_orderdate)) AS last_us
+      FROM orders WHERE o_custkey IS NOT NULL
+      GROUP BY 1
+    ),
+    anchor AS (SELECT MAX(epoch_us(o_orderdate)) AS anchor_us FROM orders),
+    base AS (
+      SELECT c.c_mktsegment, co.o_custkey AS custkey, co.freq, co.mon,
+             CASE WHEN co.last_us IS NOT NULL
+                  THEN (a.anchor_us - co.last_us) // 86400000000
+             END AS recency_days
+      FROM cust_orders co
+      JOIN customer c ON c.c_custkey = co.o_custkey, anchor a
+    ),
+    scored AS (
+      SELECT c_mktsegment, mon,
+             NTILE(5) OVER (PARTITION BY c_mktsegment
+               ORDER BY recency_days ASC NULLS LAST, custkey) AS r_score,
+             NTILE(5) OVER (PARTITION BY c_mktsegment
+               ORDER BY freq DESC NULLS LAST, custkey) AS f_score,
+             NTILE(5) OVER (PARTITION BY c_mktsegment
+               ORDER BY mon DESC NULLS LAST, custkey) AS m_score
+      FROM base
+    )
+    SELECT c_mktsegment,
+           CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(CAST(FLOOR(SUM(mon)) AS DECIMAL(38,0)) AS DOUBLE)
+             AS monetary
+    FROM scored
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every ordering customer scored 1–5 on Recency
+    (days since last order, vs the global latest order date), Frequency
+    (order count), and Monetary (exact decimal lifetime spend) by
+    quintile WITHIN their market segment, then rolled up to segment ×
+    (r,f,m) cells with population and floor-quantized spend — the
+    classic CRM cohort cube.
+
+    Plan: orders reduce to one row per customer (partial+final agg),
+    join the customer dim on the same key, and ONE exchange on
+    c_mktsegment serves all three ntile sorts AND the final rollup
+    (hash(c_mktsegment) satisfies the rollup's clustering — Catalyst
+    inserts no second exchange).  The global anchor date is a one-row
+    aggregate broadcast onto every row (declared scalar
+    nested-loop, the Q11/Q15 shape).  Quintile ties break on the
+    unique customer key, so each ntile's order is total; duplicated
+    customer rows (dup twin) are FULL duplicates, so any permutation
+    among them leaves the output multiset unchanged.  Recency is exact
+    integer microseconds floor-divided to days (anchor ≥ last order,
+    so truncation == floor on both engines).  At production quantile
+    scale you'd swap ntile for pre-computed quantile bounds; the
+    per-segment sort is the declared trade (window_ntile_percent
+    precedent).  NULL custkey orders can't be attributed (totality
+    filter); customers without orders are out of RFM scope by
+    definition."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    co = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(dec_t(F.col("o_totalprice"), "decimal(18,6)")).alias("mon"),
+        F.max(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        ).alias("last_us"),
+    )
+    anchor = table(spark, sf_dir, "orders").agg(
+        F.max(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        ).alias("anchor_us")
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = (
+        co.join(c, c.c_custkey == co.o_custkey)
+        .crossJoin(anchor)
+        .select(
+            "c_mktsegment",
+            F.col("o_custkey").alias("custkey"),
+            "freq",
+            "mon",
+            F.when(
+                F.col("last_us").isNotNull(),
+                F.expr("(anchor_us - last_us) div 86400000000"),
+            ).alias("recency_days"),
+        )
+    )
+    seg = Window.partitionBy("c_mktsegment")
+    r_w = seg.orderBy(
+        F.col("recency_days").asc_nulls_last(), F.col("custkey").asc()
+    )
+    f_w = seg.orderBy(
+        F.col("freq").desc_nulls_last(), F.col("custkey").asc()
+    )
+    m_w = seg.orderBy(F.col("mon").desc_nulls_last(), F.col("custkey").asc())
+    scored = base.select(
+        "c_mktsegment",
+        "mon",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+    return scored.groupBy(
+        "c_mktsegment", "r_score", "f_score", "m_score"
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.floor(F.sum("mon")).cast("decimal(38,0)").cast("double")
+        .alias("monetary"),
+    )
+
+
+@query(
+    "agg_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand, l.l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    run AS (
+      SELECT p_brand, rev,
+             CAST(FLOOR(SUM(rev) OVER (
+               PARTITION BY p_brand
+               ORDER BY rev DESC NULLS LAST, l_partkey
+             )) AS DECIMAL(30,0)) AS cum,
+             CAST(FLOOR(SUM(rev) OVER (PARTITION BY p_brand))
+                  AS DECIMAL(30,0)) AS tot
+      FROM rev
+    ),
+    cls AS (
+      SELECT p_brand, rev,
+             CASE WHEN 2 * cum <= tot THEN 'A'
+                  WHEN 5 * cum <= 4 * tot THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM run
+    )
+    SELECT p_brand, abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(CAST(FLOOR(SUM(rev)) AS DECIMAL(38,0)) AS DOUBLE)
+             AS class_revenue
+    FROM cls
+    GROUP BY 1, 2
+    """,
+)
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification per brand: rank each brand's parts
+    by discounted revenue, classify A while the running share stays ≤
+    50%, B ≤ 80%, C for the tail — the 80/20 inventory-curation
+    primitive, rolled up to (brand, class) with part counts and
+    floor-quantized class revenue.
+
+    The share thresholds are evaluated as exact integer
+    CROSS-MULTIPLIES (2·cum ≤ tot; 5·cum ≤ 4·tot) over whole-unit
+    FLOOR-quantized DECIMAL(30,0) sums — never a division, never a
+    float compare, deterministic on both engines at any magnitude
+    below ~10^29 per brand (a 100 TB corpus is ~10^16).  The running
+    sum's order (rev DESC, partkey) is total because the (brand, part)
+    rollup makes partkey unique per partition, and the whole-partition
+    total shares the same window clustering, so one exchange on
+    p_brand serves the revenue rollup's second stage, both windows,
+    and the final (brand, class) aggregate.  Unpriced parts (all-NULL
+    revenue) order NULLS LAST and classify C — the tail is where
+    unknown value belongs.  NULL brands can't be ranked (totality
+    filter); the part join drops NULL partkeys on both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isNotNull()
+    ).select("p_partkey", "p_brand")
+    ep = dec_t(F.col("l_extendedprice"), "decimal(18,6)")
+    disc = dec_t(F.col("l_discount"), "decimal(18,6)")
+    rev = (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum(ep * (F.lit(1) - disc)).alias("rev"))
+    )
+    w_run = Window.partitionBy("p_brand").orderBy(
+        F.col("rev").desc_nulls_last(), F.col("l_partkey").asc()
+    )
+    w_tot = Window.partitionBy("p_brand")
+    run = rev.select(
+        "p_brand",
+        "rev",
+        F.floor(F.sum("rev").over(w_run)).cast("decimal(30,0)").alias("cum"),
+        F.floor(F.sum("rev").over(w_tot)).cast("decimal(30,0)").alias("tot"),
+    )
+    cls = run.select(
+        "p_brand",
+        "rev",
+        F.when(F.lit(2) * F.col("cum") <= F.col("tot"), "A")
+        .when(F.lit(5) * F.col("cum") <= F.lit(4) * F.col("tot"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return cls.groupBy("p_brand", "abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.floor(F.sum("rev")).cast("decimal(38,0)").cast("double")
+        .alias("class_revenue"),
+    )
+
+
+@query(
+    "agg_benford_first_digit",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_totalprice >= 1 AND o_totalprice < 1e15
+        AND NOT isnan(o_totalprice)
+    ),
+    d AS (
+      SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+               AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM b GROUP BY 1
+    ),
+    t AS (SELECT SUM(n_orders) AS tot FROM d)
+    SELECT digit, n_orders,
+           CAST(n_orders AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+    FROM d, t
+    """,
+)
+def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit: the distribution of leading digits of
+    order totals — the classic fraud / synthetic-data screen (natural
+    multiplicative amounts follow log10(1+1/d); fabricated ones
+    usually don't).  Output: digit, count, observed share.
+
+    The leading digit is extracted EXACTLY: whole cents via one
+    deterministic IEEE multiply + FLOOR (never float formatting, which
+    engines render differently), then the first character of the
+    integer's decimal rendering — identical on both engines for any
+    positive int64.  The screen bounds (1 ≤ price < 10^15, non-NaN)
+    are the documented totality filter: they keep the cents cast
+    inside int64 under ANSI, and NaN — which BOTH engines order above
+    any threshold — would otherwise reach the cast and kill the job.
+    One partial+final aggregate to ≤ 9 rows; the share denominator is
+    a one-row aggregate broadcast back (declared scalar nested-loop).
+    Expected-vs-observed deviation is left to the consumer: log10 is
+    transcendental, out of the hash-checked surface by registry rule."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_totalprice") >= 1)
+        & (F.col("o_totalprice") < 1e15)
+        & ~F.isnan(F.col("o_totalprice"))
+    )
+    b = o.select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    d = b.groupBy(
+        F.substring(F.col("cents").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    t = d.agg(F.sum("n_orders").alias("tot"))
+    return d.crossJoin(t).select(
+        "digit",
+        "n_orders",
+        (F.col("n_orders").cast("double") / F.col("tot").cast("double"))
+        .alias("share"),
+    )
+
+
+@query(
+    "window_ewma_dyadic",
+    oracle=f"""
+    WITH lvl AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(SUM(CAST(value AS DECIMAL(12,4))) * 10000 AS BIGINT)
+               AS lvl_i
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id, ts
+    )
+    SELECT user_id, us,
+           CAST({{terms}} AS BIGINT) AS ewma_scaled,
+           CAST({{terms}} AS DOUBLE) / 65536.0 / 10000.0 AS ewma
+    FROM lvl
+    WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    """.format(terms=_ewma_terms_sql()),
+)
+def window_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user with dyadic
+    weights (α = 1/2 over the 16 most-recent instants: newest × 2⁻¹,
+    … oldest × 2⁻¹⁶) — the standard smoother for irregular event
+    streams, computed EXACTLY.
+
+    EWMA is normally iterative (y_t = αx_t + (1-α)y_{{t-1}}) and float
+    — order-dependent and engine-divergent.  The dyadic-tap form makes
+    it closed and integer: levels lift to scale-4 fixed point, each
+    tap multiplies by a power of two, and the 16-term sum stays in
+    int64 (|level| < 1.4×10¹⁰ currency units by the dec-cast bound ×
+    2¹⁶ − 1 taps).  The weighted sum surfaces both as the exact
+    integer and as a convenience double whose two divisions are a
+    power-of-two scale (exact) and one deterministic IEEE rounding.
+    Duplicate instants collapse first (exact decimal sum), so the ONE
+    window pass has a unique order key per user — the island-flake
+    class cannot occur; missing taps (stream warm-up) and undecodable
+    instants (all-NULL level) contribute zero via explicit COALESCE on
+    both engines.  One shuffle for the collapse, one for the per-user
+    window; all 16 lags share a single window sort."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    lvl = e.groupBy("user_id", "ts").agg(
+        (F.sum(dec_t(F.col("value"), "decimal(12,4)")) * F.lit(10000))
+        .cast("bigint")
+        .alias("lvl_i")
+    ).select("user_id", F.unix_micros("ts").alias("us"), "lvl_i")
+    w = Window.partitionBy("user_id").orderBy(F.asc("us"))
+    acc = None
+    for j in range(_EWMA_TAPS):
+        src = F.col("lvl_i") if j == 0 else F.lag("lvl_i", j).over(w)
+        term = F.coalesce(src, F.lit(0)) * F.lit(1 << (_EWMA_TAPS - 1 - j))
+        acc = term if acc is None else acc + term
+    return lvl.select(
+        "user_id",
+        "us",
+        acc.cast("bigint").alias("ewma_scaled"),
+        (acc.cast("double") / F.lit(65536.0) / F.lit(10000.0)).alias("ewma"),
+    )
+
+
+@query(
+    "text_concordance",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    p AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos FROM d
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           COALESCE(array_to_string(t[GREATEST(pos - 3, 1):pos - 1], ' '),
+                    '') AS left_ctx,
+           COALESCE(array_to_string(t[pos + 1:LEAST(pos + 3, len(t))], ' '),
+                    '') AS right_ctx
+    FROM p
+    WHERE t[pos] = '{_CONC_TERM}'
+    """,
+)
+def text_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context (KWIC) concordance: every occurrence of the
+    target term across the corpus with its ±3-token context windows —
+    the corpus-linguistics / grep-with-context primitive an annotation
+    or red-teaming pipeline runs before editing a term out.
+
+    Shuffle-FREE: scan → tokenize → positional explode → filter →
+    row-local slicing; output is linear in term occurrences, each row
+    carrying ≤ 6 context tokens regardless of document length (a
+    hostile 100 MB document costs its occurrence count, never its
+    size, past the explode).  Context boundaries clamp at document
+    edges with explicit GREATEST/LEAST arithmetic — identical
+    truncation on both engines, and boundary-empty contexts normalize
+    to '' (Spark's zero-length slice and DuckDB's NULL-ish edge slice
+    disagree on the raw value, so the oracle pins COALESCE).  NULL
+    identity / NULL text rows can't anchor a citation (documented
+    totality filter)."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    t = d.select("doc_id", F.split("text", " ").alias("t"))
+    e = t.select(
+        "doc_id", "t", F.posexplode("t").alias("pos0", "tok")
+    ).filter(F.col("tok") == _CONC_TERM)
+    pos1 = F.col("pos0") + 1
+    lstart = F.greatest(pos1 - 3, F.lit(1))
+    left = F.slice(F.col("t"), lstart, pos1 - lstart)
+    right = F.slice(
+        F.col("t"), pos1 + 1, F.least(F.lit(3), F.size("t") - pos1)
+    )
+    return e.select(
+        "doc_id",
+        pos1.cast("bigint").alias("pos"),
+        F.array_join(left, " ").alias("left_ctx"),
+        F.array_join(right, " ").alias("right_ctx"),
+    )

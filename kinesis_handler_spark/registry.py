@@ -189,6 +189,11 @@ _FRONT = [
     "join_interval_overlap",  # new r7 wave 2 - never driver-checked
     "window_skyline_pareto",  # new r7 wave 2 - never driver-checked
     "corpus_domain_token_budget",  # new r7 wave 2 - never driver-checked
+    "agg_rfm_segmentation",  # new r7 wave 3 - never driver-checked
+    "agg_abc_classification",  # new r7 wave 3 - never driver-checked
+    "agg_benford_first_digit",  # new r7 wave 3 - never driver-checked
+    "window_ewma_dyadic",  # new r7 wave 3 - never driver-checked
+    "text_concordance",  # new r7 wave 3 - never driver-checked
     "agg_promo_share",  # value changed r6 (2^53 floor) - driver evidence stale
     "filter_disjunctive",  # value changed r6 (2^53 floor) - driver evidence stale
     "join_nation_volume",  # value changed r6 (2^53 floor) - driver evidence stale
@@ -207,11 +212,10 @@ _FRONT = [
     "agg_percentiles",  # last green r3
     "agg_string_concat",  # last green r3
     "window_ntile_percent",  # last green r3
-    "reshape_unpivot",  # last green r3
-    "agg_histogram",  # last green r3
-    "window_time_slide",  # last green r3
-    "window_rank_topn",  # last green r3
-    "topk_per_group",  # last green r3
+    # (reshape_unpivot / agg_histogram / window_time_slide /
+    # window_rank_topn / topk_per_group — r3-green, UNCHANGED — yielded
+    # their staleness-refresh slots to the five wave-3 r7 queries
+    # above (never-checked outranks stale-but-green); rotate back r8.)
     "join_returns_by_customer",  # last green r4
     "agg_late_shipment_priority",  # last green r4
     "events_daily_ma",  # last green r4

@@ -168,3 +168,126 @@ def test_token_budget_apportions_exactly(spark, sf_dir):
         # proportional quota by strictly less than one whole unit
         exact = r.n_tok * budget / total
         assert exact - 1 < r.alloc < exact + 1, (r, exact)
+
+
+def test_rfm_scores_partition_population(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    rows = _rows(spark, sf_dir, "agg_rfm_segmentation")
+    assert rows
+    for r in rows:
+        assert 1 <= r.r_score <= 5
+        assert 1 <= r.f_score <= 5
+        assert 1 <= r.m_score <= 5
+        assert r.n_customers >= 1
+    # population: every customer with >=1 attributable order is scored
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    c = table(spark, sf_dir, "customer")
+    expected = (
+        o.select("o_custkey")
+        .distinct()
+        .join(c, c.c_custkey == F.col("o_custkey"))
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == expected
+
+
+def test_abc_classes_respect_share_boundaries(spark, sf_dir):
+    from collections import defaultdict
+
+    rows = _rows(spark, sf_dir, "agg_abc_classification")
+    assert rows
+    brands = defaultdict(dict)
+    for r in rows:
+        assert r.abc_class in ("A", "B", "C")
+        brands[r.p_brand][r.abc_class] = r
+    for b, cls in brands.items():
+        tot = sum(r.class_revenue for r in cls.values())
+        if tot <= 0:
+            continue
+        # A alone never exceeds half the brand (the defining bound:
+        # the last A part still had 2*cum <= tot); one part can
+        # straddle, so allow the first B/C part's worth of slack is
+        # NOT needed on the A side — the bound is exact by definition.
+        if "A" in cls:
+            assert cls["A"].class_revenue <= tot / 2 + 1
+        if "A" in cls and "B" in cls:
+            ab = cls["A"].class_revenue + cls["B"].class_revenue
+            assert ab <= 0.8 * tot + 1
+
+
+def test_benford_shares_sum_to_one(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "agg_benford_first_digit")
+    assert rows
+    assert all(1 <= r.digit <= 9 for r in rows)
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    total = sum(r.n_orders for r in rows)
+    for r in rows:
+        assert abs(r.share - r.n_orders / total) < 1e-12
+
+
+def test_ewma_matches_python_integer_fold(spark, sf_dir):
+    from collections import defaultdict
+    from decimal import Decimal
+
+    import pyspark.sql.functions as F
+
+    # recompute the exact integer EWMA for every user from raw events
+    lv = defaultdict(dict)
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id", "ts")
+        .agg(F.sum(F.col("value").cast("decimal(12,4)")).alias("lvl"))
+        .select("user_id", F.unix_micros("ts").alias("us"), "lvl")
+        .collect()
+    )
+    for r in e:
+        lv[r.user_id][r.us] = (
+            None if r.lvl is None else int(Decimal(r.lvl) * 10000)
+        )
+    got = _rows(spark, sf_dir, "window_ewma_dyadic")
+    by_user = defaultdict(dict)
+    for r in got:
+        by_user[r.user_id][r.us] = r
+    for user, seq in lv.items():
+        order = sorted(seq)
+        for i, us in enumerate(order):
+            expect = 0
+            for j in range(16):
+                if i - j < 0:
+                    break
+                v = seq[order[i - j]]
+                expect += (v or 0) * (1 << (15 - j))
+            row = by_user[user][us]
+            assert row.ewma_scaled == expect
+            assert row.ewma == expect / 65536.0 / 10000.0
+
+
+def test_concordance_contexts_reconstruct(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .collect()
+    }
+    rows = _rows(spark, sf_dir, "text_concordance")
+    assert rows
+    seen = set()
+    for r in rows:
+        toks = docs[r.doc_id]
+        i = r.pos - 1  # 0-based
+        assert toks[i] == "join"
+        assert r.left_ctx == " ".join(toks[max(0, i - 3):i])
+        assert r.right_ctx == " ".join(toks[i + 1:i + 4])
+        seen.add((r.doc_id, r.pos))
+    # completeness: every occurrence is cited exactly once
+    expect = {
+        (d, i + 1)
+        for d, toks in docs.items()
+        for i, t in enumerate(toks)
+        if t == "join"
+    }
+    assert seen == expect

@@ -184,6 +184,8 @@ def test_no_cartesian_product_outside_declared_brute_force(spark, sf_dir):
         "text_heavy_hitters",  # one-row corpus-total scalar (threshold)
         "corpus_mixture_weights",  # one-row total+source-count scalar
         "corpus_domain_token_budget",  # one-row corpus-total scalar
+        "agg_rfm_segmentation",  # one-row global-anchor-date scalar
+        "agg_benford_first_digit",  # one-row digit-total scalar
     }
     offenders = []
     for name in sorted(all_queries()):
