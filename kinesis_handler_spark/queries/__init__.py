@@ -29,7 +29,9 @@ Module map (mirrors SURVEY.md §2.B sections):
 * :mod:`graph_q`     — graph analytics over relational edge lists
                        (fixed-point PageRank)
 * :mod:`analytics`   — recursive-CTE hierarchy walk, time-weighted
-                       average, interval-overlap join, Pareto skyline
+                       average, interval-overlap join, Pareto skyline,
+                       RFM segmentation, ABC classes, Benford audit,
+                       exact dyadic EWMA, KWIC concordance
 """
 
 from kinesis_handler_spark.queries import (  # noqa: F401
