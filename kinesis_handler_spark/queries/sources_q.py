@@ -64,6 +64,8 @@ def _materialize(
         writer = df.write.mode("overwrite")
         if fmt == "csv":
             writer = writer.option("header", "true")
+        if fmt == "xml":
+            writer = writer.option("rowTag", "ROW")
         if partition_by is not None:
             writer = writer.partitionBy(partition_by)
         writer.format(fmt).save(str(tmp))
@@ -395,4 +397,59 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_spent"),
         )
+    )
+
+
+_SUPPLIER_SCHEMA = T.StructType(
+    [
+        T.StructField("s_suppkey", T.LongType()),
+        T.StructField("s_name", T.StringType()),
+        T.StructField("s_nationkey", T.IntegerType()),
+        T.StructField("s_acctbal", T.DoubleType()),
+    ]
+)
+
+
+@query(
+    "source_xml_scan",
+    oracle="""
+    SELECT s_nationkey,
+           COUNT(*) AS n,
+           COUNT(s_name) AS n_named,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_bal
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def source_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source connector (Spark 4 native, SPARK-44265): supplier
+    round-tripped parquet->XML->DataFrame with an explicit schema, then
+    aggregated per nation against the parquet-backed oracle.  XML is
+    the interchange format of the B2B/ERP systems most likely to feed
+    a routing engine like the reference's; Spark 4 folds the
+    spark-xml package into the core, so the connector needs no extra
+    deployment (unlike avro, whose module is not shipped in this
+    environment -- documented env-blocked, same class as the Kinesis
+    jar).  The writer escapes markup entities and omits NULL fields;
+    the schema-first reader restores omitted elements as NULL, so the
+    round-trip is value-exact including doubles (shortest
+    round-trippable rendering, the CSV/JSON argument).  Like all text
+    sources: explicit schema (inference is a banned extra pass),
+    partition-pruning-only pushdown, map-side-combine aggregate so the
+    scan dominates."""
+    sup = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    path = _materialize(sup, sf_dir, "supplier_xml", "xml")
+    df = (
+        spark.read.schema(_SUPPLIER_SCHEMA)
+        .option("rowTag", "ROW")
+        .format("xml")
+        .load(path)
+    )
+    return df.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("s_name").alias("n_named"),
+        dec_sum("s_acctbal").alias("total_bal"),
     )

@@ -194,6 +194,7 @@ _FRONT = [
     "agg_benford_first_digit",  # new r7 wave 3 - never driver-checked
     "window_ewma_dyadic",  # new r7 wave 3 - never driver-checked
     "text_concordance",  # new r7 wave 3 - never driver-checked
+    "source_xml_scan",  # new r7 wave 3 (Spark 4 native XML) - never driver-checked
     "agg_promo_share",  # value changed r6 (2^53 floor) - driver evidence stale
     "filter_disjunctive",  # value changed r6 (2^53 floor) - driver evidence stale
     "join_nation_volume",  # value changed r6 (2^53 floor) - driver evidence stale
@@ -221,7 +222,8 @@ _FRONT = [
     "events_daily_ma",  # last green r4
     "sample_uniform_per_stratum",  # last green r4
     "audit_referential_integrity",  # last green r4
-    "fuzzy_match_blocked",  # last green r4
+    # (fuzzy_match_blocked — r4-green, UNCHANGED — yielded its
+    # staleness-refresh slot to source_xml_scan; rotate back r8.)
     # (dedup_near_jaccard / sim_cosine_topk — r4-green, UNCHANGED —
     # yielded their slots to events_cdc_apply / dedup_span_trim;
     # rotate back in r8.)
