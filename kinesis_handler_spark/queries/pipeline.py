@@ -551,3 +551,136 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("bigint").alias("n_tokens"),
     )
+
+
+_FUNNEL_STAGES = ["all", "non_null", "lang", "min_length", "exact_dedup"]
+
+_FUNNEL_BASE_SQL = """
+  WITH base AS (
+    SELECT doc_id, text,
+           CASE WHEN text IS NOT NULL
+                THEN CAST(len(string_split(text, ' ')) AS BIGINT)
+                ELSE 0 END AS n_tok,
+           (text IS NOT NULL AND doc_id IS NOT NULL) AS s1,
+           (text IS NOT NULL AND doc_id IS NOT NULL
+            AND COALESCE(lang IN ('en', 'de'), FALSE)) AS s2
+    FROM documents
+  ),
+  flagged AS (
+    SELECT doc_id, text, n_tok, s1, s2, (s2 AND n_tok >= 20) AS s3
+    FROM base
+  ),
+  staged AS (
+    SELECT n_tok,
+           CASE WHEN ROW_NUMBER() OVER (PARTITION BY text
+                                        ORDER BY doc_id) = 1
+                THEN 4 ELSE 3 END AS ms
+    FROM flagged WHERE s3
+    UNION ALL
+    SELECT n_tok,
+           CASE WHEN s2 THEN 2 WHEN s1 THEN 1 ELSE 0 END AS ms
+    FROM flagged WHERE NOT s3
+  ),
+  agg AS (
+    SELECT {cols} FROM staged
+  )
+"""
+
+
+def _funnel_oracle() -> str:
+    cols = ", ".join(
+        f"CAST(SUM(CASE WHEN ms >= {k} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS d{k}, "
+        f"CAST(COALESCE(SUM(CASE WHEN ms >= {k} THEN n_tok END), 0)"
+        f" AS BIGINT) AS t{k}"
+        for k in range(5)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {k} AS stage, '{name}' AS stage_name,"
+        f" d{k} AS n_docs, t{k} AS n_tokens FROM agg"
+        for k, name in enumerate(_FUNNEL_STAGES)
+    )
+    return _FUNNEL_BASE_SQL.format(cols=cols) + rows
+
+
+@query("pipeline_filter_funnel", oracle=_funnel_oracle())
+def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel attrition report: how many documents (and tokens)
+    survive each stage of the standard corpus-hygiene cascade — all →
+    non-NULL identity/text → language whitelist → minimum length →
+    exact-text dedup (keep lowest doc_id).  ``pipeline_corpus_prep``
+    EMITS the surviving corpus; this op emits the per-stage ATTRITION
+    the pipeline owner actually charts — the first artifact any
+    data-curation review asks for, and the regression alarm when a
+    crawler change silently halves a language.
+
+    One scan computes every cumulative stage flag row-locally; the only
+    shuffle before the final aggregate is the dedup ROW_NUMBER over
+    exact text (partitioned by text — corpus-parallel, and full-row
+    duplicates permute harmlessly because either copy surviving yields
+    the same counts).  The 5-stage rollup reduces map-side to one row
+    of 10 counters and UNPIVOTS via UNION ALL (the melt rule: DuckDB's
+    UNPIVOT drops NULL cells).  NULL lang is explicitly COALESCEd into
+    "fails the whitelist" on both engines — NULL ∧ TRUE is NULL, and a
+    NULL stage flag would silently vanish from a CASE cascade.  Token
+    counts for undecodable (NULL-text) docs are 0, not NULL, so stage
+    sums stay total."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = (
+        F.when(
+            F.col("text").isNotNull(),
+            F.size(F.split("text", " ")).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("n_tok")
+    )
+    s1 = F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    s2 = s1 & F.coalesce(
+        F.col("lang").isin("en", "de"), F.lit(False)
+    )
+    base = d.select("doc_id", "text", n_tok, s1.alias("s1"), s2.alias("s2"))
+    flagged = base.withColumn(
+        "s3", F.col("s2") & (F.col("n_tok") >= 20)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("text").orderBy(F.asc("doc_id"))
+    )
+    a = (
+        flagged.filter(F.col("s3"))
+        .select("n_tok", F.when(rn == 1, 4).otherwise(3).alias("ms"))
+    )
+    b = flagged.filter(~F.col("s3")).select(
+        "n_tok",
+        F.when(F.col("s2"), 2).when(F.col("s1"), 1).otherwise(0).alias("ms"),
+    )
+    staged = a.unionAll(b)
+    aggs = []
+    for k in range(5):
+        hit = F.col("ms") >= k
+        aggs.append(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias(f"d{k}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(hit, F.col("n_tok"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"t{k}")
+        )
+    one = staged.agg(*aggs)
+    # melt the one counter row by exploding an inline struct array —
+    # a UNION ALL of five selects over `one` would recompute the scan
+    # + window + aggregate five times (verified: 10 FileScans in that
+    # plan); the explode keeps exactly one pass
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("stage"),
+                F.lit(name).alias("stage_name"),
+                F.col(f"d{k}").alias("n_docs"),
+                F.col(f"t{k}").alias("n_tokens"),
+            )
+            for k, name in enumerate(_FUNNEL_STAGES)
+        ]
+    )
+    return one.select(F.explode(stages).alias("r")).select(
+        "r.stage", "r.stage_name", "r.n_docs", "r.n_tokens"
+    )

@@ -195,6 +195,7 @@ _FRONT = [
     "window_ewma_dyadic",  # new r7 wave 3 - never driver-checked
     "text_concordance",  # new r7 wave 3 - never driver-checked
     "source_xml_scan",  # new r7 wave 3 (Spark 4 native XML) - never driver-checked
+    "pipeline_filter_funnel",  # new r7 wave 3 - never driver-checked
     "agg_promo_share",  # value changed r6 (2^53 floor) - driver evidence stale
     "filter_disjunctive",  # value changed r6 (2^53 floor) - driver evidence stale
     "join_nation_volume",  # value changed r6 (2^53 floor) - driver evidence stale
@@ -217,7 +218,8 @@ _FRONT = [
     # window_rank_topn / topk_per_group — r3-green, UNCHANGED — yielded
     # their staleness-refresh slots to the five wave-3 r7 queries
     # above (never-checked outranks stale-but-green); rotate back r8.)
-    "join_returns_by_customer",  # last green r4
+    # (join_returns_by_customer — r4-green, UNCHANGED — yielded its
+    # staleness-refresh slot to pipeline_filter_funnel; rotate back r8.)
     "agg_late_shipment_priority",  # last green r4
     "events_daily_ma",  # last green r4
     "sample_uniform_per_stratum",  # last green r4

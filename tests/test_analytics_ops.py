@@ -291,3 +291,26 @@ def test_concordance_contexts_reconstruct(spark, sf_dir):
         if t == "join"
     }
     assert seen == expect
+
+
+def test_filter_funnel_is_monotone_and_exact(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    rows = {r.stage: r for r in _rows(spark, sf_dir, "pipeline_filter_funnel")}
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    for k in range(1, 5):
+        assert rows[k].n_docs <= rows[k - 1].n_docs
+        assert rows[k].n_tokens <= rows[k - 1].n_tokens
+    d = table(spark, sf_dir, "documents")
+    assert rows[0].n_docs == d.count()
+    # stage 4 = distinct texts among stage-3 survivors
+    surv = (
+        d.filter(
+            F.col("text").isNotNull()
+            & F.col("doc_id").isNotNull()
+            & F.col("lang").isin("en", "de")
+            & (F.size(F.split("text", " ")) >= 20)
+        )
+    )
+    assert rows[3].n_docs == surv.count()
+    assert rows[4].n_docs == surv.select("text").distinct().count()
