@@ -153,101 +153,67 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   2. oracle-backed queries by last-green round ascending (stalest first);
 #   3. rows-only queries never occupy a verdict slot (no hash check).
 # Everything past _FRONT follows in registration order via _driver_order.
-# Round-7 rotation (VERDICT.md r6 "Next round" item 2): head slots go to
-# the 9 queries whose VALUES changed in the round-6 2^53 floor-
-# quantization but whose green driver rows predate the change (judge
-# re-verified all 9 locally; driver-side evidence still needed), then
-# dedup_simhash (rows-only, plan re-banded r6 — same one-time exception
-# to rule 3 as r5/r6, per the verdict's explicit ask for fresh rows
-# evidence), then the 3 gaps-and-islands queries whose ORACLE SQL was
-# rewritten this round (rn-anchored total order, duplicate-row-proof —
-# the driver runs our oracle, so the new SQL deserves a driver pass).
-# Remaining 37 slots: the 10 r3-stale fillers displaced in r6, then the
-# r4-stale tier in rotate_tiers order.  Rotated OUT (fresh r6 evidence
-# in CORRECTNESS_r06.json): the 5 never-checked head entries and the 10
-# r6-changed tail entries.
+# Round-8 rotation (VERDICT.md r7 "Next round" item 2): CORRECTNESS_r07
+# came back 50/50 clean, so the entire r7 never-checked tier is now
+# green and yields its slots.  This block is the unedited output of
+# ``tools/rotate_tiers.py --write`` — pure stalest-first, capped at
+# exactly 50 (the r7 front held 56 by hand-editing; the driver only
+# checks 50, so the overflow is gone per ADVICE.md).  It delivers every
+# rotation promised in the r7 comments: all 17 r3/r4-green UNCHANGED
+# queries that yielded their slots to the r7 waves are back in the top
+# 22, followed by the rest of the r4 tier and the oldest r5 greens —
+# after this round no oracle-backed query has pre-r5 evidence.
 _FRONT = [
-    # rule 1 (never-checked first): the six round-7 operators
-    # (queries/training.py assembly ops, embed_pca, tokenizer_bpe_train)
-    # have no driver evidence in any round — they outrank every
-    # stale-green tier.  embed_pca and tokenizer_bpe_train are rows-only
-    # (iterative eigen/merge algorithms, no SQL oracle exists) and take
-    # the same one-time never-checked exception dedup_simhash uses.
-    "pack_context_windows",  # new r7 - never driver-checked
-    "corpus_mixture_weights",  # new r7 - never driver-checked
-    "dedup_span_exact",  # new r7 - never driver-checked
-    "pack_greedy_bins",  # new r7 - never driver-checked
-    "embed_pca",  # new r7, rows-only - never driver-checked
-    "tokenizer_bpe_train",  # new r7, rows-only - never driver-checked
-    "graph_pagerank",  # new r7 - never driver-checked
-    "corpus_inverted_index",  # new r7 - never driver-checked
-    "graph_triangle_count",  # new r7 - never driver-checked
-    "events_cdc_apply",  # new r7 - never driver-checked
-    "dedup_span_trim",  # new r7 - never driver-checked
-    "sql_recursive_cte",  # new r7 wave 2 - never driver-checked
-    "agg_time_weighted_avg",  # new r7 wave 2 - never driver-checked
-    "join_interval_overlap",  # new r7 wave 2 - never driver-checked
-    "window_skyline_pareto",  # new r7 wave 2 - never driver-checked
-    "corpus_domain_token_budget",  # new r7 wave 2 - never driver-checked
-    "agg_rfm_segmentation",  # new r7 wave 3 - never driver-checked
-    "agg_abc_classification",  # new r7 wave 3 - never driver-checked
-    "agg_benford_first_digit",  # new r7 wave 3 - never driver-checked
-    "window_ewma_dyadic",  # new r7 wave 3 - never driver-checked
-    "text_concordance",  # new r7 wave 3 - never driver-checked
-    "source_xml_scan",  # new r7 wave 3 (Spark 4 native XML) - never driver-checked
-    "pipeline_filter_funnel",  # new r7 wave 3 - never driver-checked
-    "agg_promo_share",  # value changed r6 (2^53 floor) - driver evidence stale
-    "filter_disjunctive",  # value changed r6 (2^53 floor) - driver evidence stale
-    "join_nation_volume",  # value changed r6 (2^53 floor) - driver evidence stale
-    "join_multi_star",  # value changed r6 (2^53 floor) - driver evidence stale
-    "sql_scan_agg_q6",  # value changed r6 (2^53 floor) - driver evidence stale
-    "join_market_share",  # value changed r6 (2^53 floor) - driver evidence stale
-    "agg_profit_by_nation_year",  # value changed r6 (2^53 floor) - driver evidence stale
-    "agg_small_qty_revenue",  # value changed r6 (2^53 floor) - driver evidence stale
-    "agg_corr_regression",  # value changed r6 (2^53 floor) - driver evidence stale
-    "dedup_simhash",  # rows-only; plan re-banded r6 - one-time fresh-rows evidence
-    "scd2_intervals",  # oracle rewritten r7 (rn total order) - re-verify
-    "sessionize_gap",  # oracle rewritten r7 (rn total order) - re-verify
-    "window_session_batch",  # oracle rewritten r7 (rn total order) - re-verify
-    "source_json_scan",  # last green r3
-    "agg_stats_moments",  # last green r3
-    "agg_percentiles",  # last green r3
-    "agg_string_concat",  # last green r3
-    "window_ntile_percent",  # last green r3
-    # (reshape_unpivot / agg_histogram / window_time_slide /
-    # window_rank_topn / topk_per_group — r3-green, UNCHANGED — yielded
-    # their staleness-refresh slots to the five wave-3 r7 queries
-    # above (never-checked outranks stale-but-green); rotate back r8.)
-    # (join_returns_by_customer — r4-green, UNCHANGED — yielded its
-    # staleness-refresh slot to pipeline_filter_funnel; rotate back r8.)
-    "agg_late_shipment_priority",  # last green r4
-    "events_daily_ma",  # last green r4
-    "sample_uniform_per_stratum",  # last green r4
-    "audit_referential_integrity",  # last green r4
-    # (fuzzy_match_blocked — r4-green, UNCHANGED — yielded its
-    # staleness-refresh slot to source_xml_scan; rotate back r8.)
-    # (dedup_near_jaccard / sim_cosine_topk — r4-green, UNCHANGED —
-    # yielded their slots to events_cdc_apply / dedup_span_trim;
-    # rotate back in r8.)
-    # (agg_custdist / join_inactive_rich_customers / text_tfidf_topterms
-    # / text_quality_score / text_lang_profile — r4-green, UNCHANGED —
-    # yielded their staleness-refresh slots to the five wave-2 r7
-    # queries above, which have NO driver evidence yet and outrank any
-    # stale-but-green tier; rotate back in r8.)
-    # (multimodal_binary_meta / udf_transformer / multimodal_features —
-    # r4-green, UNCHANGED — yielded their staleness-refresh slots to the
-    # three late-r7 queries above; they rotate back in r8.)
-    "scalar_bitwise",  # r7: HUGEINT wrap oracle - fresh oracle evidence
-    "scalar_map_json",  # r7: typed-map contract - k_value now BIGINT
-    "events_gapfill_interpolate",  # r7: O(n) running-frame rewrite - fresh plan evidence
-    "scalar_date",  # r7: due_date NULL-on-overflow + NTZ month start - outputs re-typed
-    "json_extract_props",  # r7: try_cast total contract - k now BIGINT
+    "reshape_unpivot",  # last green r3
+    "agg_histogram",  # last green r3
+    "window_time_slide",  # last green r3
+    "window_rank_topn",  # last green r3
+    "topk_per_group",  # last green r3
     "multimodal_header_parse",  # last green r4
     "multimodal_decode_bmp",  # last green r4
     "multimodal_decode_wav",  # last green r4
     "sample_hash_stratified",  # last green r4
     "events_anomaly_zscore",  # last green r4
     "pipeline_corpus_prep",  # last green r4
+    "join_returns_by_customer",  # last green r4
+    "fuzzy_match_blocked",  # last green r4
+    "agg_custdist",  # last green r4
+    "join_inactive_rich_customers",  # last green r4
+    "text_tfidf_topterms",  # last green r4
+    "text_quality_score",  # last green r4
+    "text_lang_profile",  # last green r4
+    "dedup_near_jaccard",  # last green r4
+    "sim_cosine_topk",  # last green r4
+    "multimodal_binary_meta",  # last green r4
+    "udf_transformer",  # last green r4
+    "udaf_grouped_pandas",  # last green r4
+    "multimodal_features",  # last green r4
+    "embed_quantize",  # last green r4
+    "embed_random_projection",  # last green r4
+    "text_chunk_overlap",  # last green r4
+    "text_repetition_ratio",  # last green r4
+    "join_agg_topk",  # last green r4
+    "agg_having_join_back",  # last green r4
+    "sql_window_topn",  # last green r4
+    "scalar_regex_redact",  # last green r4
+    "set_except_all",  # last green r4
+    "source_orc_scan",  # last green r4
+    "source_range_spine",  # last green r4
+    "agg_min_max_by",  # last green r4
+    "agg_bool_conditional",  # last green r4
+    "window_range_interval",  # last green r4
+    "events_funnel",  # last green r4
+    "events_retention",  # last green r4
+    "text_token_bpe",  # last green r5
+    "contamination_ngram_overlap",  # last green r5
+    "text_entropy",  # last green r5
+    "text_unigram_logloss",  # last green r5
+    "agg_median_mode",  # last green r5
+    "join_scalar_subquery",  # last green r5
+    "text_ngram_bigrams",  # last green r5
+    "embed_vector_stats",  # last green r5
+    "dedup_keep_latest",  # last green r5
+    "dedup_embedding_cosine",  # last green r5
 ]
 
 
