@@ -114,14 +114,33 @@ def compact_line(result: dict) -> str:
     return json.dumps(out, separators=(",", ":"))
 
 
+def default_artifact(sf) -> str:
+    """Artifact filename derived from the ACTUAL scale factor, so a run at
+    sf1.0 can never clobber the sf0.1 baseline (r7 verdict item 5):
+    sf0.1 (the driver's per-round default) keeps the historical
+    ``BENCH_LOCAL.json`` name; any other sf writes ``BENCH_SF<sf>.json``
+    with a trailing ``.0`` dropped (sf1.0 -> BENCH_SF1.json)."""
+    label = str(sf)
+    if label == "0.1":
+        return "BENCH_LOCAL.json"
+    if label.endswith(".0"):
+        label = label[:-2]
+    return f"BENCH_SF{label}.json"
+
+
 if __name__ == "__main__":
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
     result = run_bench(sf_dir)
     # Persist the full artifact locally: the driver captures only the tail
     # of stdout, which truncated round 4's record at 73/126 queries. The
     # repo copy is the durable per-query baseline.
     out_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT", os.path.join(_REPO_DIR, "BENCH_LOCAL.json")
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(_REPO_DIR, default_artifact(result["sf"])),
     )
     try:
         with open(out_path, "w") as fh:

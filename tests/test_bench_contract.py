@@ -65,6 +65,18 @@ def test_verbose_line_still_first_contract():
     assert set(full["queries"]) == set(all_queries())
 
 
+def test_artifact_name_derives_from_actual_sf():
+    # r7 verdict item 5: a bench run at sf1.0 must never clobber the
+    # sf0.1 baseline artifact — the filename is keyed by the actual sf.
+    from bench import default_artifact
+
+    assert default_artifact(0.1) == "BENCH_LOCAL.json"
+    assert default_artifact(1.0) == "BENCH_SF1.json"
+    assert default_artifact(0.01) == "BENCH_SF0.01.json"
+    assert default_artifact(0.001) == "BENCH_SF0.001.json"
+    assert default_artifact(0.1) != default_artifact(1.0)
+
+
 def test_equal_count_name_divergence_is_detected():
     # ADVICE r6: a rename (or one query added + one removed) keeps the
     # count equal, so the old alignment check passed while every timing
