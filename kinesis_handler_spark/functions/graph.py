@@ -23,15 +23,18 @@ Round body:
 Fixpoint: the edge set is a union of stars centered at each
 component's minimum node; detected by an order-insensitive frame
 fingerprint (count + xxhash64 sum) going stable.  Every iteration
-materializes via ``localCheckpoint`` so lineage stays O(1) deep —
-the same per-round truncation discipline as the label-propagation
-path.
+materializes via ``lineage.truncate`` — reliable ``checkpoint`` when
+the session configured a checkpoint dir, ``localCheckpoint`` otherwise
+— so lineage stays O(1) deep; the same per-round truncation
+discipline as the label-propagation path.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from kinesis_handler_spark.functions.lineage import truncate
 
 
 def _fingerprint(edges: DataFrame) -> tuple[int, int]:
@@ -101,17 +104,17 @@ def star_connected_components(
         edges.select(F.col("u").alias("doc_id"))
         .union(edges.select(F.col("v").alias("doc_id")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(truncate)
     )
     cur = (
         edges.filter(F.col("u") != F.col("v"))
         .select("u", "v")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(truncate)
     )
     prev_fp = _fingerprint(cur)
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+        nxt = _small_star(_large_star(cur)).transform(truncate)
         fp = _fingerprint(nxt)
         cur = nxt
         if fp == prev_fp:

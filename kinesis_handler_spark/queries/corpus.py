@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from kinesis_handler_spark.functions.lineage import truncate
 from kinesis_handler_spark.functions.text import normalize_text, word_ngrams
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
@@ -122,7 +123,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # the shingle table feeds both the benchmark and corpus sides —
         # materialize once instead of re-running explode+distinct twice
-        .localCheckpoint(eager=False)
+        .transform(truncate)
     )
     bench = (
         sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()

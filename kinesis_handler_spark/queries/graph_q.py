@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_handler_spark.functions.lineage import truncate
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
 
@@ -69,15 +70,16 @@ def pagerank_fixed_point(
     Every round joins the node-sized rank frame into the stationary
     degree-annotated edge frame and aggregates contributions back to
     node-sized — shuffle volume per round is O(|E|) with partial
-    aggregation, and ``localCheckpoint`` keeps the logical plan O(1)
+    aggregation, and ``lineage.truncate`` (reliable checkpoint when a
+    checkpoint dir is set) keeps the logical plan O(1)
     deep across rounds (same discipline as
     ``functions/graph.star_connected_components``)."""
     deg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).cast("bigint").alias("out_deg"))
-        .localCheckpoint(eager=False)
+        .transform(truncate)
     )
-    e = edges.join(deg, "src").localCheckpoint(eager=False)
+    e = edges.join(deg, "src").transform(truncate)
     ranks = deg.select(
         "src", F.lit(int(scale)).cast("bigint").alias("r")
     )
@@ -100,7 +102,7 @@ def pagerank_fixed_point(
                     )
                 ).cast("bigint").alias("r"),
             )
-            .localCheckpoint(eager=False)
+            .transform(truncate)
         )
     return deg.join(ranks, "src").select(
         F.col("src").alias("node"), "out_deg", F.col("r").alias("rank_fp")
@@ -294,7 +296,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fwd, F.col("s1")).otherwise(F.col("s2")).alias("src"),
             F.when(fwd, F.col("s2")).otherwise(F.col("s1")).alias("dst"),
         )
-        .localCheckpoint(eager=False)
+        .transform(truncate)
     )
     wedge = (
         ow.select(F.col("src").alias("a"), F.col("dst").alias("b"))

@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kinesis_handler_spark.functions.lineage import truncate
 from kinesis_handler_spark.functions.text import normalize_text, word_ngrams
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
@@ -337,7 +338,7 @@ def _jaccard_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 4 Generates / 0 ReusedExchange measured).  Materializing it
         # once is also the 100 TB shape: the shingle index is the
         # reusable artifact of a dedup pipeline.
-        .localCheckpoint(eager=False)
+        .transform(truncate)
     )
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = shingled.alias("a")
@@ -361,7 +362,7 @@ def _jaccard_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_union", F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
         .filter(5 * F.col("n_common") >= F.col("n_union"))
         .select("doc_a", "doc_b", "n_common", "n_union")
-        .localCheckpoint(eager=False)
+        .transform(truncate)
     )
     _PAIR_CACHE[key] = result
     return result
@@ -412,7 +413,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(band_sig_array).alias("band", "band_sig")
     # O(docs × n_bands) small rows; truncate lineage so the self-join
     # doesn't replay shingle→minhash aggregation on both sides.
-    ).localCheckpoint(eager=False)
+    ).transform(truncate)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -542,7 +543,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n2"),
     # quantize + norm computed ONCE per vector, reused by both cross-join
     # sides (lineage truncated; otherwise each side replays the fold).
-    ).localCheckpoint(eager=False)
+    ).transform(truncate)
     q = (
         qv.filter(F.col("vec_id") < 10)
         .select(
@@ -779,7 +780,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertex starts as its own label; each round takes the min of its own
     and its neighbors' labels; fixpoint after diameter(G) rounds.  Each
     round is one shuffle join on the (tiny) label frame; lineage is
-    truncated per round with an eager localCheckpoint, and the
+    truncated per round with an eager ``lineage.truncate``, and the
     convergence test reads a single aggregated count (an O(1)-row
     driver read — the standard iterative-fixpoint shape, not a data
     collect).  Near-dup graphs are overwhelmingly tiny star/clique
@@ -794,7 +795,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _jaccard_pair_frame(spark, sf_dir).select("doc_a", "doc_b")
     fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     rev = pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-    edges = fwd.union(rev).localCheckpoint(eager=True)
+    edges = fwd.union(rev).transform(lambda d: truncate(d, eager=True))
     labels = (
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
@@ -821,7 +822,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lazy checkpoint: materialized once by round 1's count, then shared
     # by BOTH the hop chain and the convergence compare-join (without it
     # the compare branch would recompute the whole 4-hop chain).
-    labels = _hop(_hop(_hop(_hop(labels)))).localCheckpoint(eager=False)
+    labels = _hop(_hop(_hop(_hop(labels)))).transform(truncate)
     for _ in range(25):  # safeguard; real bound is diameter(G)/2 rounds
         # two propagation hops per convergence check (labels move two
         # edges per round — half the checkpoint/count actions); the
@@ -831,7 +832,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             _hop(_hop(labels))
             .withColumnRenamed("label", "new_label")
             .join(labels, "doc_id")
-            .localCheckpoint(eager=False)
+            .transform(truncate)
         )
         changed = (
             new_labels.filter(F.col("new_label") != F.col("label"))

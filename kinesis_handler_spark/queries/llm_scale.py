@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kinesis_handler_spark.functions.lineage import truncate
 from kinesis_handler_spark.queries.llm import _clean_embeddings, _quantized
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
@@ -61,7 +62,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1.7s at sf0.1).  At 100 TB this is exactly the artifact you'd
     # persist anyway: fingerprints are the reusable index, recomputing
     # them per candidate-join is never the right plan.
-    fp = fp.localCheckpoint(eager=False)
+    fp = fp.transform(truncate)
     # Band and self-join at the DISTINCT-FINGERPRINT level, not the doc
     # level.  On a clustered corpus many docs share a fingerprint, and
     # doc-level banding is quadratic in the bucket: the sf1.0 scale
@@ -71,7 +72,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from ~10⁸ doc pairs to 3.8M fingerprint pairs, and re-ranks docs
     # only AFTER the Hamming filter — same output, ~5× faster, and the
     # skew cap now scales with distinct fingerprints, not corpus size.
-    dfp = fp.select("simhash").distinct().localCheckpoint(eager=False)
+    dfp = fp.select("simhash").distinct().transform(truncate)
     banded = dfp.select(
         "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
@@ -194,7 +195,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list(F.struct("vec_id", "qvec")).alias("vecs"))
         # B rows; reused by both sides of the block-pair join — truncate
         # lineage so quantization + collect_list run once, not twice.
-        .localCheckpoint(eager=False)
+        .transform(truncate)
     )
     pairs = (
         blocks.alias("a")
@@ -272,9 +273,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lineage-truncate the cleaned+quantized frame: these pipelines scan
     # it several times (count / seeds / assignment passes), and without
     # truncation each scan re-runs the loader's key-dedup window.
-    qv = emb.select("vec_id", _quantized().alias("qvec")).localCheckpoint(
-        eager=False
-    )
+    qv = emb.select("vec_id", _quantized().alias("qvec")).transform(truncate)
     n = qv.count()
     # r = log2(N) - 3: expected bucket ≈ 8 vectors, so per-table
     # candidate volume stays ~4N pairs (linear) while collision
@@ -330,7 +329,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     banded = qv.mapInPandas(
         signatures, "vec_id BIGINT, tbl INT, sig BIGINT"
-    ).localCheckpoint(eager=False)
+    ).transform(truncate)
 
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
@@ -513,7 +512,7 @@ def _ivf_assign(
     # rows are the probe lists.  Lineage-truncated: both consumers read it
     # without replaying (the trained centroids are collected+broadcast by
     # _assign_gemm, so they compute exactly once regardless).
-    return _assign_gemm(qv, cent, n_probe).localCheckpoint(eager=False)
+    return _assign_gemm(qv, cent, n_probe).transform(truncate)
 
 
 def _ivf_cells(n: int) -> int:
@@ -562,9 +561,7 @@ def _sim_ann_ivf_impl(
     # Lineage-truncate the cleaned+quantized frame: these pipelines scan
     # it several times (count / seeds / assignment passes), and without
     # truncation each scan re-runs the loader's key-dedup window.
-    qv = emb.select("vec_id", _quantized().alias("qvec")).localCheckpoint(
-        eager=False
-    )
+    qv = emb.select("vec_id", _quantized().alias("qvec")).transform(truncate)
     # An IVF build knows its corpus size; one count against the (tiny)
     # embeddings scan prices K. At 100 TB you'd read this from table stats.
     n_cells = _ivf_cells(qv.count())
@@ -731,9 +728,7 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lineage-truncate the cleaned+quantized frame: these pipelines scan
     # it several times (count / seeds / assignment passes), and without
     # truncation each scan re-runs the loader's key-dedup window.
-    qv = emb.select("vec_id", _quantized().alias("qvec")).localCheckpoint(
-        eager=False
-    )
+    qv = emb.select("vec_id", _quantized().alias("qvec")).transform(truncate)
     n_cells = _ivf_cells(qv.count())
 
     assigned = _ivf_assign(qv, n_cells, n_probe)

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kinesis_handler_spark.functions.lineage import truncate
 from kinesis_handler_spark.functions.numeric import dec
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
@@ -96,7 +97,7 @@ def agg_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev).cast("decimal(38,6)").alias("val"))
         # one aggregate, two consumers (total + filter): truncate the
         # lineage so the fact scan is not replayed for the scalar side
-        .localCheckpoint(eager=False)
+        .transform(truncate)
     )
     tot = per.agg(F.sum("val").cast("decimal(38,6)").alias("tot"))
     val_d = F.col("val").cast("double")
@@ -151,7 +152,7 @@ def join_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev).cast("decimal(38,6)").alias("total_rev"))
         # one aggregate, two consumers (max + filter): truncate lineage
         # so the fact scan is not replayed for the scalar side
-        .localCheckpoint(eager=False)
+        .transform(truncate)
     )
     mx = per.agg(F.max("total_rev").alias("mx"))
     top = per.crossJoin(mx).filter(F.col("total_rev") == F.col("mx"))
@@ -340,7 +341,7 @@ def join_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
         .distinct()
         # feeds three consumers (probe + both subquery sides)
-        .localCheckpoint(eager=False)
+        .transform(truncate)
     )
     anyone = li.select("l_orderkey", "l_suppkey").distinct()
     r = returned.alias("r")

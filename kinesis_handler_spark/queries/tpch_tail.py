@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_handler_spark.functions.lineage import truncate
 from kinesis_handler_spark.functions.numeric import dec
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
@@ -211,7 +212,7 @@ def join_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     The part-name screen is pushed BELOW both aggregates as a semi-join
     (valid because per/tot group on the part key, so restricting parts
     first commutes with both; ~8× less aggregate input at any SF — and
-    the localCheckpoint on `per` is an optimizer barrier, so Catalyst
+    the lineage truncation on `per` is an optimizer barrier, so Catalyst
     could not have pushed it for us), the two aggregates share one
     shuffle lineage (per-(part,supplier) first, per-part second — the
     second input is the FIRST's output, never a fact re-scan), and
@@ -227,7 +228,7 @@ def join_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(dec("l_quantity")).cast("decimal(38,6)").alias("qty"))
         # one aggregate, two consumers (per-part total + the comparison)
-        .localCheckpoint(eager=False)
+        .transform(truncate)
     )
     tot = per.groupBy("l_partkey").agg(
         F.sum("qty").cast("decimal(38,6)").alias("total_qty")

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kinesis_handler_spark.functions.lineage import truncate
 from kinesis_handler_spark.functions.text import word_ngrams
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
@@ -723,7 +724,7 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     string order — identical in Spark's UTF8String compare, DuckDB, and
     Python, because UTF-8 byte order preserves codepoint order); the
     merge applies as an Arrow-batched scan over the word table, and
-    `localCheckpoint` truncates the growing lineage so round N's plan
+    `lineage.truncate` cuts the growing lineage so round N's plan
     does not replay rounds 1..N-1.  The merge sequence is bit-exact
     against the pure-Python reference (`_bpe_reference`, pytest-pinned)."""
     import pandas as pd
@@ -749,7 +750,7 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cur = words.mapInPandas(
         symbolize, "sym array<string>, freq bigint"
-    ).localCheckpoint(eager=False)
+    ).transform(truncate)
 
     pair_struct = F.transform(
         F.sequence(F.lit(0), F.size("sym") - 2),
@@ -795,7 +796,7 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur = cur.select(
             merged_sym.alias("sym"), "freq"
-        ).localCheckpoint(eager=False)
+        ).transform(truncate)
 
     return spark.createDataFrame(
         merges,
