@@ -91,14 +91,23 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ 63·N, each iteration a shuffle-free map over a frontier that a
     key leaves permanently once its chain bottoms out.  Spark's
     runaway-recursion valve (``spark.sql.cteRecursionRowLimit``,
-    default 10⁶ cumulative rows — the sf1.0 probe tripped it at 200k
-    keys × ~19 levels) is raised to the documented worst-case bound,
-    the SQL-Server-MAXRECURSION-style explicit opt-in; the depth-100
-    level valve stays at its default, above the ≤63 bound.  The final
-    depth histogram is a bounded ≤64-row aggregate.  Measured: a 2M-key
-    / 45.8M-cumulative-row walk completes in ~18 s on local[8]."""
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
-    table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    default 10⁶ CUMULATIVE rows — the sf1.0 probe tripped it at 200k
+    keys × ~19 levels) is raised to 64·|part| + 10⁶: this walk's true
+    cumulative bound is ≤ 63·N (63 = max BIGINT depth), so the setting
+    admits exactly this recursion with slack while REMAINING a live
+    valve for any later recursion in the same session — a genuinely
+    runaway CTE still dies at ~64× the table size instead of never
+    (ADVICE r7: the previous INT32_MAX setting disabled the valve
+    session-wide).  The |part| rowcount is one parquet-metadata count.
+    The depth-100 level valve stays at its default, above the ≤63
+    bound.  The final depth histogram is a bounded ≤64-row aggregate.
+    Measured: a 2M-key / 45.8M-cumulative-row walk completes in ~18 s
+    on local[8]."""
+    part = table(spark, sf_dir, "part")
+    valve = 64 * part.count() + 1_000_000
+    prev = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(max(valve, prev)))
+    part.createOrReplaceTempView("part")
     return spark.sql(_RECURSIVE_SQL_SPARK)
 
 
@@ -339,10 +348,17 @@ _DAY_US = 86_400_000_000
 
 
 def _ewma_terms_sql() -> str:
+    # HUGEINT-typed zero seeds int128 accumulation in DuckDB (the
+    # intermediate never escapes — outer casts emit BIGINT/DOUBLE);
+    # Spark's twin accumulates in DECIMAL(38,0).  See the docstring's
+    # overflow-headroom note (ADVICE r7).
     terms = []
     for j in range(_EWMA_TAPS):
         src = "lvl_i" if j == 0 else f"LAG(lvl_i, {j}) OVER w"
-        terms.append(f"COALESCE({src}, 0) * {1 << (_EWMA_TAPS - 1 - j)}")
+        terms.append(
+            f"COALESCE({src}, CAST(0 AS HUGEINT))"
+            f" * {1 << (_EWMA_TAPS - 1 - j)}"
+        )
     return " + ".join(terms)
 
 
@@ -621,7 +637,7 @@ def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH lvl AS (
       SELECT user_id, epoch_us(ts) AS us,
-             CAST(SUM(CAST(value AS DECIMAL(12,4))) * 10000 AS BIGINT)
+             CAST(SUM(CAST(value AS DECIMAL(12,4))) * 10000 AS HUGEINT)
                AS lvl_i
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL
@@ -643,11 +659,18 @@ def window_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
     EWMA is normally iterative (y_t = αx_t + (1-α)y_{{t-1}}) and float
     — order-dependent and engine-divergent.  The dyadic-tap form makes
     it closed and integer: levels lift to scale-4 fixed point, each
-    tap multiplies by a power of two, and the 16-term sum stays in
-    int64 (|level| < 1.4×10¹⁰ currency units by the dec-cast bound ×
-    2¹⁶ − 1 taps).  The weighted sum surfaces both as the exact
-    integer and as a convenience double whose two divisions are a
-    power-of-two scale (exact) and one deterministic IEEE rounding.
+    tap multiplies by a power of two, and the 16-term sum ACCUMULATES
+    WIDE — DECIMAL(38,0) on Spark, HUGEINT on DuckDB (internal only;
+    the output casts to BIGINT/DOUBLE) — because lvl_i is a
+    per-(user, ts) SUM whose duplicate-instant multiplicity is
+    unbounded, so an int64 accumulator could overflow mid-sum under
+    heavy duplication (ADVICE r7; a DECIMAL(12,4) bounds ONE addend at
+    ~10¹²×2¹⁵, not the sum).  Only the final single BIGINT cast can
+    overflow now, and both engines abort identically there (ANSI).
+    The weighted sum surfaces both as the exact integer and as a
+    convenience double whose two divisions are a power-of-two scale
+    (exact) and one deterministic IEEE rounding — both engines convert
+    the SAME exact integer, so the doubles are bit-identical.
     Duplicate instants collapse first (exact decimal sum), so the ONE
     window pass has a unique order key per user — the island-flake
     class cannot occur; missing taps (stream warm-up) and undecodable
@@ -659,14 +682,15 @@ def window_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lvl = e.groupBy("user_id", "ts").agg(
         (F.sum(dec_t(F.col("value"), "decimal(12,4)")) * F.lit(10000))
-        .cast("bigint")
+        .cast("decimal(38,0)")
         .alias("lvl_i")
     ).select("user_id", F.unix_micros("ts").alias("us"), "lvl_i")
     w = Window.partitionBy("user_id").orderBy(F.asc("us"))
+    zero = F.lit(0).cast("decimal(38,0)")
     acc = None
     for j in range(_EWMA_TAPS):
         src = F.col("lvl_i") if j == 0 else F.lag("lvl_i", j).over(w)
-        term = F.coalesce(src, F.lit(0)) * F.lit(1 << (_EWMA_TAPS - 1 - j))
+        term = F.coalesce(src, zero) * F.lit(1 << (_EWMA_TAPS - 1 - j))
         acc = term if acc is None else acc + term
     return lvl.select(
         "user_id",
