@@ -18,12 +18,23 @@ Decode boundary, two tiers:
   the Python standard library (``decode_png``: CRC-verified chunks,
   zlib inflate, all five scanline unfilters), oracle-verified by the
   ``multimodal_decode_png`` / ``multimodal_resize`` queries.
-* **Stubbed**: JPEG-class codecs (DCT+Huffman, MP3/AAC video) need
-  libraries this container lacks; ``_decode_stub`` raises
-  ``NotImplementedError`` unless ``fake=True``, in which case a
-  deterministic stand-in exercises the real plumbing — schema, batch
-  shape, partitioning.  Swapping in PIL/libav later only replaces the
-  inner function.
+* **Real, entropy-coded**: baseline sequential JPEG decodes for real
+  as well (r7 verdict item 6) — ``decode_jpeg`` implements the full
+  ITU T.81 baseline pipeline in numpy + stdlib: marker/segment walk,
+  DQT/SOF0/DHT/SOS parsing, canonical Huffman entropy decode with
+  byte-unstuffing, DC DPCM reconstruction, dequantize, de-zigzag,
+  float IDCT, level shift, and YCbCr→RGB.  The
+  ``multimodal_decode_jpeg`` query oracle-verifies the lossless 90%
+  (markers + Huffman + DPCM + dequant) by replaying the fixture
+  generator's coefficient arithmetic in SQL; the lossy tail (IDCT,
+  color transform) is pinned by pytest against an independent
+  direct-form IDCT (tests/test_multimodal.py).
+* **Stubbed**: video codecs (MP3/AAC/H.26x) still need libraries this
+  container lacks; ``_decode_stub`` raises ``NotImplementedError``
+  for them unless ``fake=True``, in which case a deterministic
+  stand-in exercises the real plumbing — schema, batch shape,
+  partitioning.  Swapping in libav later only replaces the inner
+  function.
 """
 
 from __future__ import annotations
@@ -67,14 +78,14 @@ def _decode_stub(
     content: bytes, mime: str, fake: bool, digest: bytes | None = None
 ) -> list[float]:
     """Codec boundary.  Formats the in-repo codecs cover decode for REAL
-    regardless of ``fake``: PNG (stdlib zlib, `decode_png`), BMP and
+    regardless of ``fake``: PNG (stdlib zlib, `decode_png`), baseline
+    JPEG (`decode_jpeg` — Huffman + IDCT, r7 verdict item 6), BMP and
     RIFF/WAVE (numpy) — the feature is the normalized per-channel mean
     (images) or normalized mean |amplitude| (audio).  For everything
-    else (JPEG-class: DCT + Huffman) real decoders (PIL, libav) are not
-    available in this container; ``fake=True`` substitutes a
-    deterministic stand-in (first-16-bytes histogram of the sha256) so
-    pipelines stay testable, and ``fake=False`` raises (dead-letter
-    contract)."""
+    else (video-class codecs) real decoders (libav) are not available
+    in this container; ``fake=True`` substitutes a deterministic
+    stand-in (first-16-bytes histogram of the sha256) so pipelines stay
+    testable, and ``fake=False`` raises (dead-letter contract)."""
     # Dispatch on the CLAIMED mime alone: a blob whose mime names a
     # decodable format but whose bytes are corrupt must surface the
     # codec's ValueError (dead-letter contract), never fall through to
@@ -90,6 +101,9 @@ def _decode_stub(
         import numpy as np
 
         return [float(np.abs(samples.astype(np.int64)).mean()) / 32768.0]
+    if mime == "image/jpeg":
+        _w, _h, _n, px = decode_jpeg(content)
+        return [float(px[:, :, c].mean()) / 255.0 for c in range(3)]
     if not fake:
         raise NotImplementedError(
             f"no codec for {mime!r} in this environment; pass fake=True "
@@ -656,3 +670,453 @@ def decode_png(content: bytes):
             raise ValueError(f"unknown filter type {ftype}")
         out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
     return w, h, ctype, out.reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# Real ENTROPY-CODED image decode: baseline sequential JPEG (ITU T.81)
+# needs no external library either — the entropy layer is canonical
+# Huffman over a bit stream (pure arithmetic), and the transform layer
+# is an 8×8 IDCT (one numpy matrix product per block).  This retires
+# the JPEG stub (r7 verdict item 6): a real multimodal corpus is
+# mostly JPEG, and the engine now decodes it for real.  Video codecs
+# remain the only stubbed frontier.
+#
+# Oracle strategy (the make_jpeg_media_df fixture): the encoder works
+# in the QUANTIZED-COEFFICIENT domain — block coefficients are chosen
+# by modular arithmetic over doc_id, then Huffman/DPCM-encoded.  The
+# decoder's marker+Huffman+DPCM+dequant path recovers those integers
+# EXACTLY (that layer of JPEG is lossless), so the
+# multimodal_decode_jpeg query emits coefficient aggregates a DuckDB
+# oracle replays from the same formulas — end-to-end bit evidence for
+# everything except the float IDCT/color tail, which pytest pins
+# against an independent direct-form IDCT (IEEE-1180-style ±1 bound)
+# plus exact determinism checks.
+# ---------------------------------------------------------------------------
+
+# Zigzag scan order: _ZIGZAG[i] = (row, col) of the i-th coefficient.
+_ZIGZAG: list[tuple[int, int]] = []
+
+
+def _build_zigzag() -> None:
+    order = []
+    for s in range(15):
+        diag = [(y, s - y) for y in range(max(0, s - 7), min(8, s + 1))]
+        order.extend(diag if s % 2 else diag[::-1])
+    _ZIGZAG.extend(order)
+
+
+_build_zigzag()
+
+# Fixture quantization tables (constant — the dequant multiply is still
+# real; per-frequency tables would only change the constants the oracle
+# replays) and the fixture's AC coefficient positions in zigzag order:
+# 1 (run 0), 4 (run 2), 9 (run 4), 17 (run 7), 33 (run 15 — the 0xF_
+# max-run symbol), 62 (gap 28 → ZRL + run 12), then EOB: every AC
+# symbol class a baseline decoder must handle appears in every block.
+JPEG_QTABLES = (16, 17)
+JPEG_AC_POSITIONS = (1, 4, 9, 17, 33, 62)
+
+
+def _jpeg_dims(d: int) -> tuple[int, int]:
+    """Fixture dims in BLOCKS from the reduced id d = pmod(doc_id, 256):
+    1-2 blocks each axis, so the MCU loop, multi-block DPCM chains and
+    dimension parsing are all exercised (and the oracle replays it)."""
+    return 1 + d % 2, 1 + (d * 3 + 1) % 2  # (width_blocks, height_blocks)
+
+
+def _jpeg_dc(d: int, comp: int, blk: int) -> int:
+    return (d * 7 + comp * 13 + blk * 5) % 21 - 10
+
+
+def _jpeg_ac(d: int, comp: int, blk: int, zz: int) -> int:
+    return (d * 11 + comp * 3 + zz * 7 + blk) % 13 - 6
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per T.81
+        return bytes(self.out)
+
+
+# Fixture Huffman tables, canonical and minimal: all 12 DC categories at
+# 5 bits, all 162 AC (run,size) symbols at 8 bits.  Deliberately NOT the
+# Annex K defaults — the decoder must honor whatever DHT declares, and a
+# flat table keeps the encoder trivial while remaining a fully valid
+# baseline stream (Kraft: 12 ≤ 2^5, 162 ≤ 2^8).
+_DC_SYMBOLS = tuple(range(12))
+_AC_SYMBOLS = tuple(
+    sym
+    for run in range(16)
+    for sym in ((run << 4 | size) for size in range(1, 11))
+) + (0x00, 0xF0)  # EOB and ZRL
+
+
+def _canonical_codes(symbols, length: int) -> dict[int, tuple[int, int]]:
+    return {s: (i, length) for i, s in enumerate(symbols)}
+
+
+_DC_CODES = _canonical_codes(_DC_SYMBOLS, 5)
+_AC_CODES = _canonical_codes(sorted(_AC_SYMBOLS), 8)
+
+
+def _dht_segment(tc: int, th: int, symbols, length: int) -> bytes:
+    import struct
+
+    bits = [0] * 16
+    bits[length - 1] = len(symbols)
+    payload = bytes([tc << 4 | th]) + bytes(bits) + bytes(symbols)
+    return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _amplitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: (category, appended bits)."""
+    size = abs(v).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def encode_jpeg_fixture(doc_id: int) -> bytes:
+    """Valid baseline-sequential JPEG (SOI, JFIF APP0, DQT×2, SOF0
+    8-bit 4:4:4 three-component, DHT×2, SOS, entropy-coded MCUs, EOI)
+    whose quantized coefficients come from the modular formulas above —
+    the lossless layers round-trip them exactly, which is what the SQL
+    oracle replays."""
+    import struct
+
+    d = doc_id % 256
+    wb, hb = _jpeg_dims(d)
+    w, h = 8 * wb, 8 * hb
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01"
+        + b"\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00"
+    )
+    for tid, q in enumerate(JPEG_QTABLES):
+        out += (
+            b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+            + bytes([q] * 64)
+        )
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, qid in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, qid])  # 1x1 sampling: 4:4:4
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, _DC_SYMBOLS, 5)
+    out += _dht_segment(1, 0, sorted(_AC_SYMBOLS), 8)
+    sos = bytes([3]) + b"".join(
+        bytes([cid, 0x00]) for cid in (1, 2, 3)
+    ) + bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for blk in range(wb * hb):  # MCU row-major == blk row-major at 4:4:4
+        for comp in range(3):
+            dc = _jpeg_dc(d, comp, blk)
+            size, bits = _amplitude(dc - prev_dc[comp])
+            prev_dc[comp] = dc
+            code, length = _DC_CODES[size]
+            bw.write(code, length)
+            bw.write(bits, size)
+            coef = {zz: _jpeg_ac(d, comp, blk, zz)
+                    for zz in JPEG_AC_POSITIONS}
+            run = 0
+            last_nonzero = max(
+                (zz for zz, v in coef.items() if v), default=0
+            )
+            for zz in range(1, 64):
+                v = coef.get(zz, 0)
+                if zz > last_nonzero:
+                    break
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = _AC_CODES[0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                size, bits = _amplitude(v)
+                code, length = _AC_CODES[run << 4 | size]
+                bw.write(code, length)
+                bw.write(bits, size)
+                run = 0
+            if last_nonzero < 63:
+                code, length = _AC_CODES[0x00]  # EOB
+                bw.write(code, length)
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def make_jpeg_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media fixture of VALID baseline JPEGs built per document id,
+    executor-side per Arrow batch (blobs never touch the driver)."""
+    # Dirty-data contract (tests/test_null_input.py): a NULL doc_id has
+    # no derivable media — drop it; matching oracles filter identically.
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
+
+    def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "content": [
+                        encode_jpeg_fixture(int(i)) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return d.mapInPandas(build, "media_id long, content binary")
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    un-stuffing; any other 0xFFxx marker mid-stream is malformed input
+    (we emit no restart intervals) → ValueError (dead-letter)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy stream")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated entropy stream")
+                marker = self.data[self.pos]
+                if marker == 0x00:
+                    self.pos += 1  # stuffed 0xFF data byte
+                else:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{marker:02X} in scan"
+                    )
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table from a DHT segment's BITS/HUFFVAL."""
+
+    def __init__(self, bits: list[int], vals: bytes) -> None:
+        self.lookup: dict[tuple[int, int], int] = {}
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lookup[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read(1)
+            sym = self.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(bits: int, size: int) -> int:
+    """T.81 EXTEND: map `size` appended bits back to a signed value."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+_IDCT_BASIS = None
+
+
+def _idct_basis():
+    global _IDCT_BASIS
+    if _IDCT_BASIS is None:
+        import numpy as np
+
+        u = np.arange(8)
+        c = np.where(u == 0, 1.0 / np.sqrt(2.0), 1.0)
+        _IDCT_BASIS = (
+            c[:, None]
+            / 2.0
+            * np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16.0)
+        )
+    return _IDCT_BASIS
+
+
+def _decode_jpeg_impl(content: bytes):
+    """Full baseline decode; returns (w, h, ncomp, pixels[H,W,3] uint8,
+    coeffs) where coeffs[comp][blk][zz] is the QUANTIZED coefficient
+    exactly as entropy-decoded (blk row-major) — the lossless layer the
+    oracle verifies."""
+    import struct
+
+    import numpy as np
+
+    if len(content) < 4 or content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], _HuffTable] = {}
+    frame = None
+    scan = None
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = content[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (seglen,) = struct.unpack(">H", content[pos + 2 : pos + 4])
+        seg = content[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated segment")
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tq] = list(seg[off + 1 : off + 65])
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 0xF
+                bits = list(seg[off + 1 : off + 17])
+                n = sum(bits)
+                vals = seg[off + 17 : off + 17 + n]
+                htables[(tc, th)] = _HuffTable(bits, vals)
+                off += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nf = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for i in range(nf):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                if hv != 0x11:
+                    raise ValueError(
+                        "subsampled JPEG unsupported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline SOF 0xFF{marker:02X}")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = [(seg[1 + 2 * i], seg[2 + 2 * i]) for i in range(ns)]
+            pos += 2 + seglen
+            break
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        # APPn / COM / others: skip
+        pos += 2 + seglen
+    if frame is None or scan is None:
+        raise ValueError("missing SOF0/SOS")
+    w, h, comps = frame
+    if len(scan) != len(comps):
+        raise ValueError("scan/frame component mismatch")
+    wb, hb = (w + 7) // 8, (h + 7) // 8
+    br = _BitReader(content, pos)
+    ncomp = len(comps)
+    coeffs = [[] for _ in range(ncomp)]
+    prev_dc = [0] * ncomp
+    for _blk in range(wb * hb):
+        for ci in range(ncomp):
+            td, ta = scan[ci][1] >> 4, scan[ci][1] & 0xF
+            dct = htables.get((0, td))
+            act = htables.get((1, ta))
+            if dct is None or act is None:
+                raise ValueError("scan references undefined Huffman table")
+            block = [0] * 64
+            size = dct.decode(br)
+            block[0] = prev_dc[ci] + _extend(br.read(size), size)
+            prev_dc[ci] = block[0]
+            zz = 1
+            while zz < 64:
+                sym = act.decode(br)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0xF
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("invalid AC symbol")
+                    zz += 16  # ZRL
+                    continue
+                zz += run
+                if zz > 63:
+                    raise ValueError("AC run overflows block")
+                block[zz] = _extend(br.read(size), size)
+                zz += 1
+            coeffs[ci].append(block)
+    # Transform tail: dequantize -> de-zigzag -> IDCT -> level shift.
+    basis = _idct_basis()
+    planes = np.empty((ncomp, hb * 8, wb * 8), dtype=np.float64)
+    for ci, (_cid, tq) in enumerate(comps):
+        q = np.array(qtables[tq], dtype=np.float64)
+        for blk, zzvals in enumerate(coeffs[ci]):
+            fmat = np.zeros((8, 8), dtype=np.float64)
+            dq = np.array(zzvals, dtype=np.float64) * q
+            for i, (r, c) in enumerate(_ZIGZAG):
+                fmat[r, c] = dq[i]
+            px = basis.T @ fmat @ basis + 128.0
+            by, bx = divmod(blk, wb)
+            planes[ci, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    planes = planes[:, :h, :w]
+    if ncomp == 3:
+        y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+        rgb = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=-1,
+        )
+    elif ncomp == 1:
+        rgb = np.repeat(planes[0][:, :, None], 3, axis=-1)
+    else:
+        raise ValueError(f"unsupported component count {ncomp}")
+    pixels = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return w, h, ncomp, pixels, coeffs
+
+
+def decode_jpeg(content: bytes):
+    """REAL baseline-sequential JPEG decode (stdlib + numpy): marker
+    walk, DQT/SOF0/DHT/SOS, canonical Huffman entropy decode with
+    un-stuffing, DPCM DC chains, dequantize, de-zigzag, IDCT, YCbCr→
+    RGB.  Returns (width, height, n_components, pixels[H,W,3] RGB).
+    Raises ValueError on malformed/progressive/subsampled input (the
+    dead-letter contract)."""
+    w, h, ncomp, pixels, _ = _decode_jpeg_impl(content)
+    return w, h, ncomp, pixels

@@ -40,13 +40,15 @@ def test_decode_and_featurize_fake(spark, sf_dir):
 
 
 def test_real_decode_is_explicitly_stubbed():
-    # JPEG-class mimes remain stub-gated...
+    # video-class mimes remain stub-gated (JPEG has a real codec now)...
     with pytest.raises(NotImplementedError, match="no codec"):
-        _decode_stub(b"\xff\xd8\xff", "image/jpeg", fake=False)
+        _decode_stub(b"\x00\x00\x00\x18ftypmp42", "video/mp4", fake=False)
     # ...while a decodable mime with corrupt bytes is a DATA error
     # (dead-letter ValueError), never silently faked
     with pytest.raises(ValueError, match="not a PNG"):
         _decode_stub(b"\x89PNG", "image/png", fake=True)
+    with pytest.raises(ValueError, match="no SOI"):
+        _decode_stub(b"\x89PNG\r\n\x1a\n", "image/jpeg", fake=True)
 
 
 def test_envelope_schema_fields():
@@ -253,11 +255,164 @@ def test_decode_and_featurize_unknown_mime_still_gates(spark, sf_dir):
     media = make_png_media_df(spark, sf_dir).limit(1).withColumn(
         "meta",
         F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ),
+    )
+    with _pytest.raises(Exception, match="no codec for 'video/mp4'"):
+        decode_and_featurize(media, fake=False).collect()
+    # a mime the codec layer DOES cover, with bytes of a different
+    # format, is a data error (dead-letter), never silently faked
+    mislabeled = media.withColumn(
+        "meta",
+        F.struct(
             F.lit("image/jpeg").alias("mime"),
             F.lit(0).alias("width"),
             F.lit(0).alias("height"),
             F.lit(None).cast("int").alias("duration_ms"),
         ),
     )
-    with _pytest.raises(Exception, match="no codec for 'image/jpeg'"):
-        decode_and_featurize(media, fake=False).collect()
+    with _pytest.raises(Exception, match="no SOI"):
+        decode_and_featurize(mislabeled, fake=False).collect()
+
+
+def test_jpeg_round_trip_is_coefficient_exact_and_pixel_exact(spark, sf_dir):
+    """The lossless layer (Huffman + DPCM + dequant) must recover the
+    generator's quantized coefficients EXACTLY; the lossy tail (IDCT +
+    color transform) must match an independent direct-form IDCT
+    reference (bit-identical here; the conformance-style bound is ±1)."""
+    import math
+
+    import numpy as np
+
+    from kinesis_handler_spark.io.multimodal import (
+        JPEG_AC_POSITIONS,
+        JPEG_QTABLES,
+        _ZIGZAG,
+        _decode_jpeg_impl,
+        _jpeg_ac,
+        _jpeg_dc,
+        _jpeg_dims,
+        make_jpeg_media_df,
+    )
+
+    media = {
+        r["media_id"]: bytes(r["content"])
+        for r in make_jpeg_media_df(spark, sf_dir).limit(5).collect()
+    }
+    assert media
+    for mid, blob in media.items():
+        w, h, ncomp, px, coeffs = _decode_jpeg_impl(blob)
+        d = mid % 256
+        wb, hb = _jpeg_dims(d)
+        assert (w, h, ncomp) == (8 * wb, 8 * hb, 3)
+        # lossless layer: exact coefficient recovery
+        for comp in range(3):
+            for blk in range(wb * hb):
+                assert coeffs[comp][blk][0] == _jpeg_dc(d, comp, blk)
+                for zz in range(1, 64):
+                    want = (
+                        _jpeg_ac(d, comp, blk, zz)
+                        if zz in JPEG_AC_POSITIONS
+                        else 0
+                    )
+                    assert coeffs[comp][blk][zz] == want
+        # lossy tail: independent direct-form IDCT reference
+        planes = np.zeros((3, h, w))
+        for comp in range(3):
+            q = JPEG_QTABLES[0] if comp == 0 else JPEG_QTABLES[1]
+            for blk in range(wb * hb):
+                fmat = np.zeros((8, 8))
+                for i, (r, c) in enumerate(_ZIGZAG):
+                    fmat[r, c] = coeffs[comp][blk][i] * q
+                out = np.zeros((8, 8))
+                for x in range(8):
+                    for y in range(8):
+                        s = 0.0
+                        for u in range(8):
+                            for v in range(8):
+                                cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                                cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                                s += (
+                                    cu * cv * fmat[u, v]
+                                    * math.cos((2 * x + 1) * u * math.pi / 16)
+                                    * math.cos((2 * y + 1) * v * math.pi / 16)
+                                )
+                        out[x, y] = s / 4 + 128
+                by, bx = divmod(blk, wb)
+                planes[comp, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = out
+        yy, cb, cr = planes[0], planes[1] - 128, planes[2] - 128
+        ref = np.clip(
+            np.round(
+                np.stack(
+                    [
+                        yy + 1.402 * cr,
+                        yy - 0.344136 * cb - 0.714136 * cr,
+                        yy + 1.772 * cb,
+                    ],
+                    axis=-1,
+                )
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        assert np.abs(ref.astype(int) - px.astype(int)).max() <= 1
+
+
+def test_jpeg_decode_rejects_corruption():
+    import pytest as _pytest
+
+    from kinesis_handler_spark.io.multimodal import (
+        decode_jpeg,
+        encode_jpeg_fixture,
+    )
+
+    good = encode_jpeg_fixture(7)
+    assert decode_jpeg(good)[2] == 3
+    with _pytest.raises(ValueError, match="no SOI"):
+        decode_jpeg(b"")
+    with _pytest.raises(ValueError, match="no SOI"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    with _pytest.raises(ValueError):
+        decode_jpeg(good[:40])  # truncated mid-segment
+    with _pytest.raises(ValueError, match="truncated entropy"):
+        decode_jpeg(good[:-24])  # scan data cut mid-MCU
+    # declare 2x2 subsampling in SOF0 -> unsupported-variant error
+    broken = bytearray(good)
+    broken[good.index(b"\xff\xc0") + 11] = 0x22
+    with _pytest.raises(ValueError, match="subsampled"):
+        decode_jpeg(bytes(broken))
+
+
+def test_decode_and_featurize_real_jpeg_no_fake(spark, sf_dir):
+    """The r7 verdict's done-criterion: multimodal_features-style
+    featurization handles a JPEG fixture WITHOUT fake=True."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kinesis_handler_spark.io.multimodal import (
+        decode_jpeg,
+        make_jpeg_media_df,
+    )
+
+    media = make_jpeg_media_df(spark, sf_dir).limit(3).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.lit(16).alias("width"),
+            F.lit(16).alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ),
+    )
+    rows = {
+        r["media_id"]: r
+        for r in decode_and_featurize(media, fake=False).collect()
+    }
+    raw = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    assert rows
+    for mid, r in rows.items():
+        _w, _h, _n, px = decode_jpeg(raw[mid])
+        expect = [float(px[:, :, c].mean()) / 255.0 for c in range(3)]
+        assert np.allclose(r["feature"], expect)
