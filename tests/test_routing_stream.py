@@ -210,6 +210,125 @@ def test_stream_parallel_sinks_same_results(spark, engine, tmp_path):
         raise q2.exception() or AssertionError("query should have failed")
 
 
+def test_kill_restart_is_exactly_once_end_to_end(spark, engine, tmp_path):
+    """R14's at-least-once→exactly-once claim, proven end-to-end (r7
+    verdict item 7): a sink crashes AFTER a partial write mid-stream,
+    the query dies, a restart from the checkpoint replays the failed
+    micro-batch, and the final routed + dead-letter contents are
+    IDENTICAL to an uninterrupted run — no loss, no duplicates.
+
+    The sinks are idempotent the way production file sinks are: each
+    micro-batch overwrites its own ``batch_id=N`` subdirectory, so a
+    replayed batch replaces its partial first attempt instead of
+    appending next to it.  (Append-mode sinks get at-least-once; the
+    engine docstring says so — this pins the exactly-once half.)"""
+    import os
+
+    def make_src(root):
+        src = root / "src"
+        src.mkdir()
+        _write_batch_json(src / "b0.json", fx.batch_ok())
+        _write_batch_json(src / "b1.json", fx.batch_ordered())
+        _write_batch_json(src / "b2.json", fx.batch_ok())
+        _write_batch_json(
+            src / "b3.json", fx.batch_bad_json() + fx.batch_invalid_data()
+        )
+        _write_batch_json(src / "b4.json", fx.batch_ok())
+        return src
+
+    def idempotent_sinks(out, crash_flag=None):
+        def routed_sink(sid: str, df: DataFrame, batch_id: int) -> None:
+            safe = sid.replace("/", "_")
+            df.write.mode("overwrite").parquet(
+                f"{out}/routed/{safe}/batch_id={batch_id}"
+            )
+            # crash AFTER the partial side effect: the replayed batch
+            # must overwrite this attempt, not duplicate it
+            if crash_flag is not None and batch_id == 2 and not os.path.exists(
+                crash_flag
+            ):
+                with open(crash_flag, "w") as fh:
+                    fh.write("crashed once")
+                raise RuntimeError("injected mid-stream crash")
+
+        def dead_sink(df: DataFrame, batch_id: int) -> None:
+            df.write.mode("overwrite").parquet(
+                f"{out}/dead_letter/batch_id={batch_id}"
+            )
+
+        return routed_sink, dead_sink
+
+    def read_contents(out):
+        channels = {}
+        routed_root = f"{out}/routed"
+        if os.path.isdir(routed_root):
+            for safe in sorted(os.listdir(routed_root)):
+                rows = (
+                    spark.read.parquet(f"{routed_root}/{safe}")
+                    .select("partitionKey", "sequenceNumber")
+                    .collect()
+                )
+                channels[safe] = sorted(map(tuple, rows))
+        if os.path.isdir(f"{out}/dead_letter"):
+            rows = (
+                spark.read.parquet(f"{out}/dead_letter")
+                .select("partitionKey", "sequenceNumber", "reason")
+                .collect()
+            )
+            channels["dead_letter"] = sorted(map(tuple, rows))
+        return channels
+
+    # Reference: uninterrupted run over the same batch sequence.
+    ref_root = tmp_path / "ref"
+    ref_root.mkdir()
+    ref_src = make_src(ref_root)
+    ref_out = ref_root / "out"
+    r_sink, d_sink = idempotent_sinks(ref_out)
+    q = engine.run_stream(
+        _stream(spark, ref_src),
+        checkpoint_dir=str(ref_root / "ckpt"),
+        routed_sink=r_sink,
+        dead_letter_sink=d_sink,
+    )
+    q.awaitTermination(120)
+    reference = read_contents(ref_out)
+    assert reference and any(v for v in reference.values())
+
+    # Interrupted run: crash at batch 2 after a partial write...
+    run_root = tmp_path / "run"
+    run_root.mkdir()
+    run_src = make_src(run_root)
+    run_out = run_root / "out"
+    crash_flag = str(run_root / "crashed.flag")
+    r_sink, d_sink = idempotent_sinks(run_out, crash_flag=crash_flag)
+    q1 = engine.run_stream(
+        _stream(spark, run_src),
+        checkpoint_dir=str(run_root / "ckpt"),
+        routed_sink=r_sink,
+        dead_letter_sink=d_sink,
+    )
+    with pytest.raises(Exception, match="injected mid-stream crash"):
+        q1.awaitTermination(120)
+        if q1.exception() is not None:
+            raise q1.exception()
+    assert os.path.exists(crash_flag), "crash was never injected"
+    # the partial side effect of the failed batch is on disk right now
+    partial = read_contents(run_out)
+    assert partial != reference, "crash left nothing partial to recover"
+
+    # ...restart from the checkpoint: the failed batch replays, the
+    # stream drains, and the result matches the uninterrupted run.
+    q2 = engine.run_stream(
+        _stream(spark, run_src),
+        checkpoint_dir=str(run_root / "ckpt"),
+        routed_sink=r_sink,
+        dead_letter_sink=d_sink,
+    )
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    assert read_contents(run_out) == reference
+
+
 class TestSourceContract:
     """R4 connector seam: every source tier binds from CONFIG alone via
     ``open_envelope_stream`` and satisfies one envelope contract, so
