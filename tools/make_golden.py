@@ -1,22 +1,29 @@
-"""Pin golden output hashes for the DETERMINISTIC rows-only queries.
+"""Pin golden output hashes for ALL rows-only queries.
 
-Four rows-only operators (no SQL oracle can exist — engine-hash /
-iterative algorithms) are nonetheless bit-stable by construction:
+The 13 rows-only operators (no SQL oracle can exist — engine-hash /
+sketch / iterative algorithms) are nonetheless all bit-stable for a
+fixed dataset: the hash seeds are constants, sketch merges are
+order-insensitive (HLL) or partition-deterministic (GK), ANN ties
+break on ids, and the iterative solves (PCA eigens, BPE merges) carry
+total tie-breaks.  Measured: two independent Spark sessions produce
+identical sha256 for every one of the 13 (r8; the four
+bit-stable-by-construction ones were pinned first per r7 verdict item
+3, then the probe showed the rest hold too).
 
-* ``text_fingerprint``   — xxhash64 rolling fold, pure JVM arithmetic;
-* ``dedup_simhash``      — xxhash64 bit-fold + banded LSH, pure JVM;
-* ``embed_pca``          — deterministic Jacobi eigensolve over exact
-                           integer moments;
-* ``tokenizer_bpe_train``— argmax merge loop with total tie-break.
+The driver records these as ``no_oracle`` forever ("ran, rows > 0").
+This tool upgrades that to "returned the pinned bits": it runs each
+query at sf0.01, canonicalizes the output exactly like the strict
+oracle gate (sorted column names + order-insensitive multiset of
+type-strict rendered rows — ``tools/check_oracle``'s ``_normalize``),
+and writes sha256 hashes to ``tests/golden_hashes.json``.
+``tests/test_golden_artifacts.py`` recomputes the hash on every suite
+run and compares.
 
-The driver records them as ``no_oracle`` forever ("ran, rows > 0").
-This tool upgrades that to "returned the pinned bits" (r7 verdict item
-3): it runs each query at sf0.01, canonicalizes the output exactly like
-the strict oracle gate (sorted column names + order-insensitive
-multiset of type-strict rendered rows — ``tools/check_oracle``'s
-``_normalize``), and writes sha256 hashes to
-``tests/golden_hashes.json``.  ``tests/test_golden_artifacts.py``
-recomputes the hash on every suite run and compares.
+Scope note: sketch-merge determinism is tied to the session shape the
+suite uses (``get_spark(cpus=8, shuffle_partitions=8)``) — the gate
+runs under exactly that config, so the pin is well-defined; a config
+change that legitimately re-partitions a sketch merge shows up as an
+explicit ``--write`` diff, not silence.
 
 The hashes change ONLY via this tool (an intentional algorithm change
 reruns ``--write`` and the diff shows up in review); the pytest gate
@@ -35,10 +42,21 @@ import sys
 from tools.check_oracle import _rows_to_multiset
 
 GOLDEN_QUERIES = (
+    # bit-stable by construction (pinned first, r7 verdict item 3)
     "text_fingerprint",
     "dedup_simhash",
     "embed_pca",
     "tokenizer_bpe_train",
+    # sketch / ANN / composed tiers — probe-verified bit-stable (r8)
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "dedup_embedding_ann",
+    "dedup_near_minhash",
+    "dedup_pipeline_scale",
+    "events_rolling_distinct_hll",
+    "sim_ann_ivf",
+    "sim_ann_ivf_search",
+    "sim_ann_lsh",
 )
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GOLDEN_PATH = os.path.join(_REPO, "tests", "golden_hashes.json")
