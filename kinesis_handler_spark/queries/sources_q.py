@@ -429,9 +429,9 @@ def source_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the interchange format of the B2B/ERP systems most likely to feed
     a routing engine like the reference's; Spark 4 folds the
     spark-xml package into the core, so the connector needs no extra
-    deployment (unlike avro, whose module is not shipped in this
-    environment -- documented env-blocked, same class as the Kinesis
-    jar).  The writer escapes markup entities and omits NULL fields;
+    deployment (avro's module is NOT shipped here, so that format got a
+    hand-rolled spec-exact codec instead -- `source_avro_scan`; the
+    Kinesis jar remains the one env-blocked seam).  The writer escapes markup entities and omits NULL fields;
     the schema-first reader restores omitted elements as NULL, so the
     round-trip is value-exact including doubles (shortest
     round-trippable rendering, the CSV/JSON argument).  Like all text
@@ -452,4 +452,115 @@ def source_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.count("s_name").alias("n_named"),
         dec_sum("s_acctbal").alias("total_bal"),
+    )
+
+
+_AVRO_ORDERS_SPARK_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+_AVRO_ORDERS_SCHEMA = {
+    "type": "record",
+    "name": "orders",
+    "fields": [
+        {"name": "o_orderkey", "type": ["null", "long"]},
+        {"name": "o_custkey", "type": ["null", "long"]},
+        {"name": "o_orderstatus", "type": ["null", "string"]},
+        {"name": "o_totalprice", "type": ["null", "double"]},
+        {"name": "o_orderpriority", "type": ["null", "string"]},
+    ],
+}
+
+
+def _materialize_avro(df: DataFrame, sf_dir: str, name: str,
+                      n_files: int = 8) -> str:
+    """Fixture twin of ``_materialize`` for the hand-rolled Avro writer
+    (``df.write`` can't produce Avro without the absent spark-avro
+    module — writing the container bytes ourselves is the point).  Same
+    once-per-scale-factor cache and atomic-rename discipline; rows are
+    round-robined into ``n_files`` container files so the reader's
+    binaryFile scan has file-level parallelism."""
+    import os
+    import shutil
+
+    from kinesis_handler_spark.io.avro import write_container
+
+    out = _REPO_ROOT / ".fixture_cache" / Path(sf_dir).name / name
+    if not (out / "_SUCCESS").exists():
+        tmp = out.parent / f".{name}.tmp.{os.getpid()}"
+        shutil.rmtree(str(tmp), ignore_errors=True)
+        os.makedirs(str(tmp))
+        cols = df.columns
+        buckets: list[list[dict]] = [[] for _ in range(n_files)]
+        # toLocalIterator: one partition in driver memory at a time —
+        # the fixture build is a once-per-SF generator, not the
+        # connector (the READER is the connector; see io/avro.py).
+        for i, row in enumerate(df.toLocalIterator()):
+            buckets[i % n_files].append({c: row[c] for c in cols})
+        for i, rows in enumerate(buckets):
+            blob = write_container(rows, _AVRO_ORDERS_SCHEMA)
+            with open(os.path.join(str(tmp), f"part-{i:04d}.avro"), "wb") as fh:
+                fh.write(blob)
+        with open(os.path.join(str(tmp), "_SUCCESS"), "w"):
+            pass
+        if out.exists() and not (out / "_SUCCESS").exists():
+            shutil.rmtree(str(out), ignore_errors=True)
+        try:
+            os.rename(str(tmp), str(out))
+        except OSError:
+            shutil.rmtree(str(tmp), ignore_errors=True)
+    return str(out)
+
+
+@query(
+    "source_avro_scan",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           COUNT(o_custkey) AS n_cust,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def source_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro source connector WITHOUT the spark-avro module (r7 "What's
+    missing" item 3, previously documented env-blocked): orders
+    round-trips parquet → hand-rolled Avro Object Container Files
+    (``io/avro.py`` — zigzag-varint longs, UTF-8 strings, IEEE doubles,
+    raw-DEFLATE blocks, md5 sync markers, per the public Avro spec) →
+    ``binaryFile`` scan + ``mapInPandas`` decode → per-priority
+    aggregate against the parquet-backed oracle.  A hash match proves
+    the full write→read round trip is value-exact, including doubles
+    (bit-copied, not rendered) and NULLs (``["null", prim]`` union
+    branches).  Scale shape: decode is FILE-parallel on executors
+    (one container per task, bytes never on the driver); like every
+    text/interchange source there is no row-group pushdown — parquet
+    and ORC stay the columnar performance formats; Avro is the
+    schema-first streaming interchange class (the reference's Kinesis
+    world is where Avro corpora come from).  Corrupt containers (bad
+    magic, sync mismatch, unknown codec, truncation) raise ValueError —
+    the dead-letter contract, pytest-pinned in
+    ``tests/test_sources_sinks.py``."""
+    from kinesis_handler_spark.io.avro import read_avro
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    path = _materialize_avro(o, sf_dir, "orders_avro")
+    df = read_avro(spark, path, _AVRO_ORDERS_SPARK_SCHEMA)
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("n_cust"),
+        F.min("o_orderkey").alias("min_key"),
+        dec_sum("o_totalprice").alias("total_price"),
     )

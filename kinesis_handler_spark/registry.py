@@ -158,15 +158,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # green and yields its slots.  This block is the unedited output of
 # ``tools/rotate_tiers.py --write`` — pure stalest-first, capped at
 # exactly 50 (the r7 front held 56 by hand-editing; the driver only
-# checks 50, so the overflow is gone per ADVICE.md).  Head slot: the
-# one NEW r8 oracle-backed query (multimodal_decode_jpeg — rule 1,
-# never checked).  Then it delivers every rotation promised in the r7
-# comments: all 17 r3/r4-green UNCHANGED queries that yielded their
-# slots to the r7 waves are back in the top 23, followed by the rest
-# of the r4 tier and the oldest r5 greens — after this round no
-# oracle-backed query has pre-r5 evidence.
+# checks 50, so the overflow is gone per ADVICE.md).  Head slots: the
+# two NEW r8 oracle-backed queries (multimodal_decode_jpeg,
+# source_avro_scan — rule 1, never checked).  Then it delivers every
+# rotation promised in the r7 comments: all 17 r3/r4-green UNCHANGED
+# queries that yielded their slots to the r7 waves are back in the top
+# 24, followed by the rest of the r4 tier and the oldest r5 greens —
+# after this round no oracle-backed query has pre-r5 evidence.
 _FRONT = [
     "multimodal_decode_jpeg",  # NEVER GREEN
+    "source_avro_scan",  # NEVER GREEN
     "reshape_unpivot",  # last green r3
     "agg_histogram",  # last green r3
     "window_time_slide",  # last green r3
@@ -215,7 +216,6 @@ _FRONT = [
     "join_scalar_subquery",  # last green r5
     "text_ngram_bigrams",  # last green r5
     "embed_vector_stats",  # last green r5
-    "dedup_keep_latest",  # last green r5
 ]
 
 

@@ -176,3 +176,87 @@ def test_binaryfile_source_ingests_media_blobs(spark, tmp_path):
     # decode one read-back blob end-to-end: still a valid WAV
     rate, channels, samples = decode_wav(bytes(rows[0]["content"]))
     assert rate > 0 and channels == 1 and len(samples) > 0
+
+
+def test_avro_container_round_trip_and_dead_letter(spark, sf_dir, tmp_path):
+    """The hand-rolled Avro OCF codec (io/avro.py): value-exact
+    write->read round trip through the DISTRIBUTED reader (binaryFile +
+    mapInPandas), and the dead-letter contract on corrupt containers."""
+    import math
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from kinesis_handler_spark.io.avro import (
+        decode_container,
+        read_avro,
+        write_container,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "x", "type": ["null", "double"]},
+        ],
+    }
+    rows = [
+        {"k": 1, "s": "a", "x": 1.5},
+        {"k": -(2**62), "s": None, "x": float("nan")},
+        {"k": 2**62, "s": "ü≠🎉", "x": -0.0},
+        {"k": 0, "s": "", "x": None},
+    ]
+    avro_dir = tmp_path / "avro"
+    avro_dir.mkdir()
+    (avro_dir / "part-0000.avro").write_bytes(write_container(rows, schema))
+    spark_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("x", T.DoubleType()),
+        ]
+    )
+    back = sorted(
+        read_avro(spark, str(avro_dir), spark_schema).collect(),
+        key=lambda r: r["k"],
+    )
+    want = sorted(rows, key=lambda r: r["k"])
+    assert len(back) == len(want)
+    for got, exp in zip(back, want):
+        assert got["k"] == exp["k"] and got["s"] == exp["s"]
+        if exp["x"] is not None and math.isnan(exp["x"]):
+            # NaN folds to NULL at the pandas->Arrow boundary (pyarrow
+            # from_pandas semantics) — the engine's documented
+            # NULL-as-undecodable rule for non-finite doubles.
+            assert got["x"] is None
+        else:
+            assert got["x"] == exp["x"]  # bit-copied doubles, incl. -0.0
+    # the PURE decode layer preserves NaN bit-exactly (the fold is the
+    # Spark boundary's, not the codec's)
+    _, pure = decode_container(write_container(rows, schema))
+    assert math.isnan([r["x"] for r in pure if r["k"] == -(2**62)][0])
+
+    # dead-letter contract: malformed containers raise ValueError
+    good = write_container(rows, schema)
+    with pytest.raises(ValueError, match="bad magic"):
+        decode_container(b"PAR1" + good[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_container(good[:30])
+    corrupt = bytearray(good)
+    corrupt[-1] ^= 0xFF  # last sync-marker byte
+    with pytest.raises(ValueError, match="sync marker mismatch"):
+        decode_container(bytes(corrupt))
+    # unknown codec is a structural error, not silent garbage
+    bad_codec = write_container(rows, schema).replace(
+        b"deflate", b"snappyy", 1
+    )
+    with pytest.raises(ValueError, match="unsupported codec"):
+        decode_container(bad_codec)
+    # a schema outside the supported subset is rejected up front
+    with pytest.raises(ValueError, match="unsupported Avro"):
+        write_container(
+            [], {"type": "record", "name": "t",
+                 "fields": [{"name": "m", "type": {"type": "map"}}]}
+        )
