@@ -269,6 +269,22 @@ def read_avro(spark: SparkSession, path: str, spark_schema) -> DataFrame:
     NULL-as-undecodable; NaN parity out of scope); ``decode_container``
     itself preserves NaN bit-exactly for non-Spark callers."""
     names = [f.name for f in spark_schema.fields]
+    # Integer columns MUST cross the pandas->Arrow boundary as pandas
+    # NULLABLE integer extension arrays: a plain list with a None in it
+    # infers float64, which silently corrupts ids above 2^53 and
+    # overflows outright near 2^63 (the registry's chaos-twin rule;
+    # the extreme-keys twin has both).  Booleans likewise ("boolean"
+    # dtype); doubles may stay float64 (None->NaN->null is the
+    # documented non-finite fold); strings/bytes stay object.
+    dtypes = {}
+    for f in spark_schema.fields:
+        t = f.dataType.simpleString()
+        if t == "bigint":
+            dtypes[f.name] = "Int64"
+        elif t == "int":
+            dtypes[f.name] = "Int32"
+        elif t == "boolean":
+            dtypes[f.name] = "boolean"
     bf = spark.read.format("binaryFile").load(f"{path}/*.avro")
 
     def decode(batches):
@@ -280,7 +296,14 @@ def read_avro(spark: SparkSession, path: str, spark_schema) -> DataFrame:
                         f"Avro schema fields {cols} != expected {names}"
                     )
                 yield pd.DataFrame(
-                    {n: [row[n] for row in rows] for n in cols}
+                    {
+                        n: pd.array(
+                            [row[n] for row in rows], dtype=dtypes[n]
+                        )
+                        if n in dtypes
+                        else [row[n] for row in rows]
+                        for n in cols
+                    }
                 )
 
     return bf.select("content").mapInPandas(decode, spark_schema)
