@@ -153,69 +153,66 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   2. oracle-backed queries by last-green round ascending (stalest first);
 #   3. rows-only queries never occupy a verdict slot (no hash check).
 # Everything past _FRONT follows in registration order via _driver_order.
-# Round-8 rotation (VERDICT.md r7 "Next round" item 2): CORRECTNESS_r07
-# came back 50/50 clean, so the entire r7 never-checked tier is now
-# green and yields its slots.  This block is the unedited output of
-# ``tools/rotate_tiers.py --write`` — pure stalest-first, capped at
-# exactly 50 (the r7 front held 56 by hand-editing; the driver only
-# checks 50, so the overflow is gone per ADVICE.md).  Head slots: the
-# two NEW r8 oracle-backed queries (multimodal_decode_jpeg,
-# source_avro_scan — rule 1, never checked).  Then it delivers every
-# rotation promised in the r7 comments: all 17 r3/r4-green UNCHANGED
-# queries that yielded their slots to the r7 waves are back in the top
-# 24, followed by the rest of the r4 tier and the oldest r5 greens —
-# after this round no oracle-backed query has pre-r5 evidence.
+# Round-9 rotation (VERDICT.md r8 "Next round" item 1): CORRECTNESS_r08
+# came back 50/50 clean — the whole r8 front (incl. the two
+# never-checked r8 additions multimodal_decode_jpeg / source_avro_scan)
+# is now green and yields its slots.  This block is the unedited output
+# of ``tools/rotate_tiers.py --write`` — pure stalest-first, exactly 50.
+# With no never-green queries left, the front is the entire remaining
+# r5 tier (26 queries) followed by the oldest r6 greens (24 of 32) —
+# after this round no oracle-backed query has pre-r6 evidence, and the
+# stalest tier left for r10 is the 8 remaining r6 greens.
 _FRONT = [
-    "multimodal_decode_jpeg",  # NEVER GREEN
-    "source_avro_scan",  # NEVER GREEN
-    "reshape_unpivot",  # last green r3
-    "agg_histogram",  # last green r3
-    "window_time_slide",  # last green r3
-    "window_rank_topn",  # last green r3
-    "topk_per_group",  # last green r3
-    "multimodal_header_parse",  # last green r4
-    "multimodal_decode_bmp",  # last green r4
-    "multimodal_decode_wav",  # last green r4
-    "sample_hash_stratified",  # last green r4
-    "events_anomaly_zscore",  # last green r4
-    "pipeline_corpus_prep",  # last green r4
-    "join_returns_by_customer",  # last green r4
-    "fuzzy_match_blocked",  # last green r4
-    "agg_custdist",  # last green r4
-    "join_inactive_rich_customers",  # last green r4
-    "text_tfidf_topterms",  # last green r4
-    "text_quality_score",  # last green r4
-    "text_lang_profile",  # last green r4
-    "dedup_near_jaccard",  # last green r4
-    "sim_cosine_topk",  # last green r4
-    "multimodal_binary_meta",  # last green r4
-    "udf_transformer",  # last green r4
-    "udaf_grouped_pandas",  # last green r4
-    "multimodal_features",  # last green r4
-    "embed_quantize",  # last green r4
-    "embed_random_projection",  # last green r4
-    "text_chunk_overlap",  # last green r4
-    "text_repetition_ratio",  # last green r4
-    "join_agg_topk",  # last green r4
-    "agg_having_join_back",  # last green r4
-    "sql_window_topn",  # last green r4
-    "scalar_regex_redact",  # last green r4
-    "set_except_all",  # last green r4
-    "source_orc_scan",  # last green r4
-    "source_range_spine",  # last green r4
-    "agg_min_max_by",  # last green r4
-    "agg_bool_conditional",  # last green r4
-    "window_range_interval",  # last green r4
-    "events_funnel",  # last green r4
-    "events_retention",  # last green r4
-    "text_token_bpe",  # last green r5
-    "contamination_ngram_overlap",  # last green r5
-    "text_entropy",  # last green r5
-    "text_unigram_logloss",  # last green r5
-    "agg_median_mode",  # last green r5
-    "join_scalar_subquery",  # last green r5
-    "text_ngram_bigrams",  # last green r5
-    "embed_vector_stats",  # last green r5
+    "dedup_keep_latest",  # last green r5
+    "dedup_embedding_cosine",  # last green r5
+    "multimodal_decode_png",  # last green r5
+    "multimodal_resize",  # last green r5
+    "scan_filter_project",  # last green r5
+    "filter_pushdown_dates",  # last green r5
+    "agg_count_distinct",  # last green r5
+    "agg_count_distinct_salted",  # last green r5
+    "join_left_outer",  # last green r5
+    "join_full_outer",  # last green r5
+    "join_semi",  # last green r5
+    "join_anti",  # last green r5
+    "join_range_theta",  # last green r5
+    "validate_predicate",  # last green r5
+    "source_partitioned_scan",  # last green r5
+    "agg_order_priority_exists",  # last green r5
+    "agg_value_share",  # last green r5
+    "join_top_revenue_supplier",  # last green r5
+    "agg_supplier_cnt",  # last green r5
+    "join_large_orders",  # last green r5
+    "join_sole_blame_supplier",  # last green r5
+    "join_min_price_supplier",  # last green r5
+    "sql_correlated_subqueries",  # last green r5
+    "events_rolling_distinct",  # last green r5
+    "window_frame_exclude",  # last green r5
+    "join_dominant_supplier",  # last green r5
+    "text_heavy_hitters",  # last green r6
+    "text_stats",  # last green r6
+    "text_normalize",  # last green r6
+    "dedup_components",  # last green r6
+    "window_first_last",  # last green r6
+    "window_time_bucket",  # last green r6
+    "events_transition",  # last green r6
+    "project_compute",  # last green r6
+    "agg_global",  # last green r6
+    "agg_groupby_pricing",  # last green r6
+    "agg_rollup",  # last green r6
+    "agg_cube",  # last green r6
+    "agg_grouping_sets",  # last green r6
+    "agg_filtered_pivot",  # last green r6
+    "join_inner_equi",  # last green r6
+    "join_broadcast_dims",  # last green r6
+    "join_exists_correlated",  # last green r6
+    "agg_distinct_multi",  # last green r6
+    "join_null_safe",  # last green r6
+    "profile_table",  # last green r6
+    "route_case_tag",  # last green r6
+    "scalar_string",  # last green r6
+    "scalar_math",  # last green r6
+    "scalar_array",  # last green r6
 ]
 
 

@@ -7,22 +7,13 @@ from __future__ import annotations
 
 from kinesis_handler_spark.registry import _FRONT, QUERIES, all_queries
 
-# Round-7 one-time exception (same mechanism r5/r6 used): dedup_simhash
-# is rows-only but its plan was re-banded in round 6 (distinct-
-# fingerprint banding after the sf1 probe caught a quadratic bucket) and
-# its only driver rows evidence predates that — VERDICT r6 item 2
-# explicitly asks for fresh rows evidence.  It occupies one front-50
-# slot THIS round; the next rotation pushes it back behind the
-# oracle-backed queries automatically.  (r6's two cold-exec exceptions
-# got their evidence in CORRECTNESS_r06.json and rotated out.)
-ROWS_ONLY_COLD_EXEC = {
-    "dedup_simhash",
-    # New in round 7, never driver-checked, and no SQL oracle can exist
-    # (iterative eigendecomposition / merge loop): take the one-time
-    # never-checked rows-evidence slot this round, rotate out next.
-    "embed_pca",
-    "tokenizer_bpe_train",
-}
+# One-time exceptions for rows-only queries that need fresh driver rows
+# evidence (a plan re-band or a brand-new operator with no SQL oracle)
+# may be added here for a single round; the r7 trio (dedup_simhash,
+# embed_pca, tokenizer_bpe_train) got its evidence in r7/r8 and rotated
+# out, so the guard is strict again: rows-only queries NEVER occupy a
+# verdict slot.
+ROWS_ONLY_COLD_EXEC: set[str] = set()
 
 
 def test_front_entries_are_registered_and_unique():
