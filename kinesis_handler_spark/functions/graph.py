@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kinesis_handler_spark.functions.lineage import truncate
+from kinesis_handler_spark.functions.lineage import truncate_loop
 
 
 def _fingerprint(edges: DataFrame) -> tuple[int, int]:
@@ -104,17 +104,17 @@ def star_connected_components(
         edges.select(F.col("u").alias("doc_id"))
         .union(edges.select(F.col("v").alias("doc_id")))
         .distinct()
-        .transform(truncate)
+        .transform(truncate_loop)
     )
     cur = (
         edges.filter(F.col("u") != F.col("v"))
         .select("u", "v")
         .distinct()
-        .transform(truncate)
+        .transform(truncate_loop)
     )
     prev_fp = _fingerprint(cur)
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(cur)).transform(truncate)
+        nxt = _small_star(_large_star(cur)).transform(truncate_loop)
         fp = _fingerprint(nxt)
         cur = nxt
         if fp == prev_fp:

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_handler_spark.functions.lineage import truncate
+from kinesis_handler_spark.functions.lineage import truncate, truncate_loop
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
 
@@ -77,9 +77,9 @@ def pagerank_fixed_point(
     deg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).cast("bigint").alias("out_deg"))
-        .transform(truncate)
+        .transform(truncate_loop)
     )
-    e = edges.join(deg, "src").transform(truncate)
+    e = edges.join(deg, "src").transform(truncate_loop)
     ranks = deg.select(
         "src", F.lit(int(scale)).cast("bigint").alias("r")
     )
@@ -102,7 +102,7 @@ def pagerank_fixed_point(
                     )
                 ).cast("bigint").alias("r"),
             )
-            .transform(truncate)
+            .transform(truncate_loop)
         )
     return deg.join(ranks, "src").select(
         F.col("src").alias("node"), "out_deg", F.col("r").alias("rank_fp")

@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kinesis_handler_spark.functions.lineage import truncate
+from kinesis_handler_spark.functions.lineage import truncate, truncate_loop
 from kinesis_handler_spark.functions.text import normalize_text, word_ngrams
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
@@ -795,7 +795,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _jaccard_pair_frame(spark, sf_dir).select("doc_a", "doc_b")
     fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     rev = pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-    edges = fwd.union(rev).transform(lambda d: truncate(d, eager=True))
+    edges = fwd.union(rev).transform(lambda d: truncate_loop(d, eager=True))
     labels = (
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
@@ -822,7 +822,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lazy checkpoint: materialized once by round 1's count, then shared
     # by BOTH the hop chain and the convergence compare-join (without it
     # the compare branch would recompute the whole 4-hop chain).
-    labels = _hop(_hop(_hop(_hop(labels)))).transform(truncate)
+    labels = _hop(_hop(_hop(_hop(labels)))).transform(truncate_loop)
     for _ in range(25):  # safeguard; real bound is diameter(G)/2 rounds
         # two propagation hops per convergence check (labels move two
         # edges per round — half the checkpoint/count actions); the
@@ -832,7 +832,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             _hop(_hop(labels))
             .withColumnRenamed("label", "new_label")
             .join(labels, "doc_id")
-            .transform(truncate)
+            .transform(truncate_loop)
         )
         changed = (
             new_labels.filter(F.col("new_label") != F.col("label"))

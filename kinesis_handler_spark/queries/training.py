@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kinesis_handler_spark.functions.lineage import truncate
+from kinesis_handler_spark.functions.lineage import truncate_loop
 from kinesis_handler_spark.functions.text import word_ngrams
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
@@ -666,8 +666,12 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: BPE training rounds.  Each round is one bounded shuffle over the
 #: DISTINCT-WORD table (vocab-sized, never corpus-sized) plus a one-row
 #: argmax collect — the same bounded-driver-artifact contract as the
-#: IVF centroids.
-_BPE_ROUNDS = 12
+#: IVF centroids.  64 rounds (r8 verdict item 6 — past demo size): the
+#: per-round cost stays flat because every round's input is the
+#: truncated vocab frame, never the corpus and never rounds 1..N-1's
+#: plans (pinned by tests/test_training_ops.py::
+#: test_tokenizer_bpe_per_round_cost_is_flat).
+_BPE_ROUNDS = 64
 _BPE_END = "</w>"
 
 
@@ -710,7 +714,7 @@ def _bpe_reference(word_freqs, rounds=_BPE_ROUNDS):
 @query("tokenizer_bpe_train")  # rows-only: iterative argmax, not SQL
 def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTED BPE tokenizer training (Sennrich et al. 2016): learn
-    the first 12 merge rules from the corpus — the op that turns a raw
+    the first 64 merge rules from the corpus — the op that turns a raw
     corpus into the tokenizer the rest of the pipeline counts tokens
     with.  Output is the ordered merge table (rank, left, right,
     merged, support).
@@ -750,7 +754,7 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cur = words.mapInPandas(
         symbolize, "sym array<string>, freq bigint"
-    ).transform(truncate)
+    ).transform(truncate_loop)
 
     pair_struct = F.transform(
         F.sequence(F.lit(0), F.size("sym") - 2),
@@ -796,7 +800,7 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur = cur.select(
             merged_sym.alias("sym"), "freq"
-        ).transform(truncate)
+        ).transform(truncate_loop)
 
     return spark.createDataFrame(
         merges,

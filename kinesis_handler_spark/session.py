@@ -51,6 +51,13 @@ def get_spark(
         # read as long and convert in tables.table (micros truncation
         # matches DuckDB's ns→us behavior).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Reliable checkpoints (functions/lineage.truncate) are only
+        # written when a checkpoint dir is configured; when one is, let
+        # the ContextCleaner delete checkpoint data once the frame is
+        # GC'd — otherwise every truncation in an iterative loop
+        # (components ~25 rounds, pagerank, BPE merges) leaks
+        # O(rounds × frame size) of durable storage.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # Quieter driver logs.
         .config("spark.ui.showConsoleProgress", "false")
     )
@@ -98,6 +105,10 @@ def cluster_conf(
         "spark.sql.autoBroadcastJoinThreshold": "64m",
         # runtime bloom-filter semi-join reduction (tests/test_runtime_filter.py)
         "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # lineage.truncate uses reliable checkpoint() when a checkpoint
+        # dir is set; without this, Spark never deletes checkpoint data
+        # and iterative operators leak O(rounds × frame) HDFS/S3 bytes.
+        "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
         "spark.shuffle.service.enabled": "true",
         "spark.dynamicAllocation.enabled": "true",
         "spark.dynamicAllocation.maxExecutors": str(executors),

@@ -69,6 +69,49 @@ def test_truncate_mode_follows_checkpoint_dir(spark, tmp_path):
     assert cut.count() == 10  # localCheckpoint path executed
 
 
+_TIER_PROBE = """
+import os, sys
+from kinesis_handler_spark.session import get_spark
+from kinesis_handler_spark.functions.lineage import truncate, truncate_loop
+
+ckpt = sys.argv[1]
+spark = get_spark("ckpt-tier-probe", cpus=2, shuffle_partitions=2)
+spark.sparkContext.setLogLevel("ERROR")
+spark.sparkContext.setCheckpointDir(ckpt)
+
+def files():
+    return sum(len(fs) for _, _, fs in os.walk(ckpt))
+
+one_shot = truncate(spark.range(100), eager=True)
+assert one_shot.count() == 100
+print("one_shot_files", files())
+loop = truncate_loop(spark.range(100), eager=True)
+assert loop.count() == 100
+print("loop_files", files())
+"""
+
+
+def test_one_shot_truncate_never_pays_a_reliable_write(tmp_path):
+    """ADVICE r8: one-shot reuse barriers must stay localCheckpoint even
+    when a checkpoint dir is configured — only loop-tier truncations
+    (truncate_loop) write durable checkpoint data."""
+    out = subprocess.run(
+        [sys.executable, "-c", _TIER_PROBE, str(tmp_path / "ck")],
+        capture_output=True,
+        text=True,
+        env={**os.environ, "PYTHONPATH": _REPO},
+        cwd=_REPO,
+        timeout=300,
+        check=True,
+    )
+    stats = dict(
+        ln.split() for ln in out.stdout.splitlines()
+        if ln.startswith(("one_shot_files", "loop_files"))
+    )
+    assert stats["one_shot_files"] == "0", stats
+    assert int(stats["loop_files"]) > 0, stats
+
+
 def test_iterative_results_identical_in_both_modes(sf_dir, tmp_path):
     local_mode = _run_probe(sf_dir, "-")
     ckpt = tmp_path / "reliable_ckpt"
