@@ -34,6 +34,7 @@ import json
 import struct
 import zlib
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -262,21 +263,22 @@ def read_avro(spark: SparkSession, path: str, spark_schema) -> DataFrame:
     caller supplies the expected Spark schema (explicit schemas
     everywhere; inference is a banned extra pass).
 
-    NaN note: a float64 pandas column cannot distinguish NaN from NULL,
-    and pyarrow's ``from_pandas`` maps NaN to null — so an Avro double
-    NaN surfaces as NULL through this boundary.  That matches the
-    engine's documented semantics for non-finite doubles (registry.py:
-    NULL-as-undecodable; NaN parity out of scope); ``decode_container``
-    itself preserves NaN bit-exactly for non-Spark callers."""
+    NaN note (ADVICE r8): a plain float64 pandas column cannot
+    distinguish NaN from NULL (``from_pandas`` folds NaN to null), so
+    double columns are built as MASKED ``FloatingArray``s — the mask
+    marks only true Avro nulls, and a NaN double survives the Arrow
+    boundary as a NaN VALUE.  After ingest, COUNT(col) and
+    null-sensitive aggregates match the source data exactly."""
     names = [f.name for f in spark_schema.fields]
     # Integer columns MUST cross the pandas->Arrow boundary as pandas
     # NULLABLE integer extension arrays: a plain list with a None in it
     # infers float64, which silently corrupts ids above 2^53 and
     # overflows outright near 2^63 (the registry's chaos-twin rule;
     # the extreme-keys twin has both).  Booleans likewise ("boolean"
-    # dtype); doubles may stay float64 (None->NaN->null is the
-    # documented non-finite fold); strings/bytes stay object.
+    # dtype); doubles/floats use masked FloatingArrays (see NaN note);
+    # strings/bytes stay object.
     dtypes = {}
+    float_cols = {}
     for f in spark_schema.fields:
         t = f.dataType.simpleString()
         if t == "bigint":
@@ -285,6 +287,17 @@ def read_avro(spark: SparkSession, path: str, spark_schema) -> DataFrame:
             dtypes[f.name] = "Int32"
         elif t == "boolean":
             dtypes[f.name] = "boolean"
+        elif t == "double":
+            float_cols[f.name] = "float64"
+        elif t == "float":
+            float_cols[f.name] = "float32"
+
+    def _masked_float(vals: list, np_dtype: str):
+        mask = np.array([v is None for v in vals], dtype=bool)
+        data = np.array(
+            [0.0 if v is None else v for v in vals], dtype=np_dtype
+        )
+        return pd.arrays.FloatingArray(data, mask)
     bf = spark.read.format("binaryFile").load(f"{path}/*.avro")
 
     def decode(batches):
@@ -297,11 +310,17 @@ def read_avro(spark: SparkSession, path: str, spark_schema) -> DataFrame:
                     )
                 yield pd.DataFrame(
                     {
-                        n: pd.array(
-                            [row[n] for row in rows], dtype=dtypes[n]
+                        n: (
+                            pd.array(
+                                [row[n] for row in rows], dtype=dtypes[n]
+                            )
+                            if n in dtypes
+                            else _masked_float(
+                                [row[n] for row in rows], float_cols[n]
+                            )
+                            if n in float_cols
+                            else [row[n] for row in rows]
                         )
-                        if n in dtypes
-                        else [row[n] for row in rows]
                         for n in cols
                     }
                 )

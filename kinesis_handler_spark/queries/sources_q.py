@@ -515,6 +515,15 @@ def _materialize_avro(df: DataFrame, sf_dir: str, name: str,
             os.rename(str(tmp), str(out))
         except OSError:
             shutil.rmtree(str(tmp), ignore_errors=True)
+        # The except arm is only legitimate when a concurrent builder
+        # won the rename race; any OTHER OSError (cross-device rename,
+        # permissions) would otherwise surface later as a confusing
+        # binaryFile read error on a missing directory (ADVICE r8).
+        if not (out / "_SUCCESS").exists():
+            raise RuntimeError(
+                f"avro fixture {out} was not produced — rename failed "
+                "and no concurrent builder completed it"
+            )
     return str(out)
 
 

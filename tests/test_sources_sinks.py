@@ -227,14 +227,16 @@ def test_avro_container_round_trip_and_dead_letter(spark, sf_dir, tmp_path):
     for got, exp in zip(back, want):
         assert got["k"] == exp["k"] and got["s"] == exp["s"]
         if exp["x"] is not None and math.isnan(exp["x"]):
-            # NaN folds to NULL at the pandas->Arrow boundary (pyarrow
-            # from_pandas semantics) — the engine's documented
-            # NULL-as-undecodable rule for non-finite doubles.
-            assert got["x"] is None
+            # ADVICE r8: NaN must SURVIVE ingest as a value — the reader
+            # builds double columns as masked FloatingArrays so only
+            # true Avro nulls become NULL, and NaN stays distinguishable
+            # (COUNT(x) and null-sensitive aggregates match the source).
+            assert got["x"] is not None and math.isnan(got["x"])
         else:
             assert got["x"] == exp["x"]  # bit-copied doubles, incl. -0.0
-    # the PURE decode layer preserves NaN bit-exactly (the fold is the
-    # Spark boundary's, not the codec's)
+    # true null stays null (the mask marks it, not NaN-folding)
+    assert [r["x"] for r in back if r["k"] == 0] == [None]
+    # the PURE decode layer preserves NaN bit-exactly too
     _, pure = decode_container(write_container(rows, schema))
     assert math.isnan([r["x"] for r in pure if r["k"] == -(2**62)][0])
 
