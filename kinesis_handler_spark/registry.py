@@ -157,12 +157,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # came back 50/50 clean — the whole r8 front (incl. the two
 # never-checked r8 additions multimodal_decode_jpeg / source_avro_scan)
 # is now green and yields its slots.  This block is the unedited output
-# of ``tools/rotate_tiers.py --write`` — pure stalest-first, exactly 50.
-# With no never-green queries left, the front is the entire remaining
-# r5 tier (26 queries) followed by the oldest r6 greens (24 of 32) —
-# after this round no oracle-backed query has pre-r6 evidence, and the
-# stalest tier left for r10 is the 8 remaining r6 greens.
+# of ``tools/rotate_tiers.py --write`` — exactly 50: the ONE
+# never-green query first (multimodal_decode_video, NEW in r9 — rule
+# 1), then pure stalest-first: the entire remaining r5 tier (26
+# queries) followed by the oldest r6 greens (23 of 32) — after this
+# round no oracle-backed query has pre-r6 evidence, and the stalest
+# tier left for r10 is the 9 remaining r6 greens.
 _FRONT = [
+    "multimodal_decode_video",  # NEVER GREEN
     "dedup_keep_latest",  # last green r5
     "dedup_embedding_cosine",  # last green r5
     "multimodal_decode_png",  # last green r5
@@ -212,7 +214,6 @@ _FRONT = [
     "route_case_tag",  # last green r6
     "scalar_string",  # last green r6
     "scalar_math",  # last green r6
-    "scalar_array",  # last green r6
 ]
 
 

@@ -384,6 +384,26 @@ def test_jpeg_decode_rejects_corruption():
     broken[good.index(b"\xff\xc0") + 11] = 0x22
     with _pytest.raises(ValueError, match="subsampled"):
         decode_jpeg(bytes(broken))
+    # ADVICE r8: malformed segments must surface as the dead-letter
+    # ValueError, never as struct.error / IndexError.
+    sof = good.index(b"\xff\xc0")
+    # SOF0 whose declared length covers <6 payload bytes
+    short_sof = good[:sof] + b"\xff\xc0\x00\x05" + good[sof + 4 : sof + 7]
+    with _pytest.raises(ValueError):
+        decode_jpeg(short_sof + good[sof + 7 :])
+    # SOF0 declaring 3 components but with the component list cut:
+    # shrink the declared seglen so the comps slice runs short
+    cut = bytearray(good)
+    cut[sof + 2 : sof + 4] = (8 + 2).to_bytes(2, "big")  # 6 hdr + 1 comp
+    with _pytest.raises(ValueError, match="SOF0"):
+        decode_jpeg(bytes(cut))
+    # DHT whose BITS counts exceed the HUFFVAL bytes present
+    dht = good.index(b"\xff\xc4")
+    (dht_len,) = __import__("struct").unpack(">H", good[dht + 2 : dht + 4])
+    bad_dht = bytearray(good)
+    bad_dht[dht + 5] = 0xFF  # bits[0]=255 values, far beyond the segment
+    with _pytest.raises(ValueError, match="HUFFVAL"):
+        decode_jpeg(bytes(bad_dht))
 
 
 def test_decode_and_featurize_real_jpeg_no_fake(spark, sf_dir):
@@ -415,4 +435,163 @@ def test_decode_and_featurize_real_jpeg_no_fake(spark, sf_dir):
     for mid, r in rows.items():
         _w, _h, _n, px = decode_jpeg(raw[mid])
         expect = [float(px[:, :, c].mean()) / 255.0 for c in range(3)]
+        assert np.allclose(r["feature"], expect)
+
+
+def test_avi_mjpeg_round_trip_and_metadata():
+    """MJPEG-AVI container codec (r8 verdict item 4): the RIFF walk
+    recovers geometry, timing and every frame, and each frame decodes
+    through the full baseline-JPEG pipeline to the seeded coefficient
+    formulas."""
+    from kinesis_handler_spark.io.multimodal import (
+        VIDEO_FRAME_SEED_STEP,
+        VIDEO_USEC_PER_FRAME,
+        _jpeg_dc,
+        _jpeg_dims,
+        _decode_jpeg_impl,
+        _video_n_frames,
+        decode_avi_mjpeg,
+        encode_avi_mjpeg_fixture,
+        encode_jpeg_fixture,
+    )
+
+    for doc_id in (0, 5, 42, 255, 100000007):
+        d0 = doc_id % 256
+        wb, hb = _jpeg_dims(d0)
+        blob = encode_avi_mjpeg_fixture(doc_id)
+        w, h, usec, frames = decode_avi_mjpeg(blob)
+        assert (w, h) == (8 * wb, 8 * hb)
+        assert usec == VIDEO_USEC_PER_FRAME
+        assert len(frames) == _video_n_frames(d0)
+        for f, payload in enumerate(frames):
+            fw, fh, ncomp, _px, coeffs = _decode_jpeg_impl(payload)
+            assert (fw, fh, ncomp) == (w, h, 3)
+            df = (d0 + VIDEO_FRAME_SEED_STEP * (f + 1)) % 256
+            # every DC coefficient matches the seed formula — the
+            # lossless layers round-tripped through the container
+            for comp in range(3):
+                for blk in range(wb * hb):
+                    assert coeffs[comp][blk][0] == _jpeg_dc(df, comp, blk)
+    # a frame is a *plain* baseline JPEG: byte-identical to the still
+    # generator at the same seed/dims when dims coincide
+    d0 = 4  # _jpeg_dims(4) == _jpeg_dims((4 + 37) % 256)?  assert inside
+    still_seed = (d0 + VIDEO_FRAME_SEED_STEP) % 256
+    if _jpeg_dims(still_seed) == _jpeg_dims(d0):
+        _w, _h, _u, frames = decode_avi_mjpeg(encode_avi_mjpeg_fixture(d0))
+        assert frames[0] == encode_jpeg_fixture(still_seed)
+
+
+def test_avi_mjpeg_rejects_corruption():
+    import struct
+
+    import pytest as _pytest
+
+    from kinesis_handler_spark.io.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg_fixture,
+    )
+
+    good = encode_avi_mjpeg_fixture(9)
+    assert decode_avi_mjpeg(good)[3]
+    with _pytest.raises(ValueError, match="bad magic"):
+        decode_avi_mjpeg(b"")
+    with _pytest.raises(ValueError, match="bad magic"):
+        decode_avi_mjpeg(b"\xff\xd8" + good)
+    with _pytest.raises(ValueError, match="truncated RIFF"):
+        decode_avi_mjpeg(good[:40])
+    with _pytest.raises(ValueError, match="not an AVI"):
+        decode_avi_mjpeg(good[:8] + b"WAVE" + good[12:])
+    # declare a non-MJPG codec in strh
+    broken = bytearray(good)
+    at = good.index(b"vidsMJPG")
+    broken[at + 4 : at + 8] = b"H264"
+    with _pytest.raises(ValueError, match="MJPG only"):
+        decode_avi_mjpeg(bytes(broken))
+    # frame-count mismatch between avih and movi
+    broken = bytearray(good)
+    at = good.index(b"avih") + 8  # fourcc + size -> payload
+    declared = struct.unpack("<I", good[at + 16 : at + 20])[0]
+    broken[at + 16 : at + 20] = struct.pack("<I", declared + 1)
+    with _pytest.raises(ValueError, match="declares"):
+        decode_avi_mjpeg(bytes(broken))
+    # a movi chunk that is not a JPEG
+    broken = bytearray(good)
+    at = good.index(b"00dc") + 8
+    broken[at : at + 2] = b"PK"
+    with _pytest.raises(ValueError, match="no SOI"):
+        decode_avi_mjpeg(bytes(broken))
+
+
+def test_sample_frames_real_path(spark, sf_dir):
+    """sample_frames(fake=False) returns the ACTUAL JPEG payloads from
+    the MJPEG container at the sampled timestamps."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from kinesis_handler_spark.io.multimodal import (
+        decode_avi_mjpeg,
+        make_avi_media_df,
+        sample_frames,
+    )
+
+    media = make_avi_media_df(spark, sf_dir).limit(4).withColumn(
+        "meta",
+        F.struct(
+            F.lit("video/x-msvideo").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ),
+    )
+    raw = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    out = sample_frames(media, every_ms=100, max_frames=8, fake=False)
+    rows = out.collect()
+    assert rows
+    by_media: dict[int, list] = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, rs in by_media.items():
+        _w, _h, usec, payloads = decode_avi_mjpeg(raw[mid])
+        # 100 ms sampling at 10 fps = every frame, capped at 8
+        assert len(rs) == min(8, len(payloads))
+        for r in sorted(rs, key=lambda r: r["frame_idx"]):
+            src = min(int(r["ts_ms"] / (usec / 1000.0)), len(payloads) - 1)
+            assert bytes(r["frame"]) == payloads[src]
+            assert r["frame_sha256"] == hashlib.sha256(
+                payloads[src]
+            ).hexdigest()
+
+
+def test_decode_and_featurize_real_video_no_fake(spark, sf_dir):
+    """decode_and_featurize handles MJPEG-AVI WITHOUT fake=True: the
+    feature is the per-channel pixel mean across ALL frames."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kinesis_handler_spark.io.multimodal import (
+        decode_avi_mjpeg,
+        decode_jpeg,
+        make_avi_media_df,
+    )
+
+    media = make_avi_media_df(spark, sf_dir).limit(3).withColumn(
+        "meta",
+        F.struct(
+            F.lit("video/x-msvideo").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ),
+    )
+    rows = {
+        r["media_id"]: r
+        for r in decode_and_featurize(media, fake=False).collect()
+    }
+    raw = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    assert rows
+    for mid, r in rows.items():
+        _w, _h, _usec, payloads = decode_avi_mjpeg(raw[mid])
+        stack = np.stack([decode_jpeg(p)[3] for p in payloads])
+        expect = [float(stack[..., c].mean()) / 255.0 for c in range(3)]
         assert np.allclose(r["feature"], expect)
