@@ -208,3 +208,55 @@ def test_tokenizer_bpe_train_matches_python_reference(spark, sf_dir):
     # only the well-formedness facts)
     assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
     assert all(r["merged"] == r["left"] + r["right"] for r in got)
+
+
+def test_tokenizer_bpe_per_round_cost_is_flat(spark, sf_dir):
+    """r8 verdict item 6: at 64 merge rounds the per-round cost must
+    stay flat — every round's input is the TRUNCATED vocab frame, so
+    round N's plan never replays rounds 1..N-1.  Guard the mechanism
+    (plan depth), not wall-clock: time on this box swings 25-40%.
+
+    The probe re-runs the trainer's loop shape for a few rounds and
+    asserts the optimized-plan SIZE of the running frame is bounded
+    and non-growing after truncation."""
+    import pyspark.sql.functions as F
+
+    from kinesis_handler_spark.functions.lineage import truncate_loop
+    from kinesis_handler_spark.tables import table
+
+    words = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(F.split("w", "").alias("sym"), "freq")
+    )
+    cur = words.transform(truncate_loop)
+    depths = []
+    for _ in range(4):
+        # a merge-shaped per-round transformation + truncation
+        cur = cur.select(
+            F.concat(F.slice("sym", 1, 1), F.slice("sym", 2, 100)).alias(
+                "sym"
+            ),
+            "freq",
+        ).transform(truncate_loop)
+        cur.limit(1).count()  # materialize (lazy checkpoint)
+        depths.append(len(cur._jdf.queryExecution().optimizedPlan().toString()))
+    # after truncation each round's plan is the SAME constant shape: a
+    # projection over a checkpointed relation — not a growing chain
+    assert max(depths) == min(depths), depths
+
+
+def test_tokenizer_bpe_learns_64_rounds(spark, sf_dir):
+    """The lifted round count really is learned end-to-end (not capped
+    early) on the clean fixture, and ranks stay dense."""
+    from kinesis_handler_spark.queries.training import _BPE_ROUNDS
+
+    assert _BPE_ROUNDS >= 64
+    got = _rows(spark, sf_dir, "tokenizer_bpe_train")
+    # the sf0.001 vocabulary is rich enough to sustain 64 merges
+    assert len(got) == _BPE_ROUNDS, len(got)
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
