@@ -24,7 +24,14 @@ Documented as a replica in SCALE.md — the probe measures how RUNTIME
 scales with input size under a fixed plan, for which tiled data with
 disjoint keys is as good as generator output.
 
-Usage: PYTHONPATH=. python tools/make_sf1.py [out_dir]
+Usage: PYTHONPATH=. python tools/make_sf1.py [out_dir] [factor]
+``factor`` (default 1) multiplies every table's tile count: factor=3
+builds an sf3.0 corpus (30 sf0.1 tiles) for the growth-exponent probe
+(r8 verdict item 3).  Embedding dimension rotations repeat mod 4 past
+factor 1 — vec_ids stay disjoint, and the probe queries
+(graph/span/simhash) don't read embeddings, so the repetition only
+matters if an ANN query is benched at factor>1 (documented, not
+hidden).
 """
 
 from __future__ import annotations
@@ -80,7 +87,10 @@ def _tile_select(table: str, cols: list[str], strides: dict[str, int],
         elif table == "embeddings" and c == "embedding" and i > 0:
             # circular dimension rotation: norms and within-tile pairwise
             # cosines preserved exactly; cross-tile cosines decorrelate
-            r = 16 * i
+            r = 16 * (i % 4)
+            if r == 0:
+                parts.append(f'"{c}"')
+                continue
             parts.append(
                 f'embedding[{r + 1}:64] || embedding[1:{r}] AS "{c}"'
             )
@@ -89,7 +99,7 @@ def _tile_select(table: str, cols: list[str], strides: dict[str, int],
     return "SELECT " + ", ".join(parts) + f" FROM '{SRC}/{table}.parquet'"
 
 
-def build(out: str) -> None:
+def build(out: str, factor: int = 1) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for t in ("region", "nation"):
@@ -97,7 +107,8 @@ def build(out: str) -> None:
             f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO "
             f"'{out}/{t}.parquet' (FORMAT PARQUET)"
         )
-    for t, (tiles, strides) in TILED.items():
+    for t, (base_tiles, strides) in TILED.items():
+        tiles = base_tiles * factor
         cols = [
             r[0]
             for r in con.execute(
@@ -114,7 +125,7 @@ def build(out: str) -> None:
             f"SELECT count(*) FROM '{out}/{t}.parquet'"
         ).fetchone()[0]
         print(f"{t}: {n} rows")
-    print(f"sf1.0 written to {out}")
+    print(f"sf{factor}.0 written to {out}")
 
 
 if __name__ == "__main__":
@@ -122,4 +133,4 @@ if __name__ == "__main__":
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".fixture_cache", "sf1.0",
     )
-    build(out)
+    build(out, int(sys.argv[2]) if len(sys.argv) > 2 else 1)
