@@ -157,14 +157,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # came back 50/50 clean — the whole r8 front (incl. the two
 # never-checked r8 additions multimodal_decode_jpeg / source_avro_scan)
 # is now green and yields its slots.  This block is the unedited output
-# of ``tools/rotate_tiers.py --write`` — exactly 50: the ONE
-# never-green query first (multimodal_decode_video, NEW in r9 — rule
-# 1), then pure stalest-first: the entire remaining r5 tier (26
-# queries) followed by the oldest r6 greens (23 of 32) — after this
-# round no oracle-backed query has pre-r6 evidence, and the stalest
-# tier left for r10 is the 9 remaining r6 greens.
+# of ``tools/rotate_tiers.py --write`` — exactly 50: the TWO
+# never-green queries first (multimodal_decode_video and
+# merge_cow_parquet, both NEW in r9 — rule 1), then pure
+# stalest-first: the entire remaining r5 tier (26 queries) followed by
+# the oldest r6 greens (22 of 32) — after this round no oracle-backed
+# query has pre-r6 evidence, and the stalest tier left for r10 is the
+# 10 remaining r6 greens.
 _FRONT = [
     "multimodal_decode_video",  # NEVER GREEN
+    "merge_cow_parquet",  # NEVER GREEN
     "dedup_keep_latest",  # last green r5
     "dedup_embedding_cosine",  # last green r5
     "multimodal_decode_png",  # last green r5
@@ -213,7 +215,6 @@ _FRONT = [
     "profile_table",  # last green r6
     "route_case_tag",  # last green r6
     "scalar_string",  # last green r6
-    "scalar_math",  # last green r6
 ]
 
 
