@@ -207,33 +207,175 @@ def join_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-in-time as-of join: each signup event matched to the SAME
     user's temporally closest order (absolute time distance, orderkey
-    tie-break).  Equi-join on the user key then a per-event argmin
-    window — candidate volume is orders-per-user, which the data model
-    bounds (tens), so the join output is O(events × orders/user), not a
-    cross product; the window's WindowGroupLimit keeps one row per
-    event.  Time distance is exact integer microseconds on both
-    engines."""
-    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
-    o = table(spark, sf_dir, "orders")
-    joined = e.join(o, o.o_custkey == e.user_id)
+    tie-break).
+
+    SKEW-ROBUST SORT-MERGE (r9 rewrite): the original shape — equi-join
+    on the user key, then a per-event argmin window — materializes
+    O(events_per_user × orders_per_user) joined rows per user, which is
+    fine at the data model's nominal tens-of-orders-per-user but
+    detonates under a hot key: the r9 skew twin (one user owning 30% of
+    events AND orders) put ~10⁹ rows in one partition and the query ran
+    >25 min.  The rewrite is the classic as-of sort-merge instead:
+
+    1. orders collapse to one row per (user, order-date) carrying that
+       date's min orderkey (the only candidate that date can ever win
+       with — tie-break is orderkey ASC at equal distance);
+    2. dated order rows and events merge into one per-user TIMELINE
+       sorted by time (orders before events at the same instant), and
+       two linear window passes give every event its nearest order at
+       or before (running ``last``) and strictly after (reverse
+       ``first``) — per-user cost is now O((e+o)·log(e+o)) sort, not
+       e×o pairs;
+    3. the per-event winner is the closer of the two (orderkey
+       tie-break at equal distance), falling back to the user's min
+       orderkey with NULL distance when no dated order exists (all-
+       undated users, NULL event timestamps — diff is NULL exactly
+       where the join form made it NULL);
+    4. a final row_number over event_id replays the oracle's argmin
+       across duplicate event rows (dup-twin semantics: one output row
+       per event_id), over ONE candidate row per event row instead of
+       the full candidate set.
+
+    Value-identical to the join form (same oracle; skew-twin and chaos
+    parity sweeps hash-green) — time distance stays exact integer
+    microseconds on both engines, NULLS LAST pinned everywhere
+    (registry NULL rules)."""
+    # NULL join keys never equi-match: drop them up front on both sides
+    # (the oracle's INNER JOIN does the same implicitly).
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_id", "user_id", "ts")
+    )
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+
+    # per-user existence marker + the all-candidates-NULL-diff fallback
+    # winner (min orderkey over ALL the user's orders, NULLS-LAST argmin)
+    per_user = o.groupBy(F.col("o_custkey").alias("uid")).agg(
+        F.min("o_orderkey").alias("any_okey")
+    )
     # o_orderdate is parquet TIMESTAMP_NTZ; the session runs UTC, so the
     # cast to (LTZ) timestamp is value-preserving and unix_micros exact.
-    odate = F.col("o_orderdate").cast("timestamp")
-    diff = F.abs(F.unix_micros(F.col("ts")) - F.unix_micros(odate))
-    # NULLS LAST pinned (registry NULL rules): a NULL o_orderdate under
-    # a live o_custkey makes diff NULL, and Spark's NULLS-FIRST default
-    # would crown the unknown-distance order "nearest" while DuckDB's
-    # NULLS-LAST picks a real one (caught by the r6 mixed-null twin).
-    w = Window.partitionBy("event_id").orderBy(
-        diff.asc_nulls_last(), F.col("o_orderkey").asc_nulls_last()
+    omicros = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    dated = (
+        o.filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.col("o_custkey").alias("uid"), omicros.alias("t"))
+        .agg(F.min("o_orderkey").alias("okey"))
+    )
+
+    ev = e.filter(F.col("ts").isNotNull()).select(
+        F.col("user_id").alias("uid"),
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+    )
+    timeline = dated.select(
+        "uid",
+        "t",
+        F.struct("t", "okey").alias("cand"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_event"),
+    ).unionByName(
+        ev.select(
+            "uid",
+            "t",
+            F.lit(None)
+            .cast("struct<t:bigint,okey:bigint>")
+            .alias("cand"),
+            "event_id",
+            F.lit(1).alias("is_event"),
+        )
+    )
+    # orders sort BEFORE events at the same instant so a same-t order is
+    # visible to the backward pass with distance 0 (the forward pass
+    # then loses any ≥0-distance tie to it, or ties on the same row).
+    w = Window.partitionBy("uid").orderBy(
+        F.asc("t"), F.asc("is_event")
+    )
+    before = F.last("cand", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    after = F.first("cand", ignorenulls=True).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    scanned = (
+        timeline.select(
+            "uid",
+            "t",
+            "event_id",
+            "is_event",
+            before.alias("b"),
+            after.alias("a"),
+        )
+        .filter(F.col("is_event") == 1)
+    )
+    diff_b = F.col("t") - F.col("b.t")   # b.t <= t
+    diff_a = F.col("a.t") - F.col("t")   # a.t >= t
+    tie_okey = (
+        F.when(F.col("b.okey").isNull(), F.col("a.okey"))
+        .when(F.col("a.okey").isNull(), F.col("b.okey"))
+        .otherwise(F.least("b.okey", "a.okey"))
+    )
+    best = (
+        F.when(
+            F.col("b").isNull() & F.col("a").isNull(),
+            F.struct(
+                F.lit(None).cast("bigint").alias("diff"),
+                F.lit(None).cast("bigint").alias("okey"),
+            ),
+        )
+        .when(F.col("b").isNull(),
+              F.struct(diff_a.alias("diff"), F.col("a.okey").alias("okey")))
+        .when(F.col("a").isNull(),
+              F.struct(diff_b.alias("diff"), F.col("b.okey").alias("okey")))
+        .when(diff_b < diff_a,
+              F.struct(diff_b.alias("diff"), F.col("b.okey").alias("okey")))
+        .when(diff_a < diff_b,
+              F.struct(diff_a.alias("diff"), F.col("a.okey").alias("okey")))
+        .otherwise(
+            F.struct(diff_b.alias("diff"), tie_okey.alias("okey"))
+        )
+    )
+    timed = scanned.select(
+        "uid", "event_id", best.alias("best")
+    )
+    # NULL-timestamp events: every candidate's distance is NULL, so the
+    # argmin degenerates to min orderkey over ALL the user's orders.
+    null_ts = e.filter(F.col("ts").isNull()).select(
+        F.col("user_id").alias("uid"),
+        "event_id",
+        F.struct(
+            F.lit(None).cast("bigint").alias("diff"),
+            F.lit(None).cast("bigint").alias("okey"),  # filled from any_okey
+        ).alias("best"),
+    )
+    cands = timed.unionByName(null_ts)
+    # inner join = the oracle's existence semantics (users with no
+    # orders drop out) and supplies the NULL-diff fallback orderkey
+    joined = cands.join(per_user, "uid").select(
+        F.col("event_id"),
+        F.col("uid").alias("user_id"),
+        # when/otherwise, NOT coalesce: a dated winner whose orderkey is
+        # legitimately NULL (all orderkeys at the winning date are NULL)
+        # must stay NULL at its real distance, not fall back
+        F.when(F.col("best.diff").isNotNull(), F.col("best.okey"))
+        .otherwise(F.col("any_okey"))
+        .alias("nearest_orderkey"),
+        F.col("best.diff").alias("diff_us"),
+    )
+    # replay the oracle's per-event_id argmin across duplicate event
+    # rows — one candidate row per event row, so this window is linear
+    wfin = Window.partitionBy("event_id").orderBy(
+        F.col("diff_us").asc_nulls_last(),
+        F.col("nearest_orderkey").asc_nulls_last(),
     )
     return (
         joined.select(
             "event_id",
             "user_id",
-            F.col("o_orderkey").alias("nearest_orderkey"),
-            diff.alias("diff_us"),
-            F.row_number().over(w).alias("rn"),
+            "nearest_orderkey",
+            "diff_us",
+            F.row_number().over(wfin).alias("rn"),
         )
         .filter(F.col("rn") == 1)
         .drop("rn")
