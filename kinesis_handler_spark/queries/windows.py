@@ -289,15 +289,21 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orders sort BEFORE events at the same instant so a same-t order is
     # visible to the backward pass with distance 0 (the forward pass
     # then loses any ≥0-distance tie to it, or ties on the same row).
-    w = Window.partitionBy("uid").orderBy(
+    # BOTH passes are running [UNBOUNDED PRECEDING, CURRENT ROW] frames
+    # — the "after" pass runs over the REVERSED sort instead of a
+    # [CURRENT ROW, UNBOUNDED FOLLOWING] suffix frame, which Spark
+    # re-aggregates per row (the O(n²) class banned repo-wide by
+    # tests/test_plan_quality.py).  In the reversed order events sort
+    # before orders at equal t, so the same-t order stays exclusive to
+    # the backward pass exactly as in the forward orientation.
+    w_fwd = Window.partitionBy("uid").orderBy(
         F.asc("t"), F.asc("is_event")
-    )
-    before = F.last("cand", ignorenulls=True).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    after = F.first("cand", ignorenulls=True).over(
-        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_rev = Window.partitionBy("uid").orderBy(
+        F.desc("t"), F.desc("is_event")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    before = F.last("cand", ignorenulls=True).over(w_fwd)
+    after = F.last("cand", ignorenulls=True).over(w_rev)
     scanned = (
         timeline.select(
             "uid",

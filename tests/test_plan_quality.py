@@ -96,6 +96,7 @@ def test_jvm_only_queries_have_no_python_stage(spark, sf_dir):
         "multimodal_decode_png",  # real stdlib-zlib PNG decode (mapInPandas)
         "multimodal_resize",  # PNG decode + numpy box downsample (mapInPandas)
         "multimodal_decode_jpeg",  # real baseline-JPEG decode (mapInPandas)
+        "multimodal_decode_video",  # MJPEG-AVI walk + per-frame JPEG (mapInPandas)
         "source_avro_scan",  # hand-rolled Avro OCF decode (mapInPandas)
         "text_heavy_hitters",  # Misra-Gries candidate pass (mapInPandas)
         "pack_greedy_bins",  # sequential bin-fill fold (applyInPandas)
