@@ -325,3 +325,37 @@ def vacuum(root: str, keep_versions: int = 1) -> list[str]:
                 removed.append(p)
         os.remove(_manifest_path(root, v))
     return removed
+
+
+def compact(
+    spark: SparkSession, root: str, target_files: int = 4
+) -> MergeStats:
+    """OPTIMIZE: rewrite the CURRENT version's data files into
+    ``target_files`` key-range-partitioned files and commit the result
+    as a new version — the small-file compaction every COW table needs
+    after many incremental merges (each merge adds its own file set;
+    scan cost and manifest size grow with file count, not data size).
+    Values are untouched (pytest-pinned); old versions stay readable
+    until ``vacuum``."""
+    m = read_manifest(root)
+    cur = read_table(spark, root)
+    entries = _write_data_files(cur, root, m["key"], target_files)
+    version = m["version"] + 1
+    manifest = {
+        "version": version,
+        "key": m["key"],
+        "files": entries,
+        "parent": m["version"],
+        "schema": m.get("schema"),
+    }
+    with open(_manifest_path(root, version), "w") as fh:
+        json.dump(manifest, fh)
+    _commit_pointer(root, version)
+    return MergeStats(
+        version=version,
+        files_total=len(entries),
+        files_rewritten=len(m["files"]),
+        files_carried=0,
+        rows_deleted=0,
+        rows_inserted=0,
+    )

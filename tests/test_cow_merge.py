@@ -163,3 +163,34 @@ def test_merge_into_empty_table_inserts_everything(spark, tmp_path):
     )
     assert st.rows_inserted == 5 and st.files_rewritten == 0
     assert read_table(spark, root).count() == 5
+
+
+def test_compact_preserves_values_and_shrinks_files(spark, tmp_path):
+    from kinesis_handler_spark.io.merge import compact
+
+    root = str(tmp_path / "t")
+    _mk_target(spark, root)
+    # three incremental merges -> file count grows with merge count
+    for lo in (0, 200, 400):
+        feed = spark.range(lo, lo + 50).select(
+            F.col("id").alias("k"), (F.col("id") + 1).alias("nv")
+        )
+        merge_into(
+            spark, root, feed,
+            update={"val": F.col("src_nv")},
+            insert_select=[F.col("src_k"), F.col("src_nv"), F.lit("ins")],
+        )
+    before_rows = sorted(
+        map(tuple, read_table(spark, root).collect())
+    )
+    n_before = len(read_manifest(root)["files"])
+    st = compact(spark, root, target_files=4)
+    m = read_manifest(root)
+    assert len(m["files"]) <= 4 < n_before
+    assert st.files_rewritten == n_before
+    after_rows = sorted(map(tuple, read_table(spark, root).collect()))
+    assert after_rows == before_rows  # value-identical
+    # pre-compaction version still time-travels
+    assert read_table(spark, root, version=st.version - 1).count() == len(
+        before_rows
+    )
