@@ -513,9 +513,20 @@ def test_shard_split_preserves_per_key_order(spark, engine, tmp_path):
 
     # the split point: each key's first 6 records in file b0 (parent
     # shard), last 6 in file b1 (child shard); maxFilesPerTrigger=1
-    # makes these two separate micro-batches
+    # makes these two separate micro-batches.  The file source orders
+    # batches by modification time — written back-to-back the two files
+    # can tie (observed under full-suite load, where the tie broke in
+    # reverse), so pin b0 strictly older: the ARRIVAL order is the
+    # contract under test, not something the test should leave to fs
+    # timestamp resolution.
+    import os as _os
+    import time as _time
+
     _write_batch_json(src / "b0.json", rows_for(seqs[:6]))
     _write_batch_json(src / "b1.json", rows_for(seqs[6:]))
+    now = _time.time()
+    _os.utime(src / "b0.json", (now - 60, now - 60))
+    _os.utime(src / "b1.json", (now, now))
 
     def concat_in_order(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
