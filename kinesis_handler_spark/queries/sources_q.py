@@ -722,3 +722,96 @@ def merge_cow_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.col("c_acctbal").alias("acctbal"),
     )
+
+
+@query(
+    "cow_time_travel",
+    oracle="""
+    WITH agg AS (
+      SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders WHERE o_custkey IS NOT NULL
+      GROUP BY 1
+    ),
+    remap AS (
+      SELECT CASE WHEN cnt % 5 = 2
+                  THEN ((ck % 1009) + 1009) % 1009 + 3000000000
+                  ELSE ck END AS k,
+             cnt
+      FROM agg
+    ),
+    feed AS (
+      SELECT k, CAST(SUM(cnt) AS BIGINT) AS cnt FROM remap GROUP BY k
+    ),
+    v1 AS (
+      SELECT c_custkey AS custkey, c_mktsegment AS mktsegment,
+             CAST(0 AS BIGINT) AS n_orders
+      FROM customer WHERE c_custkey IS NOT NULL
+    ),
+    latest AS (
+      SELECT COALESCE(t.custkey, f.k) AS custkey,
+             CASE WHEN t.custkey IS NULL THEN 'NEW'
+                  ELSE t.mktsegment END AS mktsegment,
+             COALESCE(f.cnt, 0) AS n_orders
+      FROM v1 t FULL JOIN feed f ON t.custkey = f.k
+      WHERE NOT (t.custkey IS NOT NULL AND f.k IS NOT NULL
+                 AND f.cnt % 13 = 0)
+    ),
+    diff AS (
+      SELECT COALESCE(l.mktsegment, v.mktsegment) AS mktsegment,
+             CASE WHEN v.custkey IS NULL THEN 'inserted'
+                  WHEN l.custkey IS NULL THEN 'deleted'
+                  WHEN l.n_orders <> v.n_orders THEN 'updated'
+                  ELSE 'kept' END AS change,
+             COALESCE(l.n_orders, 0) AS n_orders
+      FROM v1 v FULL JOIN latest l ON v.custkey = l.custkey
+    )
+    SELECT mktsegment, change,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_orders) AS BIGINT) AS tot_orders
+    FROM diff GROUP BY 1, 2
+    """,
+)
+def cow_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL + snapshot diff on the COW table (`io/merge.py`):
+    read version 1 (the pre-MERGE customer snapshot) and the committed
+    latest version of the SAME table root, full-outer join the two
+    snapshots on the key, and classify every key as kept / updated /
+    inserted / deleted — the audit query every lakehouse CDC consumer
+    runs after a MERGE lands.  Time travel here is structural, not
+    bolted on: a version is just an older manifest's immutable file
+    list (`io/merge.py::read_table`), so reading v1 after v2 committed
+    costs one manifest read plus a normal pruned parquet scan — no
+    log replay, no copy.  The DuckDB oracle reconstructs BOTH versions
+    from the raw parquet and replays the diff; a hash match proves the
+    version pointer, manifest isolation, and carry-forward files all
+    serve exactly the bytes each version committed.
+
+    100 TB: both sides of the diff are manifest-pruned scans; the join
+    shuffles on the table key like any CDC reconciliation, and no
+    driver state beyond two file lists is held."""
+    from kinesis_handler_spark.io.merge import read_table
+
+    root = _materialize_cow_merge(spark, sf_dir)
+    v1 = read_table(spark, root, version=1).select(
+        F.col("c_custkey").alias("v_key"),
+        F.col("c_mktsegment").alias("v_seg"),
+        F.col("n_orders").alias("v_n"),
+    )
+    latest = read_table(spark, root).select(
+        F.col("c_custkey").alias("l_key"),
+        F.col("c_mktsegment").alias("l_seg"),
+        F.col("n_orders").alias("l_n"),
+    )
+    diff = v1.join(latest, v1.v_key == latest.l_key, "full_outer").select(
+        F.coalesce("l_seg", "v_seg").alias("mktsegment"),
+        F.when(F.col("v_key").isNull(), "inserted")
+        .when(F.col("l_key").isNull(), "deleted")
+        .when(F.col("l_n") != F.col("v_n"), "updated")
+        .otherwise("kept")
+        .alias("change"),
+        F.coalesce("l_n", F.lit(0)).alias("n_orders"),
+    )
+    return diff.groupBy("mktsegment", "change").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_orders").cast("bigint").alias("tot_orders"),
+    )

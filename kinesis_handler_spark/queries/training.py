@@ -898,3 +898,67 @@ def corpus_domain_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         "source", "n_tok", alloc.cast("bigint").alias("alloc")
     )
+
+
+@query(
+    "split_train_holdout",
+    oracle="""
+    WITH tagged AS (
+      SELECT CASE
+               WHEN doc_id IS NULL THEN 'unassigned'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'
+                 THEN 'test'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'e'
+                 THEN 'val'
+               ELSE 'train'
+             END AS split,
+             lang, doc_id,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM tagged GROUP BY 1, 2
+    """,
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test corpus split — the assignment every
+    training run must reproduce bit-identically across engines, reruns,
+    and partitionings.  Split key = first hex digit of md5(doc_id):
+    14/16 of the keyspace trains, one digit each for val and test
+    (87.5/6.25/6.25) — content-independent, so re-crawling a document
+    never migrates it between splits (the leakage rule), and md5 gives
+    cross-engine-identical hex on any id.  NULL ids land in an explicit
+    'unassigned' bucket (never silently defaulted into train).  Output
+    is the split manifest: per split x lang doc/token counts and key
+    ranges.
+
+    100 TB: the tag is a per-row scalar fused into the scan (no
+    shuffle to assign), the manifest aggregate is partial+final to
+    O(#splits x #langs) rows, and the same predicate applied at read
+    time partition-prunes a split without materializing three copies."""
+    d = table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(F.col("doc_id").isNull(), "unassigned")
+        .when(h == "f", "test")
+        .when(h == "e", "val")
+        .otherwise("train")
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            "lang",
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_tok"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
