@@ -446,3 +446,218 @@ def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(post, "tok").where(F.col("df") >= 3).select(
         "tok", "df", "total_tf", "postings"
     )
+
+
+@query(
+    "text_lm_bigram_logloss",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks)
+    ),
+    lm AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM lm GROUP BY 1)
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+           ROUND(-SUM(log2(lm.c12 * 1.0 / ctx.c1)) / COUNT(*), 6)
+             AS bits_per_bigram
+    FROM bg
+    JOIN lm  ON lm.w1 = bg.w1 AND lm.w2 = bg.w2
+    JOIN ctx ON ctx.w1 = bg.w1
+    GROUP BY bg.doc_id
+    """,
+)
+def text_lm_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM log-loss per document (bits/bigram) — the order-2
+    sibling of `text_unigram_logloss`: fit MLE bigram transition
+    probabilities P(w2|w1) = count(w1 w2)/count(w1 ·) on the whole
+    corpus, then score each document by the mean negative
+    log-probability of its transitions.  The unigram filter scores
+    VOCABULARY plausibility; this scores SEQUENCE plausibility —
+    shuffled-word salad with a normal vocabulary sails through the
+    unigram gate and fails here (the CCNet/KenLM signal, truncated to
+    order 2 so the model table stays closed-form).  MLE needs no
+    smoothing for scoring the training corpus itself: every document
+    bigram exists in the fitted counts by construction.
+
+    Plan: one positional-shingle pass (per-row transform, no explode
+    until the pair table), one (w1,w2) aggregate = the LM, one (w1)
+    re-aggregate = the context margin, then token-keyed joins back.
+    Both model tables are vocabulary²-bounded — at 100 TB they
+    broadcast (bigram types ≪ corpus tokens) and scoring is map-side.
+    Transcendental output 6-dp-rounded both engines
+    (`agg_stats_moments` precedent)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = toks.select(
+        "doc_id", F.explode(word_ngrams("t", 2)).alias("big")
+    ).select(
+        "doc_id",
+        F.split("big", " ").getItem(0).alias("w1"),
+        F.split("big", " ").getItem(1).alias("w2"),
+    ).transform(truncate)
+    lm = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = lm.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    p = F.col("c12") * F.lit(1.0) / F.col("c1")
+    return (
+        bg.join(lm, ["w1", "w2"])
+        .join(ctx, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.round(-F.sum(F.log2(p)) / F.count(F.lit(1)), 6).alias(
+                "bits_per_bigram"
+            ),
+        )
+    )
+
+
+#: RE2-safe PII patterns (no lookarounds/backrefs — identical semantics
+#: in Java regex and DuckDB's RE2): email, dotted-quad IP, NANP phone.
+_PII_EMAIL = r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+@query(
+    "text_pii_audit",
+    oracle="""
+    WITH seeded AS (
+      SELECT source, doc_id,
+             text
+             || CASE WHEN ((doc_id % 7) + 7) % 7 = 0
+                     THEN ' reach user' || CAST(doc_id AS VARCHAR)
+                          || '@mail' || CAST(((doc_id % 13) + 13) % 13
+                                            AS VARCHAR) || '.com'
+                     ELSE '' END
+             || CASE WHEN ((doc_id % 11) + 11) % 11 = 0
+                     THEN ' from 10.' || CAST(((doc_id % 256) + 256) % 256 AS VARCHAR)
+                          || '.' || CAST(((doc_id % 251) + 251) % 251 AS VARCHAR)
+                          || '.' || CAST(((doc_id % 241) + 241) % 241 AS VARCHAR)
+                     ELSE '' END
+             || CASE WHEN ((doc_id % 13) + 13) % 13 = 0
+                     THEN ' call 555-' || CAST(100 + ((doc_id % 900) + 900) % 900 AS VARCHAR)
+                          || '-' || CAST(1000 + ((doc_id % 9000) + 9000) % 9000 AS VARCHAR)
+                     ELSE '' END AS audited
+      FROM documents
+    ),
+    scored AS (
+      SELECT source,
+             COALESCE(len(regexp_extract_all(audited,
+               '[a-z0-9]+@[a-z0-9]+\\.[a-z]+')), 0) AS n_email,
+             COALESCE(len(regexp_extract_all(audited,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')), 0) AS n_ip,
+             COALESCE(len(regexp_extract_all(audited,
+               '\\b\\d{3}-\\d{3}-\\d{4}\\b')), 0) AS n_phone,
+             COALESCE(len(audited) - len(
+               regexp_replace(regexp_replace(regexp_replace(audited,
+                 '[a-z0-9]+@[a-z0-9]+\\.[a-z]+', '', 'g'),
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '', 'g'),
+                 '\\b\\d{3}-\\d{3}-\\d{4}\\b', '', 'g')), 0)
+               AS redact_chars
+      FROM seeded
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_email + n_ip + n_phone > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           CAST(SUM(n_email) AS BIGINT) AS n_email,
+           CAST(SUM(n_ip) AS BIGINT) AS n_ip,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+           CAST(SUM(redact_chars) AS BIGINT) AS redact_chars
+    FROM scored GROUP BY source
+    """,
+)
+def text_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII audit — the compliance rollup a curation pipeline runs
+    before any corpus ships: per source, how many documents carry PII,
+    entity counts by class (email / IP / phone), and how many
+    characters full redaction would remove.  The synthetic corpus
+    carries no PII, so — the media-builder precedent — a deterministic
+    doc_id-derived seeding stage plants entities in known residue
+    classes first; the AUDIT stage (the operator under test) then
+    rediscovers them with RE2-safe regexes evaluated identically by
+    Java regex and DuckDB.  Redaction cost is measured as the length
+    delta of a chained regexp_replace — the same expression a real
+    scrub pass applies, so the audit IS the dry run of the scrubber.
+
+    100 TB: pure per-row JVM regex fused into the scan (no Python, no
+    shuffle before the O(#sources) rollup); pattern count scales the
+    per-row cost linearly and nothing else."""
+    d = table(spark, sf_dir, "documents")
+
+    def nn(m: int) -> F.Column:
+        return F.pmod(F.col("doc_id"), F.lit(m)).cast("string")
+
+    audited = F.concat(
+        F.col("text"),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+            F.concat(
+                F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail"), nn(13), F.lit(".com"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(11)) == 0,
+            F.concat(
+                F.lit(" from 10."), nn(256), F.lit("."), nn(251),
+                F.lit("."), nn(241),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(13)) == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                (F.lit(100) + F.pmod(F.col("doc_id"), F.lit(900))).cast("string"),
+                F.lit("-"),
+                (F.lit(1000) + F.pmod(F.col("doc_id"), F.lit(9000))).cast("string"),
+            ),
+        ).otherwise(""),
+    )
+    n_email = F.coalesce(
+        F.size(F.regexp_extract_all(audited, F.lit(_PII_EMAIL), 0)), F.lit(0)
+    )
+    n_ip = F.coalesce(
+        F.size(F.regexp_extract_all(audited, F.lit(_PII_IP), 0)), F.lit(0)
+    )
+    n_phone = F.coalesce(
+        F.size(F.regexp_extract_all(audited, F.lit(_PII_PHONE), 0)), F.lit(0)
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(audited, _PII_EMAIL, ""), _PII_IP, ""
+        ),
+        _PII_PHONE,
+        "",
+    )
+    redact_chars = F.coalesce(
+        F.length(audited) - F.length(redacted), F.lit(0)
+    )
+    scored = d.select(
+        "source",
+        n_email.alias("n_email"),
+        n_ip.alias("n_ip"),
+        n_phone.alias("n_phone"),
+        redact_chars.alias("redact_chars"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            ((F.col("n_email") + F.col("n_ip") + F.col("n_phone")) > 0)
+            .cast("int")
+        ).cast("bigint").alias("docs_with_pii"),
+        F.sum("n_email").cast("bigint").alias("n_email"),
+        F.sum("n_ip").cast("bigint").alias("n_ip"),
+        F.sum("n_phone").cast("bigint").alias("n_phone"),
+        F.sum("redact_chars").cast("bigint").alias("redact_chars"),
+    )
