@@ -860,3 +860,113 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         "doc_id", F.col("label").alias("component_id")
     ).withColumn("n_members", F.count(F.lit(1)).over(wc))
+
+
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    idx AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM idx
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    oriented AS (
+      SELECT CASE WHEN sb.sz < sa.sz THEN p.doc_b ELSE p.doc_a END AS doc_small,
+             CASE WHEN sb.sz < sa.sz THEN p.doc_a ELSE p.doc_b END AS doc_big,
+             p.n_common,
+             CASE WHEN sb.sz < sa.sz THEN sb.sz ELSE sa.sz END AS sz_small
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+    )
+    SELECT doc_small, doc_big,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(sz_small AS BIGINT) AS sz_small,
+           CAST(n_common AS DOUBLE) / sz_small AS containment
+    FROM oriented
+    WHERE 5 * n_common >= 4 * sz_small
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment near-dup pairs — the ASYMMETRIC similarity
+    Jaccard misses: a short document quoted wholesale inside a long one
+    has containment |A∩B|/|A| ≈ 1 but Jaccard |A∩B|/|A∪B| ≈ |A|/|B| ≈ 0,
+    so quote/excerpt/boilerplate-wrapper duplication is invisible to
+    `dedup_near_jaccard` at any threshold.  Emits pairs where the
+    SMALLER document's distinct 3-shingles are ≥80% contained in the
+    larger (threshold as the exact integer cross-multiply
+    5·common ≥ 4·sz_small; orientation ties break to the lower doc_id
+    so output is deterministic).  This is the Lee et al. (2021)
+    "url-level containment" flavor of dedup, and the filter CC-style
+    pipelines run between exact-dedup and MinHash.
+
+    100 TB: identical shape to the Jaccard tier — shingle equi-join,
+    candidates only inside shared-shingle buckets, never corpus²; at
+    scale run it on the MinHash candidate pairs instead of all
+    co-shingled pairs (same composition contract as
+    `dedup_near_jaccard`)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    shingled = (
+        d.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select("doc_id", F.explode(word_ngrams("t", 3)).alias("shingle"))
+        .distinct()
+        # same four-consumer reuse argument as _jaccard_pair_frame
+        .transform(truncate)
+    )
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    flip = F.col("sz_b") < F.col("sz_a")
+    oriented = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.when(flip, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+                "doc_small"
+            ),
+            F.when(flip, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+                "doc_big"
+            ),
+            "n_common",
+            F.least("sz_a", "sz_b").alias("sz_small"),
+        )
+    )
+    return oriented.filter(
+        5 * F.col("n_common") >= 4 * F.col("sz_small")
+    ).select(
+        "doc_small",
+        "doc_big",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.col("sz_small").cast("bigint").alias("sz_small"),
+        (F.col("n_common").cast("double") / F.col("sz_small")).alias(
+            "containment"
+        ),
+    )
