@@ -46,6 +46,7 @@ from kinesis_handler_spark.queries import (  # noqa: F401
     relational,
     routing_q,
     scalars,
+    scale_ops,
     setops,
     sources_q,
     stats,

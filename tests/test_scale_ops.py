@@ -1,0 +1,103 @@
+"""Scale-mechanics gates for queries/scale_ops.py — the properties the
+oracle hash can't see: the Bloom filter actually PRUNES (and never
+prunes a true match), the Count-Min estimate is one-sided with the
+theoretical error bound, and the Z-order envelope beats a linear sort
+on the second dimension."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_handler_spark.queries.scale_ops import (
+    _BLOOM_BITS,
+    _CMS_W,
+    bloom_might_contain,
+    build_bloom,
+)
+from kinesis_handler_spark.tables import table
+
+
+def test_bloom_no_false_negatives_and_prunes(spark, sf_dir):
+    """Every true key passes the bitmap (Bloom's hard guarantee), and at
+    the fixture's selectivity the bitmap rejects a solid majority of
+    non-matching orders before any join."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    keys = (
+        c.filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+        .filter(F.col("c_custkey").isNotNull())
+    )
+    words = build_bloom(keys, "c_custkey")
+    # no false negatives: the key set itself passes 100%
+    n_keys = keys.count()
+    n_pass_keys = keys.filter(bloom_might_contain(words, "c_custkey")).count()
+    assert n_pass_keys == n_keys
+
+    n_orders = o.count()
+    n_candidates = o.filter(bloom_might_contain(words, "o_custkey")).count()
+    n_true = o.join(
+        F.broadcast(keys), o.o_custkey == keys.c_custkey, "left_semi"
+    ).count()
+    # soundness: candidates ⊇ true matches
+    assert n_candidates >= n_true
+    # the filter must actually prune: at this selectivity (~11% of
+    # customers) a 65536-bit / K=2 bloom keeps fp well under 1%, so
+    # candidate share tracks the true share closely.
+    assert n_candidates < n_orders * 0.5, (
+        f"bloom pruned nothing: {n_candidates}/{n_orders}"
+    )
+    # false-positive rate among non-matching rows stays under 5%
+    # (theory: (1 - e^(-2n/m))^2 ≈ 0.1% at n≈1.5k keys, m=65536)
+    fp = n_candidates - n_true
+    assert fp <= max(10, 0.05 * (n_orders - n_true)), (
+        f"excess false positives: {fp} of {n_orders - n_true} non-matches"
+    )
+
+
+def test_cms_one_sided_and_bounded(spark, sf_dir):
+    """CMS estimates are >= exact for the reported heavy tokens, and the
+    overcount respects the d-row min bound: overcount <= total/W is the
+    per-row EXPECTATION; the min over 4 rows stays within a small
+    multiple of it with overwhelming probability — assert 4x."""
+    from kinesis_handler_spark.registry import QUERIES
+
+    rows = QUERIES["sketch_count_min"].fn(spark, sf_dir).collect()
+    assert rows, "no heavy tokens reported"
+    d = table(spark, sf_dir, "documents")
+    total = (
+        d.select(F.explode(F.split("text", " ")).alias("t")).count()
+    )
+    for r in rows:
+        assert r["overcount"] >= 0, f"{r['tok']}: CMS under-counted"
+        assert r["cms_count"] == r["exact_count"] + r["overcount"]
+        assert r["overcount"] <= 4 * total / _CMS_W, (
+            f"{r['tok']}: overcount {r['overcount']} breaches bound"
+        )
+
+
+def test_zorder_envelope_beats_linear_sort(spark, sf_dir):
+    """File envelopes under Z-order bound BOTH dimensions: the mean
+    per-file cell span must be far below a linear sort's span (which
+    pins x but leaves y covering ~the full 256 domain)."""
+    from kinesis_handler_spark.registry import QUERIES
+
+    rows = QUERIES["layout_zorder"].fn(spark, sf_dir).collect()
+    assert rows
+    # every file's Morton range is 4096 z-values => a 64x64 cell block
+    for r in rows:
+        assert r["max_x"] - r["min_x"] <= 63
+        assert r["max_y"] - r["min_y"] <= 63
+        assert r["cell_span"] <= 64 * 64
+    # linear sort on x yields per-file y-span ~255 => cell span ~(x_span+1)*256;
+    # even its best case (x pinned to one value) is 256 cells — Z-order's
+    # 64x64 envelope covers 4096 but bounds BOTH dims at 1/4 domain,
+    # which is what two-sided min/max skipping needs.
+    spans = [r["max_y"] - r["min_y"] for r in rows]
+    assert max(spans) <= 63
+
+
+def test_bloom_bitmap_is_bounded_artifact():
+    """The collected bitmap is fixed-size regardless of corpus scale —
+    the bounded-driver-artifact contract."""
+    assert _BLOOM_BITS // 64 == 1024
