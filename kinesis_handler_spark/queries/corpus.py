@@ -465,8 +465,10 @@ def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM lm GROUP BY 1)
     SELECT bg.doc_id,
            CAST(COUNT(*) AS INTEGER) AS n_bigrams,
-           ROUND(-SUM(log2(lm.c12 * 1.0 / ctx.c1)) / COUNT(*), 6)
-             AS bits_per_bigram
+           CASE WHEN ROUND(-SUM(log2(lm.c12 * 1.0 / ctx.c1)) / COUNT(*), 6)
+                     = 0e0 THEN 0e0
+                ELSE ROUND(-SUM(log2(lm.c12 * 1.0 / ctx.c1)) / COUNT(*), 6)
+           END AS bits_per_bigram
     FROM bg
     JOIN lm  ON lm.w1 = bg.w1 AND lm.w2 = bg.w2
     JOIN ctx ON ctx.w1 = bg.w1
@@ -513,9 +515,16 @@ def text_lm_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_bigrams"),
-            F.round(-F.sum(F.log2(p)) / F.count(F.lit(1)), 6).alias(
-                "bits_per_bigram"
-            ),
+            # -0.0-canonicalized (events_cdc_apply precedent): a doc
+            # whose every transition has P=1 sums to -0.0 on one engine
+            # and +0.0 on the other.
+            F.when(
+                F.round(-F.sum(F.log2(p)) / F.count(F.lit(1)), 6)
+                == F.lit(0.0),
+                F.lit(0.0),
+            )
+            .otherwise(F.round(-F.sum(F.log2(p)) / F.count(F.lit(1)), 6))
+            .alias("bits_per_bigram"),
         )
     )
 
