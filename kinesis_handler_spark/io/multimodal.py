@@ -240,6 +240,29 @@ def resize_media(
     return df.mapInPandas(run, RESIZED_SCHEMA)
 
 
+def sample_mjpeg_payloads(
+    content: bytes, every_ms: int, max_frames: int
+) -> list[tuple[int, int, bytes]]:
+    """Index-driven frame sampling over one MJPEG-AVI container: the
+    sampled (sample_idx, ts_ms, jpeg_payload) triples at every
+    ``every_ms``, capped at ``max_frames``.  Source frame =
+    floor(ts / frame_ms) clamped to the last frame.  Only the RETURNED
+    payloads are ever handed to a decoder — skipped frames cost a
+    chunk-walk skip, never an entropy decode.  Shared core of
+    ``sample_frames(fake=False)`` and the ``multimodal_frame_sample``
+    query so the sampling arithmetic cannot drift between them."""
+    _w, _h, usec, payloads = decode_avi_mjpeg(content)
+    frame_ms = usec / 1000.0
+    duration = frame_ms * len(payloads)
+    n = min(max_frames, max(1, int(duration // every_ms)))
+    out = []
+    for i in range(n):
+        ts = i * every_ms
+        src = min(int(ts / frame_ms), len(payloads) - 1)
+        out.append((i, ts, payloads[src]))
+    return out
+
+
 def sample_frames(
     df: DataFrame, every_ms: int = 1000, max_frames: int = 8, fake: bool = True
 ) -> DataFrame:
@@ -269,16 +292,9 @@ def sample_frames(
                             f"no real frame codec for {meta['mime']!r}; "
                             "pass fake=True"
                         )
-                    _w, _h, usec, payloads = decode_avi_mjpeg(
-                        bytes(content)
-                    )
-                    frame_ms = usec / 1000.0
-                    duration = frame_ms * len(payloads)
-                    n = min(max_frames, max(1, int(duration // every_ms)))
-                    for i in range(n):
-                        ts = i * every_ms
-                        src = min(int(ts / frame_ms), len(payloads) - 1)
-                        blob = payloads[src]
+                    for i, ts, blob in sample_mjpeg_payloads(
+                        bytes(content), every_ms, max_frames
+                    ):
                         ids.append(mid)
                         idxs.append(i)
                         tss.append(ts)

@@ -1585,3 +1585,85 @@ def multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_ms INT, dc_sum BIGINT, ac_sum BIGINT, "
         "dc00_first INT, dc00_last INT",
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, d0, 2 + d0 % 3 AS nf
+      FROM (
+        SELECT doc_id, ((doc_id % 256) + 256) % 256 AS d0
+        FROM documents WHERE doc_id IS NOT NULL
+      )
+    ),
+    samp AS (
+      SELECT doc_id, d0, nf,
+             least(8, greatest(1, (nf * 100) // 150)) AS ns
+      FROM dims
+    )
+    SELECT doc_id AS media_id,
+           CAST(ns AS INTEGER) AS n_sampled,
+           CAST((ns - 1) * 150 AS INTEGER) AS max_ts_ms,
+           CAST(list_sum(list_transform(range(0, ns), i ->
+             (((d0 + 37 * (least((i * 150) // 100, nf - 1) + 1)) % 256)
+               * 7) % 21 - 10
+           )) AS BIGINT) AS dc00_sum
+    FROM samp
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling as a declared operator — the mandate's
+    "frame-sample" stage run the way a 100 TB video-curation pipeline
+    must run it: `io.multimodal.sample_frames(fake=False)` walks each
+    MJPEG-AVI container's chunk index and extracts ONLY the payloads
+    at the sampled timestamps (every 150 ms, ≤8 per video), and only
+    those frames then pay the full ITU T.81 JPEG decode — unsampled
+    frames are never entropy-decoded (pinned in
+    tests/test_multimodal.py::test_frame_sample_decodes_subset).
+    Per sampled frame the decoder's DC anchor is re-aggregated per
+    video; the DuckDB oracle replays the fixture's modular coefficient
+    formulas at exactly the sampled source indices
+    (src = floor(ts/frame_ms) clamped to the last frame), so the
+    sampling arithmetic AND the per-frame decode are both hash-pinned.
+
+    100 TB: 1 media row → N frame rows inside mapInPandas (the UDTF
+    shape, executor-side), sampling cost linear in SAMPLED bytes, and
+    the ≤8-frame cap bounds output skew when one video is hours long."""
+    from kinesis_handler_spark.io.multimodal import (
+        _decode_jpeg_impl,
+        make_avi_media_df,
+        sample_mjpeg_payloads,
+    )
+
+    media = make_avi_media_df(spark, sf_dir)
+
+    def featurize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "media_id": [], "n_sampled": [], "max_ts_ms": [],
+                "dc00_sum": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                # one output row PER INPUT ROW (duplicate-id corpora
+                # keep their duplicates, like multimodal_decode_video)
+                sampled = sample_mjpeg_payloads(
+                    bytes(content), every_ms=150, max_frames=8
+                )
+                rows["media_id"].append(int(mid))
+                rows["n_sampled"].append(len(sampled))
+                rows["max_ts_ms"].append(sampled[-1][1])
+                rows["dc00_sum"].append(
+                    sum(
+                        int(_decode_jpeg_impl(blob)[4][0][0][0])
+                        for _i, _ts, blob in sampled
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        featurize,
+        "media_id long, n_sampled int, max_ts_ms int, dc00_sum long",
+    )

@@ -595,3 +595,46 @@ def test_decode_and_featurize_real_video_no_fake(spark, sf_dir):
         stack = np.stack([decode_jpeg(p)[3] for p in payloads])
         expect = [float(stack[..., c].mean()) / 255.0 for c in range(3)]
         assert np.allclose(r["feature"], expect)
+
+
+def test_frame_sample_decodes_subset(spark, sf_dir):
+    """The frame-sampling operator decodes strictly FEWER frames than
+    the container holds for every multi-frame video (nf >= 3 at
+    every_ms=150/frame_ms=100) — the whole point of index-driven
+    sampling at scale — and the sampled DC anchors equal a direct
+    decode of the corresponding source frames."""
+    from pyspark.sql import functions as F
+
+    from kinesis_handler_spark.io.multimodal import (
+        _decode_jpeg_impl,
+        decode_avi_mjpeg,
+        make_avi_media_df,
+        sample_frames,
+    )
+    import kinesis_handler_spark.queries  # noqa: F401 — registers queries
+    from kinesis_handler_spark.registry import QUERIES
+
+    out = {
+        r["media_id"]: r
+        for r in QUERIES["multimodal_frame_sample"].fn(spark, sf_dir)
+        .filter(F.col("media_id") < 12)
+        .collect()
+    }
+    media = make_avi_media_df(spark, sf_dir).filter(F.col("media_id") < 12)
+    for r in media.collect():
+        mid = r["media_id"]
+        _w, _h, usec, payloads = decode_avi_mjpeg(bytes(r["content"]))
+        nf = len(payloads)
+        got = out[mid]
+        expect_ns = min(8, max(1, int((100.0 * nf) // 150)))
+        assert got["n_sampled"] == expect_ns
+        if nf >= 3:
+            assert got["n_sampled"] < nf, (
+                f"video {mid}: sampled {got['n_sampled']} of {nf} — "
+                "sampling decoded everything"
+            )
+        dc = 0
+        for i in range(expect_ns):
+            src = min(int(i * 150 / 100.0), nf - 1)
+            dc += int(_decode_jpeg_impl(payloads[src])[4][0][0][0])
+        assert got["dc00_sum"] == dc
