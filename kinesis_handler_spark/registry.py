@@ -153,20 +153,31 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   2. oracle-backed queries by last-green round ascending (stalest first);
 #   3. rows-only queries never occupy a verdict slot (no hash check).
 # Everything past _FRONT follows in registration order via _driver_order.
-# Round-9 rotation (VERDICT.md r8 "Next round" item 1): CORRECTNESS_r08
-# came back 50/50 clean — the whole r8 front (incl. the two
-# never-checked r8 additions multimodal_decode_jpeg / source_avro_scan)
-# is now green and yields its slots.  This block is the unedited output
-# of ``tools/rotate_tiers.py --write`` — exactly 50: the TWO
-# never-green queries first (multimodal_decode_video and
-# merge_cow_parquet, both NEW in r9 — rule 1), then pure
-# stalest-first: the entire remaining r5 tier (26 queries) followed by
-# the oldest r6 greens (22 of 32) — after this round no oracle-backed
-# query has pre-r6 evidence, and the stalest tier left for r10 is the
-# 10 remaining r6 greens.
+# Round-9 rotation (VERDICT.md r8 "Next round" item 1 + the r9 wave):
+# CORRECTNESS_r08 came back 50/50 clean, so the whole r8 front yielded
+# its slots.  This block is the unedited output of
+# ``tools/rotate_tiers.py --write`` — exactly 50: the ELEVEN
+# never-green queries first (rule 1: multimodal_decode_video and
+# merge_cow_parquet from early r9, plus the nine r9-wave additions
+# cow_time_travel / split_train_holdout / text_lm_bigram_logloss /
+# text_pii_audit / dedup_containment / layout_zorder /
+# join_bloom_prefilter / sketch_count_min / multimodal_frame_sample),
+# then pure stalest-first: the entire remaining r5 tier (26 queries)
+# followed by the oldest r6 greens (13 of 32) — after this round no
+# oracle-backed query has pre-r6 evidence, and the stalest tier left
+# for r10 is the 19 remaining r6 greens.
 _FRONT = [
     "multimodal_decode_video",  # NEVER GREEN
     "merge_cow_parquet",  # NEVER GREEN
+    "text_lm_bigram_logloss",  # NEVER GREEN
+    "text_pii_audit",  # NEVER GREEN
+    "dedup_containment",  # NEVER GREEN
+    "multimodal_frame_sample",  # NEVER GREEN
+    "layout_zorder",  # NEVER GREEN
+    "join_bloom_prefilter",  # NEVER GREEN
+    "sketch_count_min",  # NEVER GREEN
+    "cow_time_travel",  # NEVER GREEN
+    "split_train_holdout",  # NEVER GREEN
     "dedup_keep_latest",  # last green r5
     "dedup_embedding_cosine",  # last green r5
     "multimodal_decode_png",  # last green r5
@@ -206,15 +217,6 @@ _FRONT = [
     "agg_rollup",  # last green r6
     "agg_cube",  # last green r6
     "agg_grouping_sets",  # last green r6
-    "agg_filtered_pivot",  # last green r6
-    "join_inner_equi",  # last green r6
-    "join_broadcast_dims",  # last green r6
-    "join_exists_correlated",  # last green r6
-    "agg_distinct_multi",  # last green r6
-    "join_null_safe",  # last green r6
-    "profile_table",  # last green r6
-    "route_case_tag",  # last green r6
-    "scalar_string",  # last green r6
 ]
 
 
