@@ -684,3 +684,101 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.explode(stages).alias("r")).select(
         "r.stage", "r.stage_name", "r.n_docs", "r.n_tokens"
     )
+
+
+@query(
+    "text_line_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 4
+    ),
+    lines AS (
+      SELECT doc_id, (i - 1) / 4 AS line_no,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+               AS line
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 3, 4)) AS i
+            FROM toks)
+    ),
+    df AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS n_docs FROM lines GROUP BY 1
+    ),
+    flagged AS (
+      SELECT l.doc_id, l.line_no, l.line,
+             (df.n_docs >= 3) AS boilerplate
+      FROM lines l JOIN df ON df.line = l.line
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_lines,
+           CAST(SUM(CASE WHEN boilerplate THEN 1 ELSE 0 END) AS INTEGER)
+             AS n_removed,
+           COALESCE(string_agg(CASE WHEN NOT boilerplate THEN line END,
+                               ' ' ORDER BY line_no), '') AS kept_text
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate LINE removal (Raffel et al. 2020 §2.2: drop
+    any line occurring ≥3 times in the corpus): segment each document
+    into non-overlapping 4-token "lines" (the corpus is single-space
+    prose, so fixed segments stand in for newline splits), count each
+    distinct line's DOCUMENT frequency corpus-wide, cut every
+    occurrence of lines hitting the threshold — navigation chrome,
+    cookie banners, boilerplate headers — and rebuild the surviving
+    text in position order.  DISTINCT from `dedup_span_trim` (which
+    keeps one canonical copy of an 8-token span in its smallest doc):
+    the C4 rule removes boilerplate from EVERY document including the
+    first, because a line frequent across documents is template, not
+    content.
+
+    Plan: positional segmentation is a per-row transform (lines are
+    non-overlapping, so output is ≤ tokens/4 rows); the line-frequency
+    table aggregates to distinct-line cardinality and — like every
+    vocabulary-shaped model table here — broadcasts at 100 TB; the
+    rebuild is one per-doc position-ordered aggregation, bounded by
+    max document length.  Rebuild ties anchor on line_no (a total
+    order within doc), so the string_agg is deterministic."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 4
+    )
+    lines = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), ((F.size("t") - 4) / 4).cast("int")),
+                lambda i: F.struct(
+                    i.alias("line_no"),
+                    F.concat_ws(
+                        " ",
+                        F.element_at("t", i * 4 + 1),
+                        F.element_at("t", i * 4 + 2),
+                        F.element_at("t", i * 4 + 3),
+                        F.element_at("t", i * 4 + 4),
+                    ).alias("line"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.line_no"), F.col("s.line"))
+    df_counts = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    flagged = lines.join(df_counts, "line").select(
+        "doc_id", "line_no", "line", (F.col("n_docs") >= 3).alias("boilerplate")
+    )
+    kept_sorted = F.array_sort(
+        F.collect_list(
+            F.when(
+                ~F.col("boilerplate"),
+                F.struct(F.col("line_no"), F.col("line")),
+            )
+        )
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+        F.sum(F.col("boilerplate").cast("int")).cast("int").alias("n_removed"),
+        F.concat_ws(
+            " ", F.transform(kept_sorted, lambda s: s["line"])
+        ).alias("kept_text"),
+    )
