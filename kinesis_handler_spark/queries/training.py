@@ -711,6 +711,30 @@ def _bpe_reference(word_freqs, rounds=_BPE_ROUNDS):
     return merges
 
 
+#: Learned merge tables cached per (applicationId, sf_dir) — the merge
+#: table is the reusable artifact a tokenizer-training pipeline hands to
+#: its encode stage, so `tokenizer_bpe_apply` consumes the SAME table
+#: `tokenizer_bpe_train` learned instead of re-training (the
+#: _PAIR_CACHE contract: fixtures under sf_dir are session-immutable;
+#: dead-session entries evicted on next lookup).
+_MERGE_CACHE: dict[tuple[str, str], list[tuple]] = {}
+
+
+def _train_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Distributed BPE merge learning — see `tokenizer_bpe_train` for
+    the full architecture docstring.  Returns the ordered merge list
+    [(rank, left, right, merged, support), ...], cached per session."""
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _MERGE_CACHE if k[0] != app_id]:
+        del _MERGE_CACHE[k]
+    key = (app_id, sf_dir)
+    if key in _MERGE_CACHE:
+        return _MERGE_CACHE[key]
+    merges = _train_merges_uncached(spark, sf_dir)
+    _MERGE_CACHE[key] = merges
+    return merges
+
+
 @query("tokenizer_bpe_train")  # rows-only: iterative argmax, not SQL
 def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTED BPE tokenizer training (Sennrich et al. 2016): learn
@@ -731,6 +755,14 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     `lineage.truncate` cuts the growing lineage so round N's plan
     does not replay rounds 1..N-1.  The merge sequence is bit-exact
     against the pure-Python reference (`_bpe_reference`, pytest-pinned)."""
+    return spark.createDataFrame(
+        _train_merges(spark, sf_dir),
+        "rank bigint, left string, right string, merged string, "
+        "support bigint",
+    )
+
+
+def _train_merges_uncached(spark: SparkSession, sf_dir: str) -> list[tuple]:
     import pandas as pd
 
     d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -802,11 +834,7 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged_sym.alias("sym"), "freq"
         ).transform(truncate_loop)
 
-    return spark.createDataFrame(
-        merges,
-        "rank bigint, left string, right string, merged string, "
-        "support bigint",
-    )
+    return merges
 
 
 #: Global training-token budget for the apportionment operator.  Power
@@ -960,5 +988,83 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
             F.min("doc_id").alias("min_doc"),
             F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+def _bpe_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Encode one word with an ordered merge list — the exact merge
+    pass of `_bpe_reference` (index walk, left-to-right, rank order),
+    so apply-time segmentation is bit-identical to what training saw."""
+    sym = list(word) + [_BPE_END]
+    for a, b in merges:
+        if len(sym) < 2:
+            break
+        out, i = [], 0
+        merged = a + b
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+@query("tokenizer_bpe_apply")  # rows-only: consumes the learned merges
+def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the other half of `tokenizer_bpe_train`
+    and the op that actually tokenizes a pre-training corpus: encode
+    every document with the 64 learned merge rules and report per-doc
+    whitespace-word count, BPE token count, and the longest single
+    word's token count (the truncation-risk signal).  Consumes the SAME
+    merge table the training query learned (session-cached artifact —
+    train once, encode everywhere, exactly how a production tokenizer
+    ships).
+
+    Scale architecture: encoding runs over the DISTINCT-WORD table
+    (vocab-sized), never the corpus — one Arrow-batched mapInPandas
+    pass applies the merge list (broadcast by closure, 64 rules) per
+    distinct word, then the per-word token counts JOIN BACK to the
+    corpus token stream and aggregate per doc.  At 100 TB the word
+    table is ~10^8 rows against 10^12 corpus tokens, the join side
+    broadcasts at real vocabulary sizes, and the Python cost is paid
+    once per distinct word, not once per occurrence.  No SQL oracle
+    can exist (the merge table is the output of an iterative argmax),
+    so: golden sha256 pin + bit-exact parity vs the pure-Python
+    reference encoder (tests/test_training_ops.py)."""
+    import pandas as pd
+
+    merges = [(m[1], m[2]) for m in _train_merges(spark, sf_dir)]
+
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    occurrences = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    words = occurrences.select("w").distinct()
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "n_tok": [
+                        len(_bpe_encode(w, merges)) for w in pdf["w"]
+                    ],
+                }
+            )
+
+    encoded = words.mapInPandas(encode, "w string, n_tok int")
+    return (
+        occurrences.join(encoded, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_bpe_tokens"),
+            F.max("n_tok").cast("int").alias("max_word_tokens"),
         )
     )

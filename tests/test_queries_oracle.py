@@ -46,6 +46,10 @@ def test_rows_only_queries_are_marked():
                                  # form — exactness pinned in test_training_ops.py
         "tokenizer_bpe_train",   # iterative merge learning; bit-exact
                                  # vs pure-Python reference in test_training_ops.py
+        "tokenizer_bpe_apply",   # consumes the learned merge table (itself
+                                 # the output of an iterative argmax); encode
+                                 # parity vs pure-Python reference in
+                                 # test_training_ops.py
         "events_rolling_distinct_hll",  # DataSketches HLL estimates are
         # engine-specific; pinned vs the exact tier in
         # tests/test_sketch_quality.py::test_rolling_distinct_hll_tracks_exact

@@ -260,3 +260,45 @@ def test_tokenizer_bpe_learns_64_rounds(spark, sf_dir):
     # the sf0.001 vocabulary is rich enough to sustain 64 merges
     assert len(got) == _BPE_ROUNDS, len(got)
     assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+
+def test_tokenizer_bpe_apply_matches_python_reference(spark, sf_dir):
+    """The distributed encode (vocab-sized mapInPandas over the learned
+    merge table) reproduces the pure-Python reference pipeline — train
+    with `_bpe_reference` on driver-side word counts, encode every word
+    with `_bpe_encode`, aggregate per doc — bit-exactly."""
+    import collections
+
+    import duckdb
+
+    from kinesis_handler_spark.queries.training import (
+        _bpe_encode,
+        _bpe_reference,
+    )
+    from kinesis_handler_spark.registry import QUERIES
+
+    rows = QUERIES["tokenizer_bpe_apply"].fn(spark, sf_dir).collect()
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["max_word_tokens"])
+        for r in rows
+    }
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        "WHERE text IS NOT NULL"
+    ).fetchall()
+    wf: collections.Counter = collections.Counter()
+    for _id, t in docs:
+        for w in t.split(" "):
+            if w:
+                wf[w] += 1
+    merges = [(a, b) for a, b, _c in _bpe_reference(sorted(wf.items()))]
+    enc = {w: len(_bpe_encode(w, merges)) for w in wf}
+    exp = {}
+    for did, t in docs:
+        ws = [w for w in t.split(" ") if w]
+        if ws:
+            exp[did] = (len(ws), sum(enc[w] for w in ws),
+                        max(enc[w] for w in ws))
+    assert got == exp

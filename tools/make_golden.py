@@ -47,6 +47,7 @@ GOLDEN_QUERIES = (
     "dedup_simhash",
     "embed_pca",
     "tokenizer_bpe_train",
+    "tokenizer_bpe_apply",
     # sketch / ANN / composed tiers — probe-verified bit-stable (r8)
     "agg_approx_distinct",
     "agg_approx_percentile",
