@@ -670,3 +670,118 @@ def text_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_phone").cast("bigint").alias("n_phone"),
         F.sum("redact_chars").cast("bigint").alias("redact_chars"),
     )
+
+
+@query(
+    "web_url_dedup",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             'https://'
+             || CASE WHEN ((doc_id % 3) + 3) % 3 = 0 THEN 'WWW.' ELSE '' END
+             || 'site' || CAST(((doc_id % 37) + 37) % 37 AS VARCHAR)
+             || '.example/page/'
+             || CAST(((doc_id % 101) + 101) % 101 AS VARCHAR)
+             || CASE WHEN ((doc_id % 2) + 2) % 2 = 0
+                     THEN '/?utm_source=feed&utm_campaign=x&id='
+                          || CAST(((doc_id % 11) + 11) % 11 AS VARCHAR)
+                     ELSE '' END
+             || CASE WHEN ((doc_id % 5) + 5) % 5 = 0
+                     THEN '#section-' || CAST(((doc_id % 7) + 7) % 7 AS VARCHAR)
+                     ELSE '' END AS url
+      FROM documents WHERE doc_id IS NOT NULL
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(url, '#.*$', ''),
+                     '([?&])utm_[a-z]+=[^&#]*', '\\1', 'g'),
+                   '[?&]+$', ''),
+                 '\\?&', '?'),
+               '/+(\\?|$)', '\\1') AS stripped
+      FROM seeded
+    ),
+    canon2 AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(stripped, '^https?://(www\\.)?([^/]*)', 2))
+             || regexp_replace(stripped, '^https?://[^/]*', '')
+               AS canonical_url
+      FROM canon
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keep_doc,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants
+    FROM canon2
+    GROUP BY canonical_url
+    """,
+)
+def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level canonicalization + dedup — the FIRST dedup stage of
+    every crawl pipeline (CCNet/RefinedWeb run it before any content
+    hashing, because re-crawls and tracking-param variants dominate raw
+    URL multiplicity): strip the fragment, strip ``utm_*`` tracking
+    params (repairing the separator chain), drop a trailing slash,
+    lowercase the host and fold ``www.`` — then keep the minimum doc_id
+    per canonical URL.  The corpus has no URL column, so — the
+    PII-audit precedent — a deterministic doc_id-derived seeding stage
+    mints realistic messy URLs (mixed-case www hosts, tracking params,
+    fragments, trailing slashes) whose residue classes guarantee real
+    collisions; the CANONICALIZER is the operator under test, RE2-safe
+    and evaluated identically by Java regex and DuckDB.
+
+    100 TB: pure per-row JVM regex fused into the scan; the dedup is
+    one groupBy on the canonical key (the same shuffle profile as
+    `dedup_exact`), output bounded by distinct canonical URLs."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+
+    def nn(m: int) -> F.Column:
+        return F.pmod(F.col("doc_id"), F.lit(m)).cast("string")
+
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, "WWW.").otherwise(""),
+        F.lit("site"), nn(37), F.lit(".example/page/"), nn(101),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+            F.concat(
+                F.lit("/?utm_source=feed&utm_campaign=x&id="), nn(11)
+            ),
+        ).otherwise(""),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+            F.concat(F.lit("#section-"), nn(7)),
+        ).otherwise(""),
+    )
+    stripped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(url, r"#.*$", ""),
+                    r"([?&])utm_[a-z]+=[^&#]*",
+                    r"$1",
+                ),
+                r"[?&]+$",
+                "",
+            ),
+            r"\?&",
+            "?",
+        ),
+        r"/+(\?|$)",
+        r"$1",
+    )
+    canonical = F.concat(
+        F.lower(F.regexp_extract(stripped, r"^https?://(www\.)?([^/]*)", 2)),
+        F.regexp_replace(stripped, r"^https?://[^/]*", ""),
+    )
+    canon = d.select(
+        "doc_id", url.alias("url"), canonical.alias("canonical_url")
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").alias("keep_doc"),
+        F.countDistinct("url").cast("bigint").alias("n_variants"),
+    )
