@@ -156,16 +156,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Round-9 rotation (VERDICT.md r8 "Next round" item 1 + the r9 wave):
 # CORRECTNESS_r08 came back 50/50 clean, so the whole r8 front yielded
 # its slots.  This block is the unedited output of
-# ``tools/rotate_tiers.py --write`` — exactly 50: the ELEVEN
+# ``tools/rotate_tiers.py --write`` — exactly 50: the THIRTEEN
 # never-green queries first (rule 1: multimodal_decode_video and
-# merge_cow_parquet from early r9, plus the nine r9-wave additions
+# merge_cow_parquet from early r9, plus the eleven r9-wave additions
 # cow_time_travel / split_train_holdout / text_lm_bigram_logloss /
 # text_pii_audit / dedup_containment / layout_zorder /
-# join_bloom_prefilter / sketch_count_min / multimodal_frame_sample),
-# then pure stalest-first: the entire remaining r5 tier (26 queries)
-# followed by the oldest r6 greens (13 of 32) — after this round no
-# oracle-backed query has pre-r6 evidence, and the stalest tier left
-# for r10 is the 19 remaining r6 greens.
+# join_bloom_prefilter / sketch_count_min / multimodal_frame_sample /
+# web_url_dedup / text_line_dedup; tokenizer_bpe_apply is rows-only and
+# takes no slot), then pure stalest-first: the entire remaining r5 tier
+# (26 queries) followed by the oldest r6 greens (11 of 32) — after this
+# round no oracle-backed query has pre-r6 evidence, and the stalest
+# tier left for r10 is the 21 remaining r6 greens.
 _FRONT = [
     "multimodal_decode_video",  # NEVER GREEN
     "merge_cow_parquet",  # NEVER GREEN
@@ -178,6 +179,8 @@ _FRONT = [
     "sketch_count_min",  # NEVER GREEN
     "cow_time_travel",  # NEVER GREEN
     "split_train_holdout",  # NEVER GREEN
+    "web_url_dedup",  # NEVER GREEN
+    "text_line_dedup",  # NEVER GREEN
     "dedup_keep_latest",  # last green r5
     "dedup_embedding_cosine",  # last green r5
     "multimodal_decode_png",  # last green r5
@@ -215,8 +218,6 @@ _FRONT = [
     "agg_global",  # last green r6
     "agg_groupby_pricing",  # last green r6
     "agg_rollup",  # last green r6
-    "agg_cube",  # last green r6
-    "agg_grouping_sets",  # last green r6
 ]
 
 
