@@ -1,6 +1,6 @@
 """Pin golden output hashes for ALL rows-only queries.
 
-The 13 rows-only operators (no SQL oracle can exist — engine-hash /
+The 14 rows-only operators (no SQL oracle can exist — engine-hash /
 sketch / iterative algorithms) are nonetheless all bit-stable for a
 fixed dataset: the hash seeds are constants, sketch merges are
 order-insensitive (HLL) or partition-deterministic (GK), ANN ties
