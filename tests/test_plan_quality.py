@@ -102,6 +102,8 @@ def test_jvm_only_queries_have_no_python_stage(spark, sf_dir):
         "pack_greedy_bins",  # sequential bin-fill fold (applyInPandas)
         "embed_pca",  # moment + projection GEMMs (numpy via mapInPandas)
         "tokenizer_bpe_train",  # one-time codepoint symbolization pass
+        "tokenizer_bpe_apply",  # vocab-sized encode pass (mapInPandas)
+        "multimodal_frame_sample",  # MJPEG walk + sampled-frame decode
     }
     offenders = []
     for name in sorted(all_queries()):
@@ -189,6 +191,7 @@ def test_no_cartesian_product_outside_declared_brute_force(spark, sf_dir):
         "corpus_domain_token_budget",  # one-row corpus-total scalar
         "agg_rfm_segmentation",  # one-row global-anchor-date scalar
         "agg_benford_first_digit",  # one-row digit-total scalar
+        "sketch_count_min",  # one-row corpus-total scalar (share bar)
     }
     offenders = []
     for name in sorted(all_queries()):
