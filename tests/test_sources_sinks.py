@@ -115,13 +115,20 @@ def test_rate_envelope_stream_drives_the_engine(spark, engine, tmp_path):
         trigger_available_now=False,
     )
     try:
-        # rate source starts empty: processAllAvailable() alone can
-        # return after an empty batch 0 — wait until rows actually flowed
+        # Poll PROGRESS, never processAllAvailable(): against a LIVE
+        # rate source that call returns only if a trigger ever observes
+        # zero new offsets, i.e. only when a whole micro-batch completes
+        # inside one source second.  Batch time here is ~0.5-1.5 s
+        # (foreachBatch + two parquet sink writes), so whether it
+        # returns is a coin flip on machine load — measured hanging
+        # FOREVER at ~1.1 s/batch while the stream itself was perfectly
+        # healthy.  A reported numInputRows > 0 already means a batch
+        # with rows COMMITTED (progress is emitted after addBatch), so
+        # polling is the race-free completion signal.
         import time
 
         deadline = time.time() + 60
         while time.time() < deadline:
-            q.processAllAvailable()
             if sum(p.numInputRows for p in q.recentProgress) > 0:
                 break
             time.sleep(0.5)
