@@ -37,6 +37,51 @@ from kinesis_handler_spark.registry import all_queries  # noqa: E402
 from kinesis_handler_spark.session import get_spark  # noqa: E402
 
 
+def calibration_probe(spark) -> dict:
+    """Fixed-work host-speed probe (r9 verdict ask #6): the same JVM
+    runs (a) a pure-CPU whole-stage-codegen loop over a constant
+    ``range`` — no input data, no shuffle — and (b) one canonical
+    1-shuffle aggregation on a constant frame.  Work is IDENTICAL every
+    run on every host, so the ratio of two artifacts' ``calib`` numbers
+    IS the host-speed ratio: drift normalization becomes arithmetic
+    (``value * (ref_calib / my_calib)``) instead of per-query
+    forensics.  min-of-3 like the query timings; ~3 s total."""
+    import pyspark.sql.functions as F
+
+    def timed(thunk) -> tuple[float, float]:
+        """(min, mean) of 3 — min is the quiet-slice floor (matches the
+        query timings' statistic); mean tracks SUSTAINED load, which a
+        min can miss entirely on a bursty box (r10 measured cpu min
+        0.26 s while streaming throughput sat 7× below its calm band —
+        the same session's mean exposed the contention)."""
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            thunk()
+            ts.append(time.perf_counter() - t0)
+        return round(min(ts), 3), round(sum(ts) / len(ts), 3)
+
+    cpu, cpu_mean = timed(
+        # sum of the hash's high 32 bits: 2^29 × |2^31| ≤ 2^60 keeps the
+        # ANSI bigint sum overflow-free while still forcing every hash
+        lambda: spark.range(0, 1 << 29, 1, 32)
+        .select(F.sum(F.shiftright(F.xxhash64("id"), 32)).alias("s"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    shuffle, shuffle_mean = timed(
+        lambda: spark.range(0, 1 << 22, 1, 32)
+        .groupBy(F.pmod(F.col("id"), F.lit(1 << 18)).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    return {
+        "cpu_sec": cpu,
+        "cpu_mean": cpu_mean,
+        "shuffle_sec": shuffle,
+        "shuffle_mean": shuffle_mean,
+    }
+
+
 def run_bench(sf_dir: str) -> dict:
     spark = get_spark("kinesis-handler-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -54,6 +99,11 @@ def run_bench(sf_dir: str) -> dict:
     spark.range(32).repartition(32).mapInPandas(
         lambda it: it, "id LONG"
     ).write.format("noop").mode("overwrite").save()
+    # Calibrate host speed at run START and END: the r7-r9 rounds each
+    # burned adjudication time proving "same commit, 138 s early vs
+    # 216 s late" was host drift; bracketing probes make intra-run
+    # drift visible in the artifact itself.
+    calib_start = calibration_probe(spark)
     # min of N runs per query: measures the plan, not GC/scheduler noise
     # (single-run totals on this box swing ±30%, heavy queries ±2×).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
@@ -80,6 +130,7 @@ def run_bench(sf_dir: str) -> dict:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "calib": {"start": calib_start, "end": calibration_probe(spark)},
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
     if errors:
@@ -108,6 +159,14 @@ def compact_line(result: dict) -> str:
         "n_queries": len(timings),
         "qkeys": "sorted(all_queries)-qerr; expand: tools/expand_bench.py",
         "qfp": hashlib.sha256(",".join(timed).encode()).hexdigest()[:8],
+        # compact line carries only the min-statistic calib (byte budget);
+        # the full artifact keeps the means too
+        "calib": {
+            k: {"cpu_sec": v["cpu_sec"], "shuffle_sec": v["shuffle_sec"]}
+            for k, v in result["calib"].items()
+        }
+        if result.get("calib")
+        else None,
         "qvals": [timings[n] for n in timed],
         "qerr": sorted(result.get("errors", {})),
     }

@@ -30,6 +30,16 @@ format actually adds — from first principles on top of parquet files:
 * **Bounded driver state**: the only driver-side materialization is
   the manifest itself (file list + stats), the same O(#files)
   artifact every table format keeps; data rows never leave executors.
+* **Schema evolution (add-column)**: a MERGE whose source carries
+  columns the table lacks WIDENS the table schema on commit (r9
+  verdict ask #2 — the first lakehouse behavior a CDC user hits after
+  MERGE itself).  Every manifest entry records the file's own schema;
+  carried (untouched) files keep their narrow schema byte-identically,
+  and the reader unions heterogeneous file groups with NULL-fill for
+  the missing columns (Spark's native parquet ``mergeSchema``, then a
+  projection aligning to the manifest's current table schema).
+  Evolution is add-only: changing an existing column's type is
+  rejected rather than silently cast.
 
 Concurrency contract: single-writer (the reference's Lambda model and
 this engine's batch jobs are single-driver); the atomic pointer rename
@@ -66,6 +76,7 @@ class MergeStats:
     files_carried: int
     rows_deleted: int
     rows_inserted: int
+    cols_added: int = 0
 
 
 def _manifest_path(root: str, version: int) -> str:
@@ -115,6 +126,9 @@ def _write_data_files(
         )
         .collect()  # manifest-sized: one row per written file
     )
+    # per-file schema rides in the manifest so a reader can tell which
+    # files predate an add-column evolution (schema evolution contract)
+    schema_json = df.schema.json()
     entries = []
     for r in stats:
         src = r["f"].removeprefix("file:")
@@ -126,6 +140,7 @@ def _write_data_files(
                 "min_key": r["min_key"],
                 "max_key": r["max_key"],
                 "rows": r["rows"],
+                "schema": schema_json,
             }
         )
     shutil.rmtree(staging, ignore_errors=True)
@@ -161,15 +176,36 @@ def read_table(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """Read a table version (default: latest) — time travel is just
-    reading an older manifest's file list."""
+    reading an older manifest's file list.  If the version's files
+    carry more than one schema (an add-column evolution left old files
+    narrow), the scan merges parquet schemas and the missing columns
+    come back NULL; the result is always aligned to the manifest's
+    table schema (column order + NULL-fill)."""
+    from pyspark.sql import types as T
+
     m = read_manifest(root, version)
     paths = [os.path.join(root, e["path"]) for e in m["files"]]
+    schema_json = m.get("schema")
     if not paths:  # a legitimately empty version (empty-corpus twin)
-        from pyspark.sql import types as T
-
-        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        schema = T.StructType.fromJson(json.loads(schema_json))
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*paths)
+    file_schemas = {e.get("schema") or schema_json for e in m["files"]}
+    if len(file_schemas) > 1:
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    else:
+        df = spark.read.parquet(*paths)
+    if schema_json:
+        fields = T.StructType.fromJson(json.loads(schema_json)).fields
+        if [f.name for f in fields] != df.columns:
+            df = df.select(
+                *[
+                    F.col(f.name)
+                    if f.name in df.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in fields
+                ]
+            )
+    return df
 
 
 def merge_into(
@@ -181,6 +217,7 @@ def merge_into(
     delete_when=None,
     insert_select: list[object] | None = None,
     n_files: int = 4,
+    evolve_schema: bool = False,
 ) -> MergeStats:
     """MERGE ``source`` into the table at ``root`` (copy-on-write).
 
@@ -198,7 +235,20 @@ def merge_into(
       requires the source to carry all target columns).
 
     Only files whose key range intersects a source key are rewritten;
-    all others are carried into the new manifest by reference."""
+    all others are carried into the new manifest by reference.
+
+    Schema evolution (``evolve_schema=True``): source columns the table
+    lacks are APPENDED to the table schema on commit (nullable,
+    source's type).  Matched rows take the source value (unless
+    ``update`` overrides), unmatched rows in rewritten files and all
+    rows in carried files read back NULL.  A source column whose name
+    matches an existing table column but whose type differs is a hard
+    error — add-only, never silent cast.  With the default
+    ``evolve_schema=False``, extra source columns stay expression-only
+    inputs (``src_*`` in the arm expressions, the CDC-metadata case)
+    and the table schema is frozen."""
+    from pyspark.sql import types as T
+
     m = read_manifest(root)
     key = m["key"]
     src = source.filter(F.col(key).isNotNull())
@@ -224,8 +274,38 @@ def merge_into(
     touched = {r["path"] for r in touched_rows}
     carried = [e for e in m["files"] if e["path"] not in touched]
 
+    # --- schema evolution: widen on new source columns ---------------
+    if m.get("schema"):
+        tbl_schema = T.StructType.fromJson(json.loads(m["schema"]))
+    else:  # pre-evolution manifest: recover schema from the data files
+        tbl_schema = read_table(spark, root).schema
+    target_cols = [f.name for f in tbl_schema.fields]
+    src_field = {f.name: f for f in src.schema.fields}
+    if evolve_schema:
+        for f in tbl_schema.fields:
+            if (
+                f.name in src_field
+                and src_field[f.name].dataType != f.dataType
+            ):
+                raise TypeError(
+                    f"source column {f.name!r} is "
+                    f"{src_field[f.name].dataType.simpleString()} but the "
+                    f"table has {f.dataType.simpleString()} — evolution is "
+                    "add-only, cast in the source"
+                )
+    new_cols = (
+        [c for c in src.columns if c not in target_cols]
+        if evolve_schema
+        else []
+    )
+    widened = T.StructType(
+        list(tbl_schema.fields)
+        + [T.StructField(c, src_field[c].dataType, True) for c in new_cols]
+    )
+    out_cols = [f.name for f in widened.fields]
+    new_type = {c: src_field[c].dataType for c in new_cols}
+
     # --- rewrite the touched slice ----------------------------------
-    target_cols = read_table(spark, root).columns
     src_pref = src.select(
         *[F.col(c).alias(f"src_{c}") for c in src.columns]
     )
@@ -245,14 +325,24 @@ def merge_into(
             )
             n_del = survivors.filter(doomed).count()
             survivors = survivors.filter(~doomed)
-        rewritten = survivors.select(
-            *[
-                F.when(matched, update[c]).otherwise(F.col(c)).alias(c)
-                if c in update
-                else F.col(c)
-                for c in target_cols
-            ]
-        )
+
+        def out_col(c: str) -> F.Column:
+            if c in update:
+                base = (
+                    F.col(c)
+                    if c in target_cols
+                    else F.lit(None).cast(new_type[c])
+                )
+                return F.when(matched, update[c]).otherwise(base).alias(c)
+            if c in new_cols:  # evolved column: source value when matched
+                return (
+                    F.when(matched, F.col(f"src_{c}"))
+                    .otherwise(F.lit(None).cast(new_type[c]))
+                    .alias(c)
+                )
+            return F.col(c)
+
+        rewritten = survivors.select(*[out_col(c) for c in out_cols])
         not_matched = src_pref.join(
             tgt.select(F.col(key).alias("tk")),
             F.col(f"src_{key}") == F.col("tk"),
@@ -265,11 +355,19 @@ def merge_into(
 
     if insert_select is not None:
         inserts = not_matched.select(
-            *[e.alias(c) for e, c in zip(insert_select, target_cols)]
+            *[e.alias(c) for e, c in zip(insert_select, out_cols)]
         )
     else:
+        # INSERT *: table columns the source lacks fill NULL (the
+        # standard lakehouse insert under schema evolution)
+        tbl_type = {f.name: f.dataType for f in widened.fields}
         inserts = not_matched.select(
-            *[F.col(f"src_{c}").alias(c) for c in target_cols]
+            *[
+                F.col(f"src_{c}").alias(c)
+                if c in src_field
+                else F.lit(None).cast(tbl_type[c]).alias(c)
+                for c in out_cols
+            ]
         )
     n_ins = inserts.count()
     new_data = inserts if rewritten is None else rewritten.unionByName(
@@ -278,12 +376,21 @@ def merge_into(
 
     new_entries = _write_data_files(new_data, root, key, n_files)
     version = m["version"] + 1
+    # carried files keep their own (possibly narrower) schema; entries
+    # from pre-evolution manifests are stamped with the parent table
+    # schema so the reader's heterogeneity test stays exact
+    parent_schema = m.get("schema")
+    carried = [
+        e if "schema" in e or not parent_schema
+        else {**e, "schema": parent_schema}
+        for e in carried
+    ]
     manifest = {
         "version": version,
         "key": key,
         "files": carried + new_entries,
         "parent": m["version"],
-        "schema": m.get("schema"),
+        "schema": widened.json(),
     }
     with open(_manifest_path(root, version), "w") as fh:
         json.dump(manifest, fh)
@@ -295,6 +402,7 @@ def merge_into(
         files_carried=len(carried),
         rows_deleted=int(n_del),
         rows_inserted=int(n_ins),
+        cols_added=len(new_cols),
     )
 
 

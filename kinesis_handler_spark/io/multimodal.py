@@ -252,6 +252,12 @@ def sample_mjpeg_payloads(
     ``sample_frames(fake=False)`` and the ``multimodal_frame_sample``
     query so the sampling arithmetic cannot drift between them."""
     _w, _h, usec, payloads = decode_avi_mjpeg(content)
+    if usec <= 0 or not payloads:
+        # Parseable container but no playable stream: surface a diagnostic
+        # instead of the raw ZeroDivisionError/IndexError the arithmetic
+        # below would throw (dead-letter contract: per-blob errors must
+        # say WHAT was wrong with the blob).
+        raise ValueError("empty or zero-rate MJPEG container")
     frame_ms = usec / 1000.0
     duration = frame_ms * len(payloads)
     n = min(max_frames, max(1, int(duration // every_ms)))

@@ -679,12 +679,11 @@ def text_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              'https://'
              || CASE WHEN ((doc_id % 3) + 3) % 3 = 0 THEN 'WWW.' ELSE '' END
-             || 'site' || CAST(((doc_id % 37) + 37) % 37 AS VARCHAR)
+             || 'site' || CAST(((doc_id % 13) + 13) % 13 AS VARCHAR)
              || '.example/page/'
-             || CAST(((doc_id % 101) + 101) % 101 AS VARCHAR)
+             || CAST(((doc_id % 17) + 17) % 17 AS VARCHAR)
              || CASE WHEN ((doc_id % 2) + 2) % 2 = 0
-                     THEN '/?utm_source=feed&utm_campaign=x&id='
-                          || CAST(((doc_id % 11) + 11) % 11 AS VARCHAR)
+                     THEN '/?utm_source=feed&ref=rss&utm_campaign=x'
                      ELSE '' END
              || CASE WHEN ((doc_id % 5) + 5) % 5 = 0
                      THEN '#section-' || CAST(((doc_id % 7) + 7) % 7 AS VARCHAR)
@@ -706,7 +705,9 @@ def text_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     canon2 AS (
       SELECT doc_id, url,
-             lower(regexp_extract(stripped, '^https?://(www\\.)?([^/]*)', 2))
+             regexp_replace(
+               lower(regexp_extract(stripped, '^https?://([^/]*)', 1)),
+               '^www\\.', '')
              || regexp_replace(stripped, '^https?://[^/]*', '')
                AS canonical_url
       FROM canon
@@ -728,10 +729,14 @@ def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowercase the host and fold ``www.`` — then keep the minimum doc_id
     per canonical URL.  The corpus has no URL column, so — the
     PII-audit precedent — a deterministic doc_id-derived seeding stage
-    mints realistic messy URLs (mixed-case www hosts, tracking params,
-    fragments, trailing slashes) whose residue classes guarantee real
-    collisions; the CANONICALIZER is the operator under test, RE2-safe
-    and evaluated identically by Java regex and DuckDB.
+    mints realistic messy URLs (mixed-case ``WWW.`` hosts, tracking
+    params around one surviving ``ref=`` param, fragments, trailing
+    slashes) whose residue classes (site mod 13 × page mod 17 ×
+    parity = 442 canonicals) guarantee real collisions from ~450 docs
+    up — including cross-``www`` merges (period 442 is coprime to the
+    mod-3 www flag) — so every documented variant class demonstrably
+    folds at sf0.01; the CANONICALIZER is the operator under test,
+    RE2-safe and evaluated identically by Java regex and DuckDB.
 
     100 TB: pure per-row JVM regex fused into the scan; the dedup is
     one groupBy on the canonical key (the same shuffle profile as
@@ -744,12 +749,10 @@ def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     url = F.concat(
         F.lit("https://"),
         F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, "WWW.").otherwise(""),
-        F.lit("site"), nn(37), F.lit(".example/page/"), nn(101),
+        F.lit("site"), nn(13), F.lit(".example/page/"), nn(17),
         F.when(
             F.pmod(F.col("doc_id"), F.lit(2)) == 0,
-            F.concat(
-                F.lit("/?utm_source=feed&utm_campaign=x&id="), nn(11)
-            ),
+            F.lit("/?utm_source=feed&ref=rss&utm_campaign=x"),
         ).otherwise(""),
         F.when(
             F.pmod(F.col("doc_id"), F.lit(5)) == 0,
@@ -774,7 +777,11 @@ def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         r"$1",
     )
     canonical = F.concat(
-        F.lower(F.regexp_extract(stripped, r"^https?://(www\.)?([^/]*)", 2)),
+        F.regexp_replace(
+            F.lower(F.regexp_extract(stripped, r"^https?://([^/]*)", 1)),
+            r"^www\.",
+            "",
+        ),
         F.regexp_replace(stripped, r"^https?://[^/]*", ""),
     )
     canon = d.select(

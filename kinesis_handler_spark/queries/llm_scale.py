@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_handler_spark.functions.lineage import truncate
+from kinesis_handler_spark.functions.lsh import cap_band_buckets
 from kinesis_handler_spark.queries.llm import _clean_embeddings, _quantized
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
@@ -78,6 +79,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
     ).withColumn(
         "band_bits", F.expr("shiftright(simhash, band * 16) & 65535L")
+    )
+    # Bucket-width cap (r9 verdict ask #5): a replication-heavy corpus
+    # grows stop-pattern buckets whose pair emission is quadratic in
+    # width; cap members per (band, band_bits) bucket at BUCKET_CAP
+    # (ranked by fingerprint — total within a bucket since dfp is
+    # distinct), bounding pairs at ~2k/bucket.  No clean-corpus bucket
+    # reaches the cap at sf0.01/sf0.1 (golden pin unchanged); truncated
+    # buckets are flagged, never silent (tests/test_scale_ops.py gates
+    # the trade-off, tools/growth_probe.py measures the bounded
+    # exponent).
+    banded, _ = cap_band_buckets(
+        banded, "simhash", ("band", "band_bits")
     )
     a, b = banded.alias("a"), banded.alias("b")
     fpairs = (

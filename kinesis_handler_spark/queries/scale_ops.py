@@ -155,16 +155,22 @@ def bloom_might_contain(words: list[int], key_expr: str) -> Column:
     broadcast-by-value, the same way a real runtime filter ships).
     Built as generated SQL because ``shiftleft``'s bit-count argument
     must be an expression here (the DataFrame helper only takes a
-    literal)."""
+    literal).  Each of the K bit positions is hashed ONCE (the
+    ``transform`` lambda binds it to ``b`` for both the word index and
+    the mask) and the 1024-element bitmap literal appears ONCE in the
+    generated SQL — the naive AND-of-tests form inlined each hash twice
+    and the ~8 KiB array K times, betting on a common-subexpression
+    elimination Spark does not guarantee for ``expr()`` strings."""
     arr = "array(" + ",".join(f"{w}L" for w in words) + ")"
-    tests = []
-    for j in range(_BLOOM_K):
-        bit = f"pmod(xxhash64({key_expr}, {j}), {_BLOOM_BITS})"
-        tests.append(
-            f"(element_at({arr}, CAST({bit} / 64 AS INT) + 1)"
-            f" & shiftleft(1L, CAST({bit} % 64 AS INT))) != 0"
-        )
-    return F.expr(" AND ".join(tests))
+    bits = ",".join(
+        f"pmod(xxhash64({key_expr}, {j}), {_BLOOM_BITS})"
+        for j in range(_BLOOM_K)
+    )
+    return F.expr(
+        f"forall(transform(array({bits}), b -> "
+        f"(element_at({arr}, CAST(b / 64 AS INT) + 1)"
+        f" & shiftleft(1L, CAST(b % 64 AS INT))) != 0), v -> v)"
+    )
 
 
 @query(

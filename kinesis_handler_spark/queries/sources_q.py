@@ -30,7 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kinesis_handler_spark.functions.numeric import dec, dec_sum
+from kinesis_handler_spark.functions.numeric import (
+    dec,
+    dec_sum,
+    dec_t,
+    floor_sum,
+)
 from kinesis_handler_spark.functions.text import normalize_text
 from kinesis_handler_spark.io.bucketing import ensure_bucketed, read_bucketed
 from kinesis_handler_spark.registry import query
@@ -626,6 +631,17 @@ def _materialize_cow_merge(spark: SparkSession, sf_dir: str) -> str:
                 f"cow fixture {out} was not produced — rename failed "
                 "and no concurrent builder completed it"
             )
+    if not (out / "manifest-v1.json").exists():
+        # cow_time_travel reads version 1 forever; a vacuum() on this
+        # root (keep_versions=1 default keeps only v2) would silently
+        # break it with an opaque read error while merge_cow_parquet
+        # kept passing.  Fail loud with the cause: .fixture_cache COW
+        # roots are immutable history — never vacuum them.
+        raise RuntimeError(
+            f"cow fixture {out} lost manifest-v1.json (was it "
+            "vacuum()ed?) — delete the fixture dir to rebuild; "
+            ".fixture_cache COW roots must never be vacuumed"
+        )
     return str(out)
 
 
@@ -814,4 +830,177 @@ def cow_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.groupBy("mktsegment", "change").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("n_orders").cast("bigint").alias("tot_orders"),
+    )
+
+
+def _evo_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed for the schema-evolution fixture: per-customer order
+    counts restricted to the CONTIGUOUS key subrange ``o_custkey <
+    1000`` — contiguity matters, because the COW files are key-RANGE
+    partitioned and only a contiguous touch leaves the higher-range
+    files carried by reference under their narrow pre-evolution schema
+    (an interleaved ``% k`` filter would touch every file).  A slice
+    (cnt % 7 == 3) is remapped into a disjoint key range so the INSERT
+    arm fires; remap collisions re-aggregate (merge sources are
+    key-unique); pmod remap per the extreme-key rule."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & (F.col("o_custkey") < 1000)
+    )
+    agg = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    k = F.when(
+        F.col("n_orders") % 7 == 3,
+        F.pmod(F.col("o_custkey"), F.lit(1009)) + F.lit(4_000_000_000),
+    ).otherwise(F.col("o_custkey"))
+    return (
+        agg.select(k.alias("c_custkey"), "n_orders")
+        .groupBy("c_custkey")
+        .agg(F.sum("n_orders").cast("bigint").alias("n_orders"))
+    )
+
+
+def _materialize_cow_evo(spark: SparkSession, sf_dir: str) -> str:
+    """Build the schema-evolution fixture ONCE per scale factor:
+    version 1 is customer WITHOUT any order column (3 columns), then
+    one MERGE with ``evolve_schema=True`` whose source carries the new
+    ``n_orders`` column widens the table — update/delete/insert arms
+    all fire, and the files above the touched subrange are carried
+    byte-identically with their narrow schema.  Same atomic
+    build-in-tmp + rename + verify discipline as
+    ``_materialize_cow_merge``."""
+    import os
+    import shutil
+
+    from kinesis_handler_spark.io.merge import create_table, merge_into
+
+    out = (
+        _REPO_ROOT / ".fixture_cache" / Path(sf_dir).name
+        / "cow_customer_evo"
+    )
+    if not (out / "_LATEST").exists():
+        tmp = out.parent / f".cow_customer_evo.tmp.{os.getpid()}"
+        shutil.rmtree(str(tmp), ignore_errors=True)
+        os.makedirs(str(tmp))
+        target = (
+            table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey").isNotNull())
+            .select("c_custkey", "c_mktsegment", "c_acctbal")
+        )
+        create_table(target, str(tmp), "c_custkey", n_files=8)
+        st = merge_into(
+            spark,
+            str(tmp),
+            _evo_feed(spark, sf_dir),
+            update={},
+            delete_when=F.col("src_n_orders") % 13 == 0,
+            insert_select=[
+                F.col("src_c_custkey"),
+                F.lit("NEW"),
+                F.lit(0.0),
+                F.col("src_n_orders"),
+            ],
+            n_files=4,
+            evolve_schema=True,
+        )
+        if st.cols_added != 1:
+            shutil.rmtree(str(tmp), ignore_errors=True)
+            raise RuntimeError(
+                f"evolution fixture merge added {st.cols_added} columns, "
+                "expected exactly n_orders"
+            )
+        try:
+            os.rename(str(tmp), str(out))
+        except OSError:
+            shutil.rmtree(str(tmp), ignore_errors=True)
+        if not (out / "_LATEST").exists():
+            raise RuntimeError(
+                f"cow evolution fixture {out} was not produced — rename "
+                "failed and no concurrent builder completed it"
+            )
+    if not (out / "manifest-v1.json").exists():
+        raise RuntimeError(
+            f"cow evolution fixture {out} lost manifest-v1.json (was it "
+            "vacuum()ed?) — delete the fixture dir to rebuild; "
+            ".fixture_cache COW roots must never be vacuumed"
+        )
+    return str(out)
+
+
+@query(
+    "cow_schema_evolution",
+    oracle="""
+    WITH agg AS (
+      SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders WHERE o_custkey IS NOT NULL AND o_custkey < 1000
+      GROUP BY 1
+    ),
+    remap AS (
+      SELECT CASE WHEN cnt % 7 = 3
+                  THEN ((ck % 1009) + 1009) % 1009 + 4000000000
+                  ELSE ck END AS k,
+             cnt
+      FROM agg
+    ),
+    feed AS (
+      SELECT k, CAST(SUM(cnt) AS BIGINT) AS n_orders FROM remap GROUP BY k
+    ),
+    tgt AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal
+      FROM customer WHERE c_custkey IS NOT NULL
+    ),
+    merged AS (
+      SELECT CASE WHEN t.c_custkey IS NULL THEN 'NEW'
+                  ELSE t.c_mktsegment END AS mktsegment,
+             CASE WHEN t.c_custkey IS NULL THEN 0e0
+                  ELSE t.c_acctbal END AS acctbal,
+             f.n_orders AS n_orders,
+             (t.c_custkey IS NOT NULL AND f.k IS NOT NULL) AS matched
+      FROM tgt t FULL JOIN feed f ON t.c_custkey = f.k
+    )
+    SELECT mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(COUNT(n_orders) AS BIGINT) AS n_with_orders,
+           CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS tot_orders,
+           CAST(CAST(FLOOR(SUM(CAST(acctbal AS DECIMAL(38,6))))
+                  AS DECIMAL(38,0)) AS DOUBLE) AS sum_acctbal
+    FROM merged
+    WHERE NOT (matched AND n_orders % 13 = 0)
+    GROUP BY mktsegment
+    """,
+)
+def cow_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION on the COW table (r9 verdict ask #2 — the first
+    lakehouse behavior a CDC user hits after MERGE itself): version 1
+    of the table has NO order column; one MERGE whose source carries a
+    brand-new ``n_orders`` column (``evolve_schema=True``) widens the
+    schema on commit.  Files above the touched key subrange are carried
+    BY REFERENCE — byte-identical, still narrow on disk (per-file
+    schema in the manifest records exactly that) — and the reader
+    unions the heterogeneous file groups with NULL-fill (parquet
+    ``mergeSchema`` + alignment to the manifest schema,
+    ``io/merge.py::read_table``).  The query aggregates the evolved
+    table per segment; ``n_with_orders < n_cust`` is the NULL-fill made
+    visible (carried rows and unmatched rewritten rows read NULL).  The
+    DuckDB oracle replays the evolved table from the raw parquet — a
+    hash match proves widened-commit, carry-forward, and NULL-fill are
+    all value-exact.  Byte-identity of carried files and v1 time travel
+    stay pytest-pinned (tests/test_cow_merge.py).
+
+    100 TB: evolution costs exactly one manifest write more than the
+    MERGE itself — no table rewrite, no backfill job; old files are
+    upgraded lazily by later merges that happen to touch them.  The
+    acctbal sum floor-quantizes (bounded segment cardinality, the 2^53
+    rule)."""
+    from kinesis_handler_spark.io.merge import read_table
+
+    root = _materialize_cow_evo(spark, sf_dir)
+    t = read_table(spark, root)
+    return t.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.count("n_orders").cast("bigint").alias("n_with_orders"),
+        F.sum(F.coalesce(F.col("n_orders"), F.lit(0)))
+        .cast("bigint")
+        .alias("tot_orders"),
+        floor_sum(dec_t("c_acctbal", "decimal(38,6)")).alias("sum_acctbal"),
     )

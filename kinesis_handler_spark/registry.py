@@ -153,71 +153,73 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   2. oracle-backed queries by last-green round ascending (stalest first);
 #   3. rows-only queries never occupy a verdict slot (no hash check).
 # Everything past _FRONT follows in registration order via _driver_order.
-# Round-9 rotation (VERDICT.md r8 "Next round" item 1 + the r9 wave):
-# CORRECTNESS_r08 came back 50/50 clean, so the whole r8 front yielded
-# its slots.  This block is the unedited output of
-# ``tools/rotate_tiers.py --write`` — exactly 50: the THIRTEEN
-# never-green queries first (rule 1: multimodal_decode_video and
-# merge_cow_parquet from early r9, plus the eleven r9-wave additions
-# cow_time_travel / split_train_holdout / text_lm_bigram_logloss /
-# text_pii_audit / dedup_containment / layout_zorder /
-# join_bloom_prefilter / sketch_count_min / multimodal_frame_sample /
-# web_url_dedup / text_line_dedup; tokenizer_bpe_apply is rows-only and
-# takes no slot), then pure stalest-first: the entire remaining r5 tier
-# (26 queries) followed by the oldest r6 greens (11 of 32) — after this
-# round no oracle-backed query has pre-r6 evidence, and the stalest
-# tier left for r10 is the 21 remaining r6 greens.
+# Round-10 rotation (VERDICT.md r9 "Next round" item 1):
+# CORRECTNESS_r09 came back 50/50 clean, so the whole r9 front yielded
+# its slots.  Output of ``tools/rotate_tiers.py --write`` with TWO
+# manual substitutions mandated by the changed-since-checked guard
+# (r9 ask #8, tests/test_registry_front.py): ``web_url_dedup`` (green
+# r9 but REWRITTEN this round — www-fold fix + collision-real seeding)
+# and ``join_bloom_prefilter`` (green r9 but its ``bloom_might_contain``
+# helper was rewritten — helper changes are outside the fingerprint's
+# scope and are fronted by hand per the source_fingerprint docstring)
+# replace the two freshest r7 fills.  Shape: cow_schema_evolution
+# (never green) first, then the ENTIRE remaining r6 tier (34 — includes
+# the r9-rewritten join_asof_nearest, and join_interval_overlap rides
+# in the r7 tier), then stalest r7.  After this round no oracle-backed
+# query has pre-r7 evidence.  dedup_incremental_minhash and
+# text_quality_classifier are rows-only (golden-pinned) and take no
+# slot.
 _FRONT = [
-    "multimodal_decode_video",  # NEVER GREEN
-    "merge_cow_parquet",  # NEVER GREEN
-    "text_lm_bigram_logloss",  # NEVER GREEN
-    "text_pii_audit",  # NEVER GREEN
-    "dedup_containment",  # NEVER GREEN
-    "multimodal_frame_sample",  # NEVER GREEN
-    "layout_zorder",  # NEVER GREEN
-    "join_bloom_prefilter",  # NEVER GREEN
-    "sketch_count_min",  # NEVER GREEN
-    "cow_time_travel",  # NEVER GREEN
-    "split_train_holdout",  # NEVER GREEN
-    "web_url_dedup",  # NEVER GREEN
-    "text_line_dedup",  # NEVER GREEN
-    "dedup_keep_latest",  # last green r5
-    "dedup_embedding_cosine",  # last green r5
-    "multimodal_decode_png",  # last green r5
-    "multimodal_resize",  # last green r5
-    "scan_filter_project",  # last green r5
-    "filter_pushdown_dates",  # last green r5
-    "agg_count_distinct",  # last green r5
-    "agg_count_distinct_salted",  # last green r5
-    "join_left_outer",  # last green r5
-    "join_full_outer",  # last green r5
-    "join_semi",  # last green r5
-    "join_anti",  # last green r5
-    "join_range_theta",  # last green r5
-    "validate_predicate",  # last green r5
-    "source_partitioned_scan",  # last green r5
-    "agg_order_priority_exists",  # last green r5
-    "agg_value_share",  # last green r5
-    "join_top_revenue_supplier",  # last green r5
-    "agg_supplier_cnt",  # last green r5
-    "join_large_orders",  # last green r5
-    "join_sole_blame_supplier",  # last green r5
-    "join_min_price_supplier",  # last green r5
-    "sql_correlated_subqueries",  # last green r5
-    "events_rolling_distinct",  # last green r5
-    "window_frame_exclude",  # last green r5
-    "join_dominant_supplier",  # last green r5
-    "text_heavy_hitters",  # last green r6
-    "text_stats",  # last green r6
-    "text_normalize",  # last green r6
-    "dedup_components",  # last green r6
-    "window_first_last",  # last green r6
-    "window_time_bucket",  # last green r6
-    "events_transition",  # last green r6
-    "project_compute",  # last green r6
-    "agg_global",  # last green r6
-    "agg_groupby_pricing",  # last green r6
-    "agg_rollup",  # last green r6
+    "cow_schema_evolution",  # NEVER GREEN
+    "agg_cube",  # last green r6
+    "agg_grouping_sets",  # last green r6
+    "agg_filtered_pivot",  # last green r6
+    "join_inner_equi",  # last green r6
+    "join_broadcast_dims",  # last green r6
+    "join_exists_correlated",  # last green r6
+    "agg_distinct_multi",  # last green r6
+    "join_null_safe",  # last green r6
+    "profile_table",  # last green r6
+    "route_case_tag",  # last green r6
+    "scalar_string",  # last green r6
+    "scalar_math",  # last green r6
+    "scalar_array",  # last green r6
+    "scalar_array_explode",  # last green r6
+    "scalar_conditional_null",  # last green r6
+    "scalar_struct",  # last green r6
+    "scalar_hash",  # last green r6
+    "sort_multi_key",  # last green r6
+    "limit_topk",  # last green r6
+    "set_union_all",  # last green r6
+    "set_intersect",  # last green r6
+    "set_except",  # last green r6
+    "dedup_exact",  # last green r6
+    "set_intersect_all",  # last green r6
+    "source_csv_scan",  # last green r6
+    "source_text_scan",  # last green r6
+    "join_bucketed_colocated",  # last green r6
+    "agg_weighted_avg",  # last green r6
+    "window_groups_frame",  # last green r6
+    "window_lag_lead",  # last green r6
+    "window_running_frame",  # last green r6
+    "join_asof_latest",  # last green r6
+    "join_asof_nearest",  # last green r6
+    "sql_recursive_cte",  # last green r7
+    "agg_time_weighted_avg",  # last green r7
+    "join_interval_overlap",  # last green r7
+    "window_skyline_pareto",  # last green r7
+    "agg_rfm_segmentation",  # last green r7
+    "agg_abc_classification",  # last green r7
+    "agg_benford_first_digit",  # last green r7
+    "window_ewma_dyadic",  # last green r7
+    "text_concordance",  # last green r7
+    "agg_promo_share",  # last green r7
+    "agg_late_shipment_priority",  # last green r7
+    "events_daily_ma",  # last green r7
+    "sample_uniform_per_stratum",  # last green r7
+    "audit_referential_integrity",  # last green r7
+    "web_url_dedup",  # green r9, REWRITTEN r10 (changed-since-checked guard)
+    "join_bloom_prefilter",  # green r9, helper rewritten r10 (manual rule)
 ]
 
 
@@ -232,6 +234,26 @@ def _driver_order() -> list[str]:
         n for n in names if n not in front and QUERIES[n].oracle is None
     ]
     return front + rest_oracle + rest_rows_only
+
+
+def source_fingerprint(name: str) -> str:
+    """sha256 over the query function's source text plus its oracle SQL —
+    the identity the changed-since-checked front guard tracks
+    (tests/front_source_hashes.json).  A query whose fingerprint moved
+    after its last driver hash-check has UNVERIFIED current behavior no
+    matter how green its history looks (the r9 skew rewrites exposed
+    this: ``join_asof_nearest`` was rewritten two rounds after its last
+    check and kept its stale green until manual adjudication).  Scope is
+    deliberately the ask's: the registered function body + oracle.  A
+    change hidden in a shared helper is NOT caught — when editing a
+    helper, add its callers to ``_FRONT`` by hand (r10 precedent:
+    ``bloom_might_contain`` → ``join_bloom_prefilter``)."""
+    import hashlib
+    import inspect
+
+    q = QUERIES[name]
+    text = inspect.getsource(q.fn) + "\n---oracle---\n" + (q.oracle or "")
+    return hashlib.sha256(text.encode()).hexdigest()
 
 
 def all_queries() -> dict[str, QueryFn]:

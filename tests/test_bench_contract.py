@@ -25,6 +25,12 @@ def _fake_result(error_names=()):
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "calib": {
+            "start": {"cpu_sec": 12.345, "cpu_mean": 12.345,
+                      "shuffle_sec": 12.345, "shuffle_mean": 12.345},
+            "end": {"cpu_sec": 12.345, "cpu_mean": 12.345,
+                    "shuffle_sec": 12.345, "shuffle_mean": 12.345},
+        },
         "sf": 0.1,
     }
     if error_names:

@@ -104,3 +104,55 @@ def test_misra_gries_candidate_superset_guarantee():
         assert cnt / n > share  # test premise
         assert item in cands, item
     assert len(cands) <= cap + 1  # summary stays bounded
+
+
+def test_web_url_dedup_folds_www_and_merges(spark, sf_dir):
+    """Third-opinion check for the URL canonicalizer: replicate the
+    seeding + canonicalization in pure-Python ``re`` and compare the
+    full group map.  Regression for the r9 advice bug where the
+    case-sensitive www-strip ran before lower() and the documented
+    www/bare collision class never merged."""
+    import re as _re
+
+    docs = sorted(d for d in _docs(sf_dir) if d is not None)
+    exp: dict[str, list[int]] = {}
+    variants: dict[str, set[str]] = {}
+    for d in docs:
+        url = "https://"
+        if d % 3 == 0:
+            url += "WWW."
+        url += f"site{d % 13}.example/page/{d % 17}"
+        if d % 2 == 0:
+            url += "/?utm_source=feed&ref=rss&utm_campaign=x"
+        if d % 5 == 0:
+            url += f"#section-{d % 7}"
+        s = _re.sub(r"#.*$", "", url)
+        s = _re.sub(r"([?&])utm_[a-z]+=[^&#]*", r"\1", s)
+        s = _re.sub(r"[?&]+$", "", s)
+        s = _re.sub(r"\?&", "?", s)
+        s = _re.sub(r"/+(\?|$)", r"\1", s)
+        host = _re.match(r"^https?://([^/]*)", s).group(1).lower()
+        canon = _re.sub(r"^www\.", "", host) + _re.sub(
+            r"^https?://[^/]*", "", s
+        )
+        exp.setdefault(canon, []).append(d)
+        variants.setdefault(canon, set()).add(url)
+    got = {
+        r["canonical_url"]: (r["n_docs"], r["keep_doc"], r["n_variants"])
+        for r in QUERIES["web_url_dedup"].fn(spark, sf_dir).collect()
+    }
+    assert got == {
+        c: (len(ids), min(ids), len(variants[c])) for c, ids in exp.items()
+    }
+    # the operator must demonstrably dedup at test scale: merged groups
+    # exist, www/bare variants fold, and no canonical keeps its www
+    assert any(n > 1 for n, _, _ in got.values())
+    assert any(v > 1 for _, _, v in got.values())
+    assert not any(c.startswith("www.") for c in got)
+    # at least one merged group mixes a www doc (id%3==0) with a bare one
+    assert any(
+        len(ids) > 1
+        and any(i % 3 == 0 for i in ids)
+        and any(i % 3 != 0 for i in ids)
+        for ids in exp.values()
+    )

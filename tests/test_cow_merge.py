@@ -194,3 +194,92 @@ def test_compact_preserves_values_and_shrinks_files(spark, tmp_path):
     assert read_table(spark, root, version=st.version - 1).count() == len(
         before_rows
     )
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """r9 verdict ask #2: a MERGE whose source adds a column widens the
+    table schema on commit; carried files stay byte-identical under
+    their narrow schema and read back NULL for the new column."""
+    import json
+
+    root = str(tmp_path / "t")
+    st0 = _mk_target(spark, root)
+    m1 = read_manifest(root)
+    pre_sha = {e["path"]: _file_sha(root, e["path"]) for e in m1["files"]}
+
+    # feed touches only keys 0..49 and carries a brand-new column
+    feed = spark.range(50).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).cast("double").alias("score"),
+    )
+    st1 = merge_into(
+        spark, root, feed, update={}, evolve_schema=True, n_files=2
+    )
+    assert st1.version == 2 and st1.cols_added == 1
+    assert 0 < st1.files_rewritten < st0.files_total
+
+    m2 = read_manifest(root)
+    widened = json.loads(m2["schema"])
+    assert [f["name"] for f in widened["fields"]] == ["k", "val", "tag",
+                                                      "score"]
+    # carried files: same path, same bytes, narrow per-file schema
+    carried = {e["path"] for e in m2["files"]} & set(pre_sha)
+    assert len(carried) == st1.files_carried > 0
+    for e in m2["files"]:
+        names = [f["name"] for f in json.loads(e["schema"])["fields"]]
+        if e["path"] in carried:
+            assert _file_sha(root, e["path"]) == pre_sha[e["path"]]
+            assert "score" not in names
+        else:
+            assert names[-1] == "score"
+
+    cur = read_table(spark, root)
+    assert cur.columns == ["k", "val", "tag", "score"]
+    rows = {r["k"]: r for r in cur.collect()}
+    assert len(rows) == 1000
+    for k, r in rows.items():
+        if k < 50:  # matched: evolved column takes the source value
+            assert r["score"] == float(k * 2), k
+        else:  # unmatched in touched files AND carried files: NULL
+            assert r["score"] is None, k
+        assert (r["val"], r["tag"]) == (k % 7, "orig")  # values untouched
+
+    # time travel: v1 still reads with the narrow schema
+    v1 = read_table(spark, root, version=1)
+    assert v1.columns == ["k", "val", "tag"]
+    assert v1.count() == 1000
+
+    # a later non-evolving merge over the evolved table still works and
+    # inserts populate the evolved column through the default arm
+    feed2 = spark.range(2000, 2010).select(
+        F.col("k") if False else F.col("id").alias("k"),
+        F.lit(5).cast("bigint").alias("val"),
+        F.lit("ins").alias("tag"),
+        F.lit(1.5).alias("score"),
+    )
+    st2 = merge_into(spark, root, feed2, update={})
+    assert st2.cols_added == 0 and st2.rows_inserted == 10
+    got = {
+        r["k"]: r["score"]
+        for r in read_table(spark, root).filter(F.col("k") >= 2000).collect()
+    }
+    assert got == {k: 1.5 for k in range(2000, 2010)}
+
+
+def test_schema_evolution_is_opt_in_and_add_only(spark, tmp_path):
+    import pytest
+
+    root = str(tmp_path / "t")
+    _mk_target(spark, root)
+    feed = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("extra")
+    )
+    # default: extra source columns are expression-only, schema frozen
+    merge_into(spark, root, feed, update={})
+    assert read_table(spark, root).columns == ["k", "val", "tag"]
+    # evolving with a type conflict on an existing column is a hard error
+    bad = spark.range(10).select(
+        F.col("id").alias("k"), F.lit("not-a-number").alias("val")
+    )
+    with pytest.raises(TypeError, match="add-only"):
+        merge_into(spark, root, bad, update={}, evolve_schema=True)

@@ -56,3 +56,194 @@ def test_high_jaccard_dups_share_component(spark, sf_dir):
     assert high, "fixture should contain planted near-duplicates"
     for a, b in high:
         assert out[a][0] == out[b][0], f"dup pair ({a},{b}) split"
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-snapshot) MinHash dedup — r9 verdict ask #3
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_minhash_equals_full_rerun(spark, sf_dir):
+    """The incremental run (new batch probed against the persisted
+    corpus band index + within-batch self-join) must produce EXACTLY
+    the full-rerun MinHash pairs on the unioned corpus restricted to
+    pairs touching the batch — the correctness contract that lets a
+    production crawl never re-scan its corpus."""
+    from pyspark.sql import functions as F
+
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in all_queries()["dedup_near_minhash"](spark, sf_dir).collect()
+    }
+    batch = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(
+            F.col("doc_id").isNotNull()
+            & (F.pmod(F.col("doc_id"), F.lit(10)) == 7)
+        )
+        .collect()
+    }
+    expected = {p for p in full if p[0] in batch or p[1] in batch}
+    got_rows = all_queries()["dedup_incremental_minhash"](
+        spark, sf_dir
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in got_rows}
+    assert got == expected
+    # the against label tells the consumer which snapshot the partner
+    # came from; both endpoints in batch <=> 'batch'
+    for r in got_rows:
+        both = r["doc_a"] in batch and r["doc_b"] in batch
+        assert r["against"] == ("batch" if both else "corpus"), r
+    # the restriction must not be vacuous: the corpus has planted
+    # duplicate bands, so some pairs span the split at every sf
+    assert expected, "no batch-touching pairs — fixture split broken"
+
+
+def test_incremental_minhash_never_rescans_corpus(spark, sf_dir):
+    """Plan gate: the query-time plan reads the persisted band index
+    (once) and NEVER documents.parquet — the batch slice is the only
+    text read, and it hides behind the lineage-truncation checkpoint
+    whose own subplan scans documents exactly once."""
+    from test_plan_quality import plan_of
+
+    from kinesis_handler_spark.queries.llm import (
+        _batch_slice,
+        minhash_band_frame,
+    )
+
+    plan = plan_of(spark, "dedup_incremental_minhash", sf_dir)
+    # corpus text contributes ONLY through the index parquet; the one
+    # index read feeds the probe join (the within-batch side reuses the
+    # truncated probe, not the index)
+    assert plan.count("documents.parquet") == 0, plan
+    assert plan.count("minhash_band_index") == 1, plan
+
+    # the probe subplan (what the truncation checkpoint materializes)
+    # scans documents exactly once — the batch slice
+    probe = minhash_band_frame(_batch_slice(spark, sf_dir))
+    jqe = probe._jdf.queryExecution()
+    probe_plan = spark._jvm.PythonSQLUtils.explainString(jqe, "formatted")
+    assert probe_plan.count("documents.parquet") == 1, probe_plan
+
+
+def test_incremental_minhash_multi_batch_append(spark, tmp_path):
+    """The production chain: dedup batch B against index(A), APPEND B's
+    signatures, dedup batch C against index(A ∪ B) — each step touches
+    only the new batch's text, and the chained result equals the full
+    rerun restricted to C-touching pairs."""
+    from pyspark.sql import functions as F
+
+    from kinesis_handler_spark.queries.llm import (
+        append_to_minhash_index,
+        minhash_band_frame,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "until the watcher gives up entirely"
+    )
+
+    def mk(doc_id, text):
+        return (doc_id, text)
+
+    # A: corpus of 6 docs, two sharing near-identical text
+    rows_a = [
+        mk(0, base),
+        mk(1, base + " tail zero"),
+        mk(2, "completely different words about spark shuffles here "
+              "nothing shared with anything else at all truly"),
+        mk(3, "yet another unrelated document mentioning parquet files "
+              "and manifest pointers exclusively for this test"),
+        mk(4, base + " tail zero"),
+        mk(5, "short one two three four five six seven eight nine ten"),
+    ]
+    # B: one dup of A's base text, one fresh
+    rows_b = [
+        mk(10, base),
+        mk(11, "fresh content in batch b with no earlier twin anywhere "
+               "in the corpus or any batch so far"),
+    ]
+    # C: dups of A (base) AND of B (fresh content), plus within-C twins
+    rows_c = [
+        mk(20, base + " tail zero"),
+        mk(21, "fresh content in batch b with no earlier twin anywhere "
+               "in the corpus or any batch so far"),
+        mk(22, "c only text that matches its sibling in this batch "
+               "word for word to form a within batch pair"),
+        mk(23, "c only text that matches its sibling in this batch "
+               "word for word to form a within batch pair"),
+    ]
+    schema = "doc_id bigint, text string"
+    df_a = spark.createDataFrame(rows_a, schema)
+    df_b = spark.createDataFrame(rows_b, schema)
+    df_c = spark.createDataFrame(rows_c, schema)
+
+    idx_path = str(tmp_path / "idx")
+    minhash_band_frame(df_a).write.parquet(idx_path)
+
+    def probe(batch_df):
+        idx = spark.read.parquet(idx_path).select(
+            F.col("doc_id").alias("corpus_doc"), "band", "band_sig"
+        )
+        pr = minhash_band_frame(batch_df)
+        vs = (
+            pr.join(idx, ["band", "band_sig"])
+            .select(
+                F.least("doc_id", "corpus_doc").alias("doc_a"),
+                F.greatest("doc_id", "corpus_doc").alias("doc_b"),
+            )
+            .distinct()
+        )
+        x, y = pr.alias("x"), pr.alias("y")
+        within = (
+            x.join(
+                y,
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.band_sig") == F.col("y.band_sig"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in vs.unionByName(within).collect()
+        }
+
+    def full_pairs(df):
+        banded = minhash_band_frame(df)
+        a, b = banded.alias("a"), banded.alias("b")
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_sig") == F.col("b.band_sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .collect()
+        }
+
+    got_b = probe(df_b)
+    full_ab = full_pairs(df_a.unionByName(df_b))
+    b_ids = {10, 11}
+    assert got_b == {p for p in full_ab if p[0] in b_ids or p[1] in b_ids}
+    assert (0, 10) in got_b  # the planted A-dup was caught
+
+    append_to_minhash_index(idx_path, df_b)
+
+    got_c = probe(df_c)
+    full_abc = full_pairs(df_a.unionByName(df_b).unionByName(df_c))
+    c_ids = {20, 21, 22, 23}
+    assert got_c == {p for p in full_abc if p[0] in c_ids or p[1] in c_ids}
+    assert (11, 21) in got_c  # dup against the APPENDED batch B
+    assert (22, 23) in got_c  # within-batch twin

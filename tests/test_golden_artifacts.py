@@ -22,7 +22,9 @@ import os
 
 import pytest
 
-from tools.make_golden import GOLDEN_PATH, GOLDEN_QUERIES, golden_record
+from tools.make_golden import GOLDEN_PATH, golden_queries, golden_record
+
+GOLDEN_QUERIES = golden_queries()
 
 
 @pytest.fixture(scope="module")
@@ -32,6 +34,8 @@ def golden():
 
 
 def test_all_golden_queries_are_pinned(golden):
+    # derived from the registry: EVERY rows-only query must carry a pin,
+    # so adding one without rerunning make_golden.py --write fails here
     assert sorted(golden["queries"]) == sorted(GOLDEN_QUERIES)
     assert os.path.isdir(golden["sf_dir"])
 

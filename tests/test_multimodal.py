@@ -522,6 +522,28 @@ def test_avi_mjpeg_rejects_corruption():
         decode_avi_mjpeg(bytes(broken))
 
 
+def test_sample_mjpeg_rejects_zero_rate_container():
+    """A parseable AVI declaring dwMicroSecPerFrame=0 must surface a
+    diagnostic ValueError from the shared sampling helper, not a
+    ZeroDivisionError (dead-letter contract; r9 advice)."""
+    import struct
+
+    import pytest as _pytest
+
+    from kinesis_handler_spark.io.multimodal import (
+        encode_avi_mjpeg_fixture,
+        sample_mjpeg_payloads,
+    )
+
+    good = encode_avi_mjpeg_fixture(9)
+    assert sample_mjpeg_payloads(good, 1000, 8)
+    broken = bytearray(good)
+    at = good.index(b"avih") + 8  # first avih field = dwMicroSecPerFrame
+    broken[at : at + 4] = struct.pack("<I", 0)
+    with _pytest.raises(ValueError, match="zero-rate"):
+        sample_mjpeg_payloads(bytes(broken), 1000, 8)
+
+
 def test_sample_frames_real_path(spark, sf_dir):
     """sample_frames(fake=False) returns the ACTUAL JPEG payloads from
     the MJPEG container at the sampled timestamps."""

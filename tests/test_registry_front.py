@@ -37,6 +37,40 @@ def test_front_fills_all_50_verdict_slots():
     )
 
 
+def test_changed_since_checked_queries_are_in_front():
+    """r9 verdict ask #8: a query whose SOURCE changed after its last
+    driver hash-check keeps a stale green verdict until rotation
+    happens to reach it — unless we force it back into the front.
+    tests/front_source_hashes.json records each oracle-backed query's
+    source+oracle sha256 as of its last green driver check (regenerated
+    at round start by tools/record_front_hashes.py, BEFORE any edits);
+    any query whose current fingerprint differs MUST occupy a verdict
+    slot this round.  Scope note: the fingerprint covers the registered
+    function body + oracle SQL, not shared helpers — when a helper
+    changes, front its callers by hand (see registry.source_fingerprint
+    docstring)."""
+    import json
+    import pathlib
+
+    from kinesis_handler_spark.registry import source_fingerprint
+
+    all_queries()  # registration side effect
+    rec_path = pathlib.Path(__file__).parent / "front_source_hashes.json"
+    record = json.loads(rec_path.read_text())
+    unknown = [n for n in record if n not in QUERIES]
+    assert not unknown, f"recorded fingerprints for dead queries: {unknown}"
+    changed = [
+        n for n, rec in record.items()
+        if source_fingerprint(n) != rec["sha"]
+    ]
+    stale = [n for n in changed if n not in _FRONT[:50]]
+    assert not stale, (
+        "queries rewritten since their last driver check but NOT in the "
+        f"front-50 (stale green evidence): {stale} — add them to _FRONT "
+        "or re-record after the driver re-checks them"
+    )
+
+
 def test_rows_only_queries_come_last():
     names = [n for n in all_queries() if n not in ROWS_ONLY_COLD_EXEC]
     kinds = [QUERIES[n].oracle is None for n in names]

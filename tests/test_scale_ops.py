@@ -101,3 +101,76 @@ def test_bloom_bitmap_is_bounded_artifact():
     """The collected bitmap is fixed-size regardless of corpus scale —
     the bounded-driver-artifact contract."""
     assert _BLOOM_BITS // 64 == 1024
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket-width cap (r9 verdict ask #5)
+# ---------------------------------------------------------------------------
+
+
+def test_bucket_cap_bounds_pairs_and_flags_truncation(spark):
+    """A hostile stop-pattern bucket (one band signature shared by 300
+    members) must emit at most cap·(cap−1)/2 pairs and be FLAGGED with
+    its true width — never silently truncated, never quadratically
+    enumerated."""
+    from pyspark.sql import functions as F
+
+    from kinesis_handler_spark.functions.lsh import cap_band_buckets
+
+    n, cap = 300, 16
+    banded = spark.range(n + 5).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band"),
+        # ids < n share one mega-bucket; the rest are singletons
+        F.when(F.col("id") < n, F.lit(11)).otherwise(F.col("id")).alias(
+            "band_sig"
+        ),
+    )
+    capped, truncated = cap_band_buckets(
+        banded, "doc_id", ("band", "band_sig"), cap=cap
+    )
+    kept = capped.filter(F.col("band_sig") == 11).collect()
+    # deterministic kept set: the cap lowest-ranked members
+    assert sorted(r["doc_id"] for r in kept) == list(range(cap))
+    # pair emission bound: the capped self-join is quadratic in cap,
+    # not in the true bucket width
+    a, b = capped.alias("a"), capped.alias("b")
+    n_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .count()
+    )
+    assert n_pairs == cap * (cap - 1) // 2  # vs n·(n−1)/2 = 44,850 uncapped
+    # truncation is flagged with the true width
+    flags = truncated.collect()
+    assert len(flags) == 1
+    assert (flags[0]["band_sig"], flags[0]["width"], flags[0]["emitted"]) == (
+        11, n, cap,
+    )
+    # singleton buckets are untouched and unflagged
+    assert capped.count() == cap + 5
+
+
+def test_bucket_cap_is_noop_on_clean_corpus(spark, sf_dir):
+    """Recall trade-off gate: at test scales NO clean-corpus bucket
+    reaches BUCKET_CAP in either banded dedup tier, so the cap costs
+    zero recall there (the golden pins prove output-identity; this
+    makes the headroom explicit and will flag a corpus change that
+    starts eating into it)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_handler_spark.functions.lineage import truncate
+    from kinesis_handler_spark.functions.lsh import BUCKET_CAP
+    from kinesis_handler_spark.queries.llm import minhash_band_frame
+    from kinesis_handler_spark.tables import table
+
+    mh_widths = (
+        minhash_band_frame(table(spark, sf_dir, "documents"))
+        .groupBy("band", "band_sig")
+        .count()
+    )
+    assert mh_widths.agg(F.max("count")).collect()[0][0] <= BUCKET_CAP

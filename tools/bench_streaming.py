@@ -176,6 +176,12 @@ def main(n_records: int) -> None:
         assert routed + dead + unknown == (n_records // 32) * 32, (
             routed, dead, unknown,
         )
+        # Fixed-work host-speed probe (r9 verdict asks #6/#7): lets a
+        # reader normalize this host's reading against any other run's
+        # calib instead of adjudicating drift by forensics.
+        from bench import calibration_probe
+
+        calib = calibration_probe(spark)
         print(
             json.dumps(
                 {
@@ -187,10 +193,13 @@ def main(n_records: int) -> None:
                     "routed": routed,
                     "dead_letter": dead,
                     "unknown": unknown,
+                    "calib": calib,
                 }
             )
         )
-        print(json.dumps(bench_ordered(spark, work, n_records)))
+        ordered = bench_ordered(spark, work, n_records)
+        ordered["calib"] = calib
+        print(json.dumps(ordered))
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -41,24 +41,19 @@ import sys
 
 from tools.check_oracle import _rows_to_multiset
 
-GOLDEN_QUERIES = (
-    # bit-stable by construction (pinned first, r7 verdict item 3)
-    "text_fingerprint",
-    "dedup_simhash",
-    "embed_pca",
-    "tokenizer_bpe_train",
-    "tokenizer_bpe_apply",
-    # sketch / ANN / composed tiers — probe-verified bit-stable (r8)
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    "dedup_embedding_ann",
-    "dedup_near_minhash",
-    "dedup_pipeline_scale",
-    "events_rolling_distinct_hll",
-    "sim_ann_ivf",
-    "sim_ann_ivf_search",
-    "sim_ann_lsh",
-)
+def golden_queries() -> tuple[str, ...]:
+    """EVERY rows-only query, straight from the registry — a hardcoded
+    list silently skipped ``dedup_incremental_minhash`` in r10 until the
+    completeness test caught it, so the enumeration is now derived.
+    Every rows-only operator must be bit-stable for a fixed dataset
+    (hash seeds are constants, sketch merges order-insensitive or
+    partition-deterministic, iterative solves carry total tie-breaks) —
+    a new rows-only query that is NOT bit-stable will fail the pin gate
+    immediately, which is the correct pressure."""
+    from kinesis_handler_spark.registry import QUERIES, all_queries
+
+    all_queries()  # registration side effect
+    return tuple(n for n, q in QUERIES.items() if q.oracle is None)
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GOLDEN_PATH = os.path.join(_REPO, "tests", "golden_hashes.json")
 DEFAULT_SF_DIR = "/root/testdata/sf0.01"
@@ -92,7 +87,7 @@ def main() -> int:
         with open(GOLDEN_PATH) as fh:
             current = json.load(fh).get("queries", {})
     out = {}
-    for name in GOLDEN_QUERIES:
+    for name in golden_queries():
         rec = golden_record(spark, name, sf_dir)
         old = current.get(name, {}).get("sha256")
         status = (
