@@ -192,6 +192,9 @@ def test_no_cartesian_product_outside_declared_brute_force(spark, sf_dir):
         "agg_rfm_segmentation",  # one-row global-anchor-date scalar
         "agg_benford_first_digit",  # one-row digit-total scalar
         "sketch_count_min",  # one-row corpus-total scalar (share bar)
+        # one-row NB totals (N_pos/N_neg/V) + one-row class prior, each
+        # broadcast to the vocab-sized model / per-doc score frame
+        "text_quality_classifier",
     }
     offenders = []
     for name in sorted(all_queries()):

@@ -53,6 +53,12 @@ def test_rows_only_queries_are_marked():
         "events_rolling_distinct_hll",  # DataSketches HLL estimates are
         # engine-specific; pinned vs the exact tier in
         # tests/test_sketch_quality.py::test_rolling_distinct_hll_tracks_exact
+        "dedup_incremental_minhash",  # xxhash64 band signatures (same
+        # family as dedup_near_minhash); output-equivalence to the full
+        # rerun proven in tests/test_dedup_pipeline.py
+        "text_quality_classifier",  # ln() in the fixed-point llr — the
+        # no-transcendentals-in-hash-checked-outputs rule; golden pin +
+        # held-out AUC gate in tests/test_training_ops.py
     }
 
 
