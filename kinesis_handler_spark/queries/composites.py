@@ -298,6 +298,51 @@ def dedup_pipeline_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_keep_best_quality")  # rows-only: composes two rows-only tiers
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE duplicate-cluster representative selection — what
+    production pipelines actually keep: `dedup_pipeline_scale`'s
+    keep-min rule is the textbook default, but a crawl keeps the
+    HIGHEST-QUALITY member of each near-dup cluster (RefinedWeb §3.3
+    keeps by heuristic rank; CCNet keeps the best-LM-scored variant).
+    Composes the two trained/sketched tiers end-to-end: MinHash-LSH →
+    connected components (`dedup_pipeline_scale`) ⋈ NB quality scores
+    (`text_quality_classifier`), keeper = argmax(score_fp) per
+    component with doc_id as the total tie-break.  Output: every doc
+    with its cluster, score, and the keep verdict — exactly one keeper
+    per cluster, pytest-pinned, and the keeper's score is the cluster
+    max.
+
+    100 TB: both inputs are the already-materialized artifacts of their
+    own pipelines (band index + model table); the composition adds one
+    doc-keyed join and one per-component rank (WindowGroupLimit shape).
+    Engine-specific hashing + ln-based scores => rows-only, golden
+    pin."""
+    from kinesis_handler_spark.queries.training import (
+        text_quality_classifier,
+    )
+
+    clusters = dedup_pipeline_scale(spark, sf_dir).select(
+        "doc_id", "component_id", "n_members"
+    )
+    scores = text_quality_classifier(spark, sf_dir).select(
+        "doc_id", "score_fp"
+    )
+    joined = clusters.join(scores, "doc_id", "left").select(
+        "doc_id",
+        "component_id",
+        "n_members",
+        # docs the classifier cannot score (NULL text) rank last
+        F.coalesce("score_fp", F.lit(-(1 << 62))).alias("score_fp"),
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("score_fp"), F.asc("doc_id")
+    )
+    return joined.withColumn(
+        "keep", F.row_number().over(w) == 1
+    )
+
+
 @query(
     "audit_referential_integrity",
     oracle="""

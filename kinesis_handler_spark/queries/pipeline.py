@@ -782,3 +782,95 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.transform(kept_sorted, lambda s: s["line"])
         ).alias("kept_text"),
     )
+
+
+@query(
+    "text_length_percentile_filter",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    ranked AS (
+      SELECT lang, doc_id, n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY n_tokens, doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM docs
+    ),
+    flagged AS (
+      SELECT lang, n_tokens,
+             (20 * rn > n AND 20 * rn <= 19 * n) AS kept
+      FROM ranked
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           MIN(CASE WHEN kept THEN n_tokens END) AS kept_min_tokens,
+           MAX(CASE WHEN kept THEN n_tokens END) AS kept_max_tokens,
+           CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+    FROM flagged
+    GROUP BY lang
+    """,
+)
+def text_length_percentile_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-LANGUAGE length-percentile trim (CCNet §3.1 flavor: length
+    cuts are computed within each language, because a 50-token Chinese
+    document and a 50-token German document sit at very different
+    quality percentiles): rank every document by token count inside its
+    language and DROP the bottom and top 5% — truncated fragments and
+    concatenation blobs respectively.  The percentile test is exact
+    integer cross-multiplication on the rank (kept iff 20·rn > n and
+    20·rn ≤ 19·n, rank ordered by (n_tokens, doc_id) — a TOTAL order,
+    so both engines cut at identical documents; no float percentile, no
+    APPROX).  Tiny groups degrade honestly: n=1 keeps nothing (its only
+    doc is the top 5%).  Output: per-language doc/kept counts, the kept
+    token-length envelope, and surviving token mass — the before/after
+    report a curation review reads.
+
+    100 TB: one scan computes token counts row-locally; the rank is one
+    window partitioned by language (the shuffle key a per-lang pipeline
+    already uses); output is O(#languages).  NULL langs group as their
+    own bucket (both engines), NULL text/doc_id rows are unmeasurable
+    and filtered on both sides (totality rule)."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    docs = d.select(
+        "lang",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.asc_nulls_last("n_tokens"), F.asc_nulls_last("doc_id")
+    )
+    ranked = docs.select(
+        "lang",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    kept = (20 * F.col("rn") > F.col("n")) & (
+        20 * F.col("rn") <= 19 * F.col("n")
+    )
+    return ranked.select("lang", "n_tokens", kept.alias("kept")).groupBy(
+        "lang"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+        F.min(F.when(F.col("kept"), F.col("n_tokens"))).alias(
+            "kept_min_tokens"
+        ),
+        F.max(F.when(F.col("kept"), F.col("n_tokens"))).alias(
+            "kept_max_tokens"
+        ),
+        F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )

@@ -247,3 +247,42 @@ def test_incremental_minhash_multi_batch_append(spark, tmp_path):
     assert got_c == {p for p in full_abc if p[0] in c_ids or p[1] in c_ids}
     assert (11, 21) in got_c  # dup against the APPENDED batch B
     assert (22, 23) in got_c  # within-batch twin
+
+
+def test_keep_best_quality_selects_cluster_max(spark, sf_dir):
+    """dedup_keep_best_quality: exactly one keeper per cluster, the
+    keeper's score is the cluster max (doc_id tie-break), clusters and
+    membership identical to dedup_pipeline_scale, scores identical to
+    text_quality_classifier."""
+    rows = all_queries()["dedup_keep_best_quality"](spark, sf_dir).collect()
+    base = {
+        r["doc_id"]: (r["component_id"], r["n_members"])
+        for r in all_queries()["dedup_pipeline_scale"](spark, sf_dir).collect()
+    }
+    scores = {
+        r["doc_id"]: r["score_fp"]
+        for r in all_queries()["text_quality_classifier"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert {r["doc_id"] for r in rows} == set(base)
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        assert (r["component_id"], r["n_members"]) == base[r["doc_id"]]
+        if r["doc_id"] in scores:
+            assert r["score_fp"] == scores[r["doc_id"]]
+        by_comp.setdefault(r["component_id"], []).append(r)
+    for cid, ms in by_comp.items():
+        keeps = [m for m in ms if m["keep"]]
+        assert len(keeps) == 1, cid
+        k = keeps[0]
+        mx = max(m["score_fp"] for m in ms)
+        assert k["score_fp"] == mx
+        assert k["doc_id"] == min(
+            m["doc_id"] for m in ms if m["score_fp"] == mx
+        )
+    # the quality rule must actually CHANGE some verdicts vs keep-min
+    # (otherwise the composition demonstrates nothing at this sf)
+    keepers = {r["doc_id"] for r in rows if r["keep"]}
+    min_keepers = {min(m["doc_id"] for m in ms) for ms in by_comp.values()}
+    assert keepers != min_keepers

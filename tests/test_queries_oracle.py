@@ -59,6 +59,9 @@ def test_rows_only_queries_are_marked():
         "text_quality_classifier",  # ln() in the fixed-point llr — the
         # no-transcendentals-in-hash-checked-outputs rule; golden pin +
         # held-out AUC gate in tests/test_training_ops.py
+        "dedup_keep_best_quality",  # composes two rows-only tiers
+        # (minhash clusters x NB scores); invariants pinned in
+        # tests/test_dedup_pipeline.py
     }
 
 
