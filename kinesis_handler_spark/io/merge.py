@@ -41,10 +41,29 @@ format actually adds — from first principles on top of parquet files:
   Evolution is add-only: changing an existing column's type is
   rejected rather than silently cast.
 
-Concurrency contract: single-writer (the reference's Lambda model and
-this engine's batch jobs are single-driver); the atomic pointer rename
-makes a crashed writer invisible rather than corrupting.  Optimistic
-multi-writer CAS is a deliberate non-goal here.
+Concurrency contract (r10 — optimistic multi-writer): commits go
+through ``commit_merge``, an optimistic-concurrency CAS loop:
+
+* **Version ownership** is claimed by atomically LINKING a fully
+  written manifest into ``manifest-v{N}.json`` (``os.link`` fails with
+  EEXIST if the version is taken, and a linked manifest is always
+  complete — no reader or rival writer can observe a half-written
+  one).  On an object store the same primitive is a conditional PUT
+  (If-None-Match).
+* **Conflict detection + rebase**: a writer that lost the race diffs
+  every intermediate commit against its own footprint — if a rival
+  rewrote/removed any file this merge touched, added/removed files
+  whose key range overlaps this merge's source-key interval, or
+  changed the table schema, the merge raises ``ConcurrentMergeError``
+  (its data files are cleaned up; the caller re-runs against the new
+  latest).  Disjoint writers REBASE: the new manifest carries the
+  rival's files forward and both merges land.
+* **Reader pointer** stays the atomically-renamed ``_LATEST`` —
+  readers never see a half commit.  Writers serialize the monotonic
+  pointer advance under an flock; a writer crashing between
+  manifest-link and pointer-advance leaves a complete-but-invisible
+  version that the next writer rebases onto (durable-but-delayed, the
+  WAL-before-checkpoint shape — never corruption).
 
 Pinned by tests/test_cow_merge.py (mechanics: pruning really skips
 files, carried files are byte-identical, time travel, delete/update/
@@ -64,6 +83,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _LATEST = "_LATEST"
+
+
+class ConcurrentMergeError(RuntimeError):
+    """A rival commit invalidated this merge's read snapshot (touched
+    file rewritten, source key-range overlap, or schema change).  The
+    merge's data files have been cleaned up; re-run against the new
+    latest version."""
 
 
 @dataclass(frozen=True)
@@ -94,6 +120,147 @@ def _commit_pointer(root: str, version: int) -> None:
     with open(tmp, "w") as fh:
         fh.write(str(version))
     os.replace(tmp, os.path.join(root, _LATEST))
+
+
+def _advance_pointer(root: str, version: int) -> None:
+    """Monotonic pointer advance, serialized under an flock so two
+    writers finishing out of order can never regress the reader view
+    (writer of v3 lands, then the slower writer of v2 must not rename
+    the pointer back).  flock is the local-fs stand-in for the
+    conditional update an object-store catalog provides."""
+    import fcntl
+
+    with open(os.path.join(root, ".pointer.lock"), "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            try:
+                cur = _read_pointer(root)
+            except FileNotFoundError:
+                cur = 0
+            if version > cur:
+                _commit_pointer(root, version)
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
+
+
+def _latest_manifest_version(root: str) -> int:
+    """The writers' view of latest: the highest LINKED manifest.
+    (Readers use the pointer; a manifest can lead the pointer only in
+    the crash window documented in the module head.)"""
+    return max(
+        int(f.split("-v")[1].split(".")[0])
+        for f in os.listdir(root)
+        if f.startswith("manifest-v") and f.endswith(".json")
+    )
+
+
+def _link_manifest(root: str, version: int, manifest: dict) -> bool:
+    """Claim ``version`` by atomically linking a fully written manifest
+    file into place.  Returns False if a rival owns the version."""
+    tmp = os.path.join(
+        root, f".manifest.tmp.{os.getpid()}.{uuid.uuid4().hex}"
+    )
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    try:
+        os.link(tmp, _manifest_path(root, version))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
+
+
+def commit_merge(
+    root: str,
+    base: dict,
+    touched: set[str],
+    new_entries: list[dict],
+    schema_json: str | None,
+    src_interval: tuple[int, int] | None,
+    max_rebases: int = 10,
+) -> tuple[int, int]:
+    """Optimistic-concurrency commit of a prepared merge: data files
+    are already on disk (``new_entries``); this claims the next version
+    atomically, REBASING over rival commits whose footprints are
+    provably disjoint and raising :class:`ConcurrentMergeError`
+    otherwise.  Returns ``(version, files_carried)``.
+
+    Disjointness test against every rival commit between ``base`` and
+    the current latest (conservative — false conflicts only cost a
+    retry, false clearances would corrupt):
+
+    * the rival removed/rewrote a file this merge TOUCHED → conflict
+      (our rewrite was computed from bytes that are no longer current);
+    * the rival added or removed a file whose [min,max] key range
+      overlaps our source-key interval → conflict (our matched /
+      not-matched decisions could be stale);
+    * the rival changed the table schema → conflict (column set moved
+      under us).
+    """
+    cur = base
+    for _ in range(max_rebases):
+        latest_v = _latest_manifest_version(root)
+        if latest_v > cur["version"]:
+            for v in range(cur["version"] + 1, latest_v + 1):
+                rival = read_manifest(root, v)
+                parent = rival.get("parent")
+                parent_files = (
+                    {e["path"]: e
+                     for e in read_manifest(root, parent)["files"]}
+                    if parent is not None
+                    else {}
+                )
+                rival_files = {e["path"]: e for e in rival["files"]}
+                removed = [
+                    e for p, e in parent_files.items()
+                    if p not in rival_files
+                ]
+                added = [
+                    e for p, e in rival_files.items()
+                    if p not in parent_files
+                ]
+                if any(e["path"] in touched for e in removed):
+                    raise ConcurrentMergeError(
+                        f"version {v} rewrote a file this merge read"
+                    )
+                if src_interval is not None:
+                    lo, hi = src_interval
+                    for e in removed + added:
+                        if e["min_key"] <= hi and e["max_key"] >= lo:
+                            raise ConcurrentMergeError(
+                                f"version {v} changed files overlapping "
+                                f"this merge's key interval [{lo},{hi}]"
+                            )
+                if rival.get("schema") != cur.get("schema") and (
+                    schema_json is not None
+                ):
+                    raise ConcurrentMergeError(
+                        f"version {v} changed the table schema"
+                    )
+            cur = read_manifest(root, latest_v)
+        version = cur["version"] + 1
+        parent_schema = cur.get("schema")
+        carried = [
+            e if "schema" in e or not parent_schema
+            else {**e, "schema": parent_schema}
+            for e in cur["files"]
+            if e["path"] not in touched
+        ]
+        manifest = {
+            "version": version,
+            "key": cur["key"],
+            "files": carried + new_entries,
+            "parent": cur["version"],
+            "schema": schema_json or parent_schema,
+        }
+        if _link_manifest(root, version, manifest):
+            _advance_pointer(root, version)
+            return version, len(carried)
+        # lost the version race — loop re-reads the latest and retries
+    raise ConcurrentMergeError(
+        f"gave up after {max_rebases} rebases (hot table?)"
+    )
 
 
 def read_manifest(root: str, version: int | None = None) -> dict:
@@ -272,7 +439,6 @@ def merge_into(
         .collect()  # manifest-sized
     )
     touched = {r["path"] for r in touched_rows}
-    carried = [e for e in m["files"] if e["path"] not in touched]
 
     # --- schema evolution: widen on new source columns ---------------
     if m.get("schema"):
@@ -375,31 +541,36 @@ def merge_into(
     )
 
     new_entries = _write_data_files(new_data, root, key, n_files)
-    version = m["version"] + 1
-    # carried files keep their own (possibly narrower) schema; entries
-    # from pre-evolution manifests are stamped with the parent table
-    # schema so the reader's heterogeneity test stays exact
-    parent_schema = m.get("schema")
-    carried = [
-        e if "schema" in e or not parent_schema
-        else {**e, "schema": parent_schema}
-        for e in carried
-    ]
-    manifest = {
-        "version": version,
-        "key": key,
-        "files": carried + new_entries,
-        "parent": m["version"],
-        "schema": widened.json(),
-    }
-    with open(_manifest_path(root, version), "w") as fh:
-        json.dump(manifest, fh)
-    _commit_pointer(root, version)
+    # source-key interval for the OCC disjointness test: a bounded
+    # 1-row driver read (same contract as the manifest stats)
+    itv = src.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).collect()[0]
+    src_interval = (
+        (itv["lo"], itv["hi"]) if itv["lo"] is not None else None
+    )
+    try:
+        version, n_carried = commit_merge(
+            root,
+            m,
+            touched,
+            new_entries,
+            widened.json(),
+            src_interval,
+        )
+    except ConcurrentMergeError:
+        # this merge never became a version: remove its orphaned data
+        # files (no manifest references them, so vacuum would skip them)
+        for e in new_entries:
+            p = os.path.join(root, e["path"])
+            if os.path.exists(p):
+                os.remove(p)
+        raise
     return MergeStats(
         version=version,
-        files_total=len(carried) + len(new_entries),
+        files_total=n_carried + len(new_entries),
         files_rewritten=len(touched),
-        files_carried=len(carried),
+        files_carried=n_carried,
         rows_deleted=int(n_del),
         rows_inserted=int(n_ins),
         cols_added=len(new_cols),
@@ -448,17 +619,26 @@ def compact(
     m = read_manifest(root)
     cur = read_table(spark, root)
     entries = _write_data_files(cur, root, m["key"], target_files)
-    version = m["version"] + 1
-    manifest = {
-        "version": version,
-        "key": m["key"],
-        "files": entries,
-        "parent": m["version"],
-        "schema": m.get("schema"),
-    }
-    with open(_manifest_path(root, version), "w") as fh:
-        json.dump(manifest, fh)
-    _commit_pointer(root, version)
+    # OPTIMIZE touches EVERY file, so it can never rebase: commit
+    # through the same link-CAS (a rival landing first => conflict and
+    # the rewritten files are removed; a plain open() here could
+    # silently clobber a rival's already-linked version)
+    try:
+        version, _ = commit_merge(
+            root,
+            m,
+            {e["path"] for e in m["files"]},
+            entries,
+            m.get("schema"),
+            None,
+            max_rebases=1,
+        )
+    except ConcurrentMergeError:
+        for e in entries:
+            p = os.path.join(root, e["path"])
+            if os.path.exists(p):
+                os.remove(p)
+        raise
     return MergeStats(
         version=version,
         files_total=len(entries),

@@ -283,3 +283,200 @@ def test_schema_evolution_is_opt_in_and_add_only(spark, tmp_path):
     )
     with pytest.raises(TypeError, match="add-only"):
         merge_into(spark, root, bad, update={}, evolve_schema=True)
+
+
+def _touched_for(manifest, lo, hi):
+    """The manifest files a [lo, hi] key interval intersects."""
+    return {
+        e["path"] for e in manifest["files"]
+        if e["min_key"] <= hi and e["max_key"] >= lo
+    }
+
+
+def _entries_for(spark, root, manifest, touched, tag):
+    """Write a prepared-but-uncommitted rewrite of the FULL key span of
+    ``touched`` (a real merge rewrites whole files, carrying their
+    untouched rows); returns the new manifest entries and the span."""
+    from kinesis_handler_spark.io.merge import _write_data_files
+
+    spans = [
+        (e["min_key"], e["max_key"])
+        for e in manifest["files"] if e["path"] in touched
+    ]
+    lo = min(s for s, _ in spans)
+    hi = max(e for _, e in spans)
+    df = spark.range(lo, hi + 1).select(
+        F.col("id").alias("k"),
+        F.lit(999).cast("bigint").alias("val"),
+        F.lit(tag).alias("tag"),
+    )
+    return _write_data_files(df, root, "k", 1), (lo, hi)
+
+
+def test_disjoint_concurrent_merges_both_land(spark, tmp_path):
+    """Optimistic concurrency: a writer holding a STALE snapshot whose
+    footprint is disjoint from the rival commit REBASES and lands; both
+    merges are visible, the rival's files carry forward."""
+    from kinesis_handler_spark.io.merge import commit_merge
+
+    root = str(tmp_path / "t")
+    _mk_target(spark, root)
+    m1 = read_manifest(root)
+
+    # rival writer commits first: update keys 0..49 through merge_into
+    feed = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") + 500).alias("nv")
+    )
+    st_a = merge_into(spark, root, feed, update={"val": F.col("src_nv")})
+    assert st_a.version == 2
+
+    # stale writer: prepared against v1, rewrites the top key slice
+    touched = _touched_for(m1, 900, 999)
+    assert touched  # test premise: the slice maps to real v1 files
+    entries, itv = _entries_for(spark, root, m1, touched, "rebased")
+    version, carried = commit_merge(
+        root, m1, touched, entries, m1.get("schema"), itv
+    )
+    assert version == 3
+
+    cur = {r["k"]: (r["val"], r["tag"]) for r in read_table(spark, root).collect()}
+    assert len(cur) == 1000
+    assert cur[10] == (510, "orig")        # rival's update survived
+    assert cur[950] == (999, "rebased")    # stale writer's slice landed
+    assert cur[500] == (500 % 7, "orig")   # untouched middle intact
+
+
+def test_overlapping_concurrent_merge_conflicts(spark, tmp_path):
+    """A stale writer whose footprint overlaps the rival commit must
+    raise ConcurrentMergeError — never silently lose the rival's
+    update; merge_into cleans its orphaned data files on conflict."""
+    import os as _os
+
+    import pytest
+
+    from kinesis_handler_spark.io.merge import (
+        ConcurrentMergeError,
+        commit_merge,
+    )
+
+    root = str(tmp_path / "t")
+    _mk_target(spark, root)
+    m1 = read_manifest(root)
+
+    feed = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") + 500).alias("nv")
+    )
+    merge_into(spark, root, feed, update={"val": F.col("src_nv")})
+    rewritten_by_rival = {
+        e["path"] for e in m1["files"]
+    } - {e["path"] for e in read_manifest(root)["files"]}
+    assert rewritten_by_rival
+
+    # case 1: stale writer touched a file the rival rewrote
+    entries, _ = _entries_for(
+        spark, root, m1, _touched_for(m1, 0, 49), "stale"
+    )
+    with pytest.raises(ConcurrentMergeError, match="rewrote a file"):
+        commit_merge(
+            root, m1, set(rewritten_by_rival), entries,
+            m1.get("schema"), (0, 49),
+        )
+
+    # case 2: disjoint touched set but overlapping source-key interval
+    # (the rival ADDED files covering keys 0..49; our matched/unmatched
+    # decisions for that interval are stale)
+    with pytest.raises(ConcurrentMergeError, match="key interval"):
+        commit_merge(
+            root, m1, set(), entries, m1.get("schema"), (0, 49)
+        )
+    for e in entries:  # direct commit_merge does not clean up
+        _os.remove(_os.path.join(root, e["path"]))
+
+    # table is exactly the rival's version — nothing leaked in
+    assert read_manifest(root)["version"] == 2
+    got = {r["k"]: r["val"] for r in read_table(spark, root).collect()}
+    assert got[10] == 510 and len(got) == 1000
+
+
+def test_version_race_both_writers_land(spark, tmp_path):
+    """Two writers racing for the same version number: the link-CAS
+    gives each a distinct version and the loser rebases — both land,
+    the pointer ends at the max, no regression."""
+    import threading
+
+    from kinesis_handler_spark.io.merge import commit_merge
+
+    root = str(tmp_path / "t")
+    _mk_target(spark, root)
+    m1 = read_manifest(root)
+
+    lo_touched = _touched_for(m1, 0, 49)
+    hi_touched = _touched_for(m1, 950, 999)
+    assert not (lo_touched & hi_touched)  # premise: disjoint slices
+    e_lo, itv_lo = _entries_for(spark, root, m1, lo_touched, "lo")
+    e_hi, itv_hi = _entries_for(spark, root, m1, hi_touched, "hi")
+
+    results, errors = [], []
+    barrier = threading.Barrier(2)
+
+    def commit(touched, entries, itv):
+        try:
+            barrier.wait()
+            results.append(
+                commit_merge(root, m1, touched, entries,
+                             m1.get("schema"), itv)
+            )
+        except Exception as exc:  # noqa: BLE001 - surfaced below
+            errors.append(exc)
+
+    t1 = threading.Thread(
+        target=commit, args=(lo_touched, e_lo, itv_lo)
+    )
+    t2 = threading.Thread(
+        target=commit, args=(hi_touched, e_hi, itv_hi)
+    )
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+    assert sorted(v for v, _ in results) == [2, 3]
+    assert read_manifest(root)["version"] == 3
+    got = {r["k"]: r["tag"] for r in read_table(spark, root).collect()}
+    assert got[10] == "lo" and got[975] == "hi" and got[500] == "orig"
+    assert len(got) == 1000
+
+
+def test_crash_between_link_and_pointer_is_durable_not_visible(
+    spark, tmp_path
+):
+    """A writer crashing after manifest-link but before pointer-advance:
+    readers still see the old version; the NEXT writer rebases onto the
+    orphaned commit and publishes both (WAL-before-checkpoint shape)."""
+    from kinesis_handler_spark.io.merge import (
+        _link_manifest,
+        commit_merge,
+    )
+
+    root = str(tmp_path / "t")
+    _mk_target(spark, root)
+    m1 = read_manifest(root)
+
+    # "crashed" writer: links v2 rewriting the low slice, never advances
+    lo_touched = _touched_for(m1, 0, 49)
+    e_lo, _ = _entries_for(spark, root, m1, lo_touched, "crashed")
+    carried = [e for e in m1["files"] if e["path"] not in lo_touched]
+    assert _link_manifest(root, 2, {
+        "version": 2, "key": "k", "files": carried + e_lo,
+        "parent": 1, "schema": m1.get("schema"),
+    })
+    # readers still see v1 — the crash is invisible
+    assert read_manifest(root)["version"] == 1
+    assert {r["tag"] for r in read_table(spark, root).collect()} == {"orig"}
+
+    # next writer (disjoint) commits: rebases onto the orphan, v3 wins
+    hi_touched = _touched_for(m1, 950, 999)
+    e_hi, itv_hi = _entries_for(spark, root, m1, hi_touched, "next")
+    version, _ = commit_merge(
+        root, m1, hi_touched, e_hi, m1.get("schema"), itv_hi
+    )
+    assert version == 3 and read_manifest(root)["version"] == 3
+    got = {r["k"]: r["tag"] for r in read_table(spark, root).collect()}
+    assert got[10] == "crashed" and got[975] == "next"
