@@ -792,3 +792,138 @@ def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keep_doc"),
         F.countDistinct("url").cast("bigint").alias("n_variants"),
     )
+
+
+@query(
+    "web_html_extract",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id, text,
+             '<html><head><title>Site ' || CAST(((doc_id % 13) + 13) % 13 AS VARCHAR)
+             || ' &amp; Co &#8212; page ' || CAST(((doc_id % 17) + 17) % 17 AS VARCHAR)
+             || '</title><script>var t=' || CAST(doc_id AS VARCHAR)
+             || ';track(t);</script></head><body><nav><a href="/">home</a>'
+             || '<a href="/about">about</a>'
+             || CASE WHEN ((doc_id % 3) + 3) % 3 = 0
+                     THEN '<a href="/promo">promo &lt;deals&gt;</a>'
+                     ELSE '' END
+             || '</nav><p>' || text || '</p><footer>&copy; site '
+             || CAST(((doc_id % 13) + 13) % 13 AS VARCHAR)
+             || ' <a href="/tos">terms</a></footer></body></html>' AS html
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    stripped AS (
+      SELECT doc_id, text, html,
+             regexp_extract(html, '<title>([^<]*)</title>', 1) AS title_raw,
+             CAST(len(regexp_extract_all(html, '<a ')) AS BIGINT) AS n_links,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(html,
+                 '<script>.*?</script>', ' ', 'g'),
+                 '<nav>.*?</nav>', ' ', 'g'),
+                 '<footer>.*?</footer>', ' ', 'g'),
+                 '<[^>]+>', ' ', 'g'),
+               ' +', ' ', 'g')) AS extracted
+      FROM seeded
+    )
+    SELECT doc_id,
+           CAST(length(html) AS BIGINT) AS raw_len,
+           CAST(length(extracted) AS BIGINT) AS extracted_len,
+           n_links,
+           replace(replace(replace(title_raw, '&amp;', '&'),
+                   '&#8212;', '-'), '&lt;', '<') AS title,
+           (extracted = text) AS clean
+    FROM stripped
+    """,
+)
+def web_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML MAIN-TEXT EXTRACTION — the stage BEFORE every text-hygiene
+    operator in a real crawl (Trafilatura/jusText reduced to the
+    engine's deterministic form): drop ``<script>`` payloads and
+    ``<nav>``/``<footer>`` boilerplate blocks, strip remaining markup,
+    unescape the title's entities, collapse whitespace — and verify
+    the recovered body equals the pre-wrap text (``clean`` flags the
+    round trip per document, hash-checked, so the extractor provably
+    removes ALL chrome and NO content).  The corpus has no HTML column,
+    so — the ``web_url_dedup``/PII-audit seeding precedent — each doc is
+    wrapped in deterministic doc_id-derived chrome: entity-bearing
+    title, tracking script, nav with a variable link set (the mod-3
+    class grows a third link), footer with an entity and a link.
+
+    RE2-safe regexes only (non-greedy block strips, no lookarounds) —
+    Java regex and DuckDB RE2 evaluate them identically; the block
+    strips are anchored to the seeded single-line shape (real HTML
+    would pre-normalize newlines in the same pass).
+
+    100 TB: pure per-row JVM regex fused into the scan — zero shuffle,
+    embarrassingly parallel, the cheapest stage of the pipeline; the
+    output is row-per-doc (no aggregation) so the driver check hashes
+    every document's extraction verdict."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+
+    def nn(m: int) -> F.Column:
+        return F.pmod(F.col("doc_id"), F.lit(m)).cast("string")
+
+    html = F.concat(
+        F.lit("<html><head><title>Site "), nn(13),
+        F.lit(" &amp; Co &#8212; page "), nn(17),
+        F.lit("</title><script>var t="),
+        F.col("doc_id").cast("string"),
+        F.lit(';track(t);</script></head><body><nav><a href="/">home</a>'
+              '<a href="/about">about</a>'),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+            '<a href="/promo">promo &lt;deals&gt;</a>',
+        ).otherwise(""),
+        F.lit("</nav><p>"), F.col("text"),
+        F.lit("</p><footer>&copy; site "), nn(13),
+        F.lit(' <a href="/tos">terms</a></footer></body></html>'),
+    )
+    extracted = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.col("html"), r"<script>.*?</script>", " "
+                        ),
+                        r"<nav>.*?</nav>",
+                        " ",
+                    ),
+                    r"<footer>.*?</footer>",
+                    " ",
+                ),
+                r"<[^>]+>",
+                " ",
+            ),
+            r" +",
+            " ",
+        )
+    )
+    title = F.replace(
+        F.replace(
+            F.replace(
+                F.regexp_extract(F.col("html"), r"<title>([^<]*)</title>", 1),
+                F.lit("&amp;"),
+                F.lit("&"),
+            ),
+            F.lit("&#8212;"),
+            F.lit("-"),
+        ),
+        F.lit("&lt;"),
+        F.lit("<"),
+    )
+    return (
+        d.withColumn("html", html)
+        .select(
+            "doc_id",
+            F.length("html").cast("bigint").alias("raw_len"),
+            F.length(extracted).cast("bigint").alias("extracted_len"),
+            F.size(F.regexp_extract_all(F.col("html"), F.lit("<a "), 0))
+            .cast("bigint")
+            .alias("n_links"),
+            title.alias("title"),
+            (extracted == F.col("text")).alias("clean"),
+        )
+    )

@@ -163,8 +163,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # helper was rewritten — helper changes are outside the fingerprint's
 # scope and are fronted by hand per the source_fingerprint docstring)
 # replace the freshest r7 fills, as does the late-round addition
-# text_length_percentile_filter (never green — rule 1).  Shape: the two
-# never-green queries first, then the ENTIRE remaining r6 tier (34 —
+# text_length_percentile_filter and web_html_extract (never green —
+# rule 1).  Shape: the never-green queries first, then the ENTIRE remaining r6 tier (34 —
 # includes the r9-rewritten join_asof_nearest, and join_interval_overlap
 # rides in the r7 tier), then stalest r7.  After this round no
 # oracle-backed query has pre-r7 evidence.  dedup_incremental_minhash,
@@ -173,6 +173,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _FRONT = [
     "cow_schema_evolution",  # NEVER GREEN
     "text_length_percentile_filter",  # NEVER GREEN (added post-rotation)
+    "web_html_extract",  # NEVER GREEN (added post-rotation)
     "agg_cube",  # last green r6
     "agg_grouping_sets",  # last green r6
     "agg_filtered_pivot",  # last green r6
@@ -218,7 +219,6 @@ _FRONT = [
     "agg_promo_share",  # last green r7
     "agg_late_shipment_priority",  # last green r7
     "events_daily_ma",  # last green r7
-    "sample_uniform_per_stratum",  # last green r7
     "web_url_dedup",  # green r9, REWRITTEN r10 (changed-since-checked guard)
     "join_bloom_prefilter",  # green r9, helper rewritten r10 (manual rule)
 ]

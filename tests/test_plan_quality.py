@@ -195,6 +195,7 @@ def test_no_cartesian_product_outside_declared_brute_force(spark, sf_dir):
         # one-row NB totals (N_pos/N_neg/V) + one-row class prior, each
         # broadcast to the vocab-sized model / per-doc score frame
         "text_quality_classifier",
+        "dedup_keep_best_quality",  # composes the classifier (above)
     }
     offenders = []
     for name in sorted(all_queries()):
