@@ -51,6 +51,7 @@ FLOOR_QUANTIZED = [
     "join_nation_volume",
     "sql_scan_agg_q6",
     "events_anomaly_zscore",
+    "cow_schema_evolution",  # r10: per-segment acctbal floor_sum
 ]
 # ...the next magnitude tier (large revenue sums that would cross 2^53
 # at the next 10x; still decimal-exact today, watched here)...
