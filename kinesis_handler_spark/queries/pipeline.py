@@ -834,9 +834,17 @@ def text_length_percentile_filter(
     token-length envelope, and surviving token mass — the before/after
     report a curation review reads.
 
-    100 TB: one scan computes token counts row-locally; the rank is one
-    window partitioned by language (the shuffle key a per-lang pipeline
-    already uses); output is O(#languages).  NULL langs group as their
+    100 TB: the rank is computed TWO-LEVEL (the pack_context_windows
+    prefix-scan shape) because a naive ``row_number() OVER (PARTITION
+    BY lang)`` sorts an entire language in ONE task — a guaranteed
+    straggler when one language dominates a web corpus.  Level 1 ranks
+    within (lang, n_tokens) groups — parallel across every distinct
+    length; level 2 runs the cumulative count over the BOUNDED
+    (lang, n_tokens) rollup (O(languages × distinct lengths) rows) and
+    joins back co-partitioned.  rank = cum(count of shorter lengths) +
+    rank-within-length — identical to the single-window form row for
+    row (the DuckDB oracle keeps that form; the hash check pins the
+    equivalence).  Output is O(#languages).  NULL langs group as their
     own bucket (both engines), NULL text/doc_id rows are unmeasurable
     and filtered on both sides (totality rule)."""
     d = table(spark, sf_dir, "documents").filter(
@@ -847,14 +855,35 @@ def text_length_percentile_filter(
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.asc_nulls_last("n_tokens"), F.asc_nulls_last("doc_id")
+    # level 1: rank within each (lang, length) group — parallel, and
+    # bounded per task by the count of EQUAL-length docs, never the
+    # whole language
+    w1 = Window.partitionBy("lang", "n_tokens").orderBy(
+        F.asc_nulls_last("doc_id")
     )
-    ranked = docs.select(
+    within = docs.select(
+        "lang", "n_tokens", F.row_number().over(w1).alias("rn_in")
+    )
+    # level 2: cumulative offsets over the bounded length rollup
+    rollup = docs.groupBy("lang", "n_tokens").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w2 = (
+        Window.partitionBy("lang")
+        .orderBy(F.asc_nulls_last("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = rollup.select(
         "lang",
         "n_tokens",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+        (F.sum("cnt").over(w2) - F.col("cnt")).alias("before"),
+        F.sum("cnt").over(Window.partitionBy("lang")).alias("n"),
+    )
+    ranked = within.join(offsets, ["lang", "n_tokens"]).select(
+        "lang",
+        "n_tokens",
+        (F.col("before") + F.col("rn_in")).alias("rn"),
+        "n",
     )
     kept = (20 * F.col("rn") > F.col("n")) & (
         20 * F.col("rn") <= 19 * F.col("n")
