@@ -339,24 +339,27 @@ def create_table(
                       sum(e["rows"] for e in entries))
 
 
-def read_table(
-    spark: SparkSession, root: str, version: int | None = None
+def _aligned_scan(
+    spark: SparkSession,
+    root: str,
+    entries: list[dict],
+    schema_json: str | None,
 ) -> DataFrame:
-    """Read a table version (default: latest) — time travel is just
-    reading an older manifest's file list.  If the version's files
-    carry more than one schema (an add-column evolution left old files
-    narrow), the scan merges parquet schemas and the missing columns
-    come back NULL; the result is always aligned to the manifest's
-    table schema (column order + NULL-fill)."""
+    """Scan a set of manifest entries, tolerant of per-file schema
+    drift: when the entries carry more than one schema (an add-column
+    evolution left carried files narrow), the parquet scan merges
+    footer schemas and the result is aligned to ``schema_json`` —
+    column order preserved, missing columns NULL-filled.  Shared by
+    ``read_table`` and ``merge_into``'s touched-file read (a merge
+    whose touched set mixes pre- and post-evolution files must see the
+    full table schema, not whichever footer Spark samples first)."""
     from pyspark.sql import types as T
 
-    m = read_manifest(root, version)
-    paths = [os.path.join(root, e["path"]) for e in m["files"]]
-    schema_json = m.get("schema")
-    if not paths:  # a legitimately empty version (empty-corpus twin)
+    paths = [os.path.join(root, e["path"]) for e in entries]
+    if not paths:  # a legitimately empty selection (empty-corpus twin)
         schema = T.StructType.fromJson(json.loads(schema_json))
         return spark.createDataFrame([], schema)
-    file_schemas = {e.get("schema") or schema_json for e in m["files"]}
+    file_schemas = {e.get("schema") or schema_json for e in entries}
     if len(file_schemas) > 1:
         df = spark.read.option("mergeSchema", "true").parquet(*paths)
     else:
@@ -372,6 +375,41 @@ def read_table(
                     for f in fields
                 ]
             )
+    return df
+
+
+def read_table(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    key_between: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Read a table version (default: latest) — time travel is just
+    reading an older manifest's file list.  Heterogeneous per-file
+    schemas (add-column evolution) merge + NULL-fill via
+    :func:`_aligned_scan`.
+
+    ``key_between=(lo, hi)`` is manifest data skipping — the read-side
+    twin of the MERGE-side touch pruning: files whose [min_key,
+    max_key] envelope misses the interval are dropped from the scan
+    BEFORE Spark ever lists them (Delta/Iceberg min-max skipping), and
+    the residual exact predicate is applied on top (envelopes admit
+    false positives, never false negatives).  At 100 TB a key-subrange
+    read pays for the files it needs, not the table."""
+    m = read_manifest(root, version)
+    entries = m["files"]
+    if key_between is not None:
+        lo, hi = key_between
+        entries = [
+            e for e in entries
+            if e["min_key"] <= hi and e["max_key"] >= lo
+        ]
+    df = _aligned_scan(spark, root, entries, m.get("schema"))
+    if key_between is not None:
+        key = m["key"]
+        df = df.filter(
+            (F.col(key) >= F.lit(lo)) & (F.col(key) <= F.lit(hi))
+        )
     return df
 
 
@@ -476,8 +514,16 @@ def merge_into(
         *[F.col(c).alias(f"src_{c}") for c in src.columns]
     )
     if touched:
-        tgt = spark.read.parquet(
-            *[os.path.join(root, p) for p in sorted(touched)]
+        # aligned read (not a bare parquet scan): the touched set can
+        # mix pre-evolution narrow files with widened ones, and the
+        # rewrite select below needs every manifest-schema column
+        # resolvable (ADVICE r10: mixed-footer read raised
+        # UNRESOLVED_COLUMN on the evolved column)
+        tgt = _aligned_scan(
+            spark,
+            root,
+            [e for e in m["files"] if e["path"] in touched],
+            tbl_schema.json(),
         )
         joined = tgt.join(
             src_pref, tgt[key] == src_pref[f"src_{key}"], "left"
@@ -624,7 +670,7 @@ def compact(
     # the rewritten files are removed; a plain open() here could
     # silently clobber a rival's already-linked version)
     try:
-        version, _ = commit_merge(
+        version, n_carried = commit_merge(
             root,
             m,
             {e["path"] for e in m["files"]},
@@ -639,11 +685,14 @@ def compact(
             if os.path.exists(p):
                 os.remove(p)
         raise
+    # n_carried > 0 when the commit rebased over a rival insert-only
+    # version (rival removed nothing, src_interval None): those rival
+    # files ride into the compacted version and must be counted
     return MergeStats(
         version=version,
-        files_total=len(entries),
+        files_total=n_carried + len(entries),
         files_rewritten=len(m["files"]),
-        files_carried=0,
+        files_carried=n_carried,
         rows_deleted=0,
         rows_inserted=0,
     )

@@ -550,6 +550,16 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = minhash_band_frame(_batch_slice(spark, sf_dir)).transform(
         truncate
     )
+    # Bucket-width caps on BOTH probe-join inputs (ADVICE r10: the cap
+    # guarded only the self-join tiers, leaving this probe join exposed
+    # to the same stop-pattern blowup — a 5k-member index bucket times a
+    # wide probe bucket is the quadratic the cap exists to bound).  The
+    # index is capped at READ time, not append time, so the bound holds
+    # across any number of append_to_minhash_index calls; the window
+    # keys match the join keys (exchange reuse), and no clean-corpus
+    # bucket reaches the cap at test scales (golden pin unchanged).
+    idx, _ = cap_band_buckets(idx, "corpus_doc", ("band", "band_sig"))
+    probe, _ = cap_band_buckets(probe, "doc_id", ("band", "band_sig"))
     vs_corpus = (
         probe.join(idx, ["band", "band_sig"])
         .select(

@@ -451,6 +451,47 @@ def _assign_gemm(
 _IVF_TRAIN_CAP = 4096
 
 
+def _train_ivf_centroids(
+    qv: DataFrame, n_cells: int, n_iters: int = 2
+) -> DataFrame:
+    """Train the IVF coarse quantizer and return it as a ``(cell,
+    cvec)`` frame — factored out of ``_ivf_assign`` so the incremental
+    path can PERSIST the trained centroids (r10 verdict ask #4).
+    Training recipe and determinism contract documented on
+    ``_ivf_assign``."""
+    import numpy as np
+
+    spark = qv.sparkSession
+    cent_schema = "cell INT, cvec ARRAY<DOUBLE>"
+    train = (
+        qv.select(F.xxhash64("vec_id").alias("h"), "vec_id", "qvec")
+        .orderBy("h", "vec_id")
+        .limit(max(_IVF_TRAIN_CAP, n_cells))
+        .collect()
+    )
+    if not train:
+        return spark.createDataFrame([], cent_schema)
+    tm = np.stack([np.asarray(r["qvec"], dtype=np.int64) for r in train])
+    cmat = tm[:n_cells].astype(np.float64)
+    tf = tm.astype(np.float64)
+    tn = np.linalg.norm(tf, axis=1, keepdims=True)
+    tu = tf / np.where(tn == 0.0, 1.0, tn)
+    for _ in range(n_iters):
+        cn = np.linalg.norm(cmat, axis=1, keepdims=True)
+        aff = tu @ (cmat / np.where(cn == 0.0, 1.0, cn)).T
+        assign = np.argsort(-aff, axis=1, kind="stable")[:, 0]
+        for c in range(len(cmat)):
+            mask = assign == c
+            if mask.any():
+                cmat[c] = tm[mask].sum(axis=0, dtype=np.int64) / int(
+                    mask.sum()
+                )
+    return spark.createDataFrame(
+        [(i + 1, [float(x) for x in cmat[i]]) for i in range(len(cmat))],
+        cent_schema,
+    )
+
+
 def _ivf_assign(
     qv: DataFrame, n_cells: int, n_probe: int, n_iters: int = 2
 ) -> DataFrame:
@@ -486,41 +527,7 @@ def _ivf_assign(
 
     Returns (vec_id, qvec, cell, rank), lineage-truncated: one scoring
     pass serves every downstream consumer."""
-    import numpy as np
-
-    spark = qv.sparkSession
-    cent_schema = "cell INT, cvec ARRAY<DOUBLE>"
-    train = (
-        qv.select(F.xxhash64("vec_id").alias("h"), "vec_id", "qvec")
-        .orderBy("h", "vec_id")
-        .limit(max(_IVF_TRAIN_CAP, n_cells))
-        .collect()
-    )
-    if train:
-        tm = np.stack(
-            [np.asarray(r["qvec"], dtype=np.int64) for r in train]
-        )
-        cmat = tm[:n_cells].astype(np.float64)
-        tf = tm.astype(np.float64)
-        tn = np.linalg.norm(tf, axis=1, keepdims=True)
-        tu = tf / np.where(tn == 0.0, 1.0, tn)
-        for _ in range(n_iters):
-            cn = np.linalg.norm(cmat, axis=1, keepdims=True)
-            aff = tu @ (cmat / np.where(cn == 0.0, 1.0, cn)).T
-            assign = np.argsort(-aff, axis=1, kind="stable")[:, 0]
-            for c in range(len(cmat)):
-                mask = assign == c
-                if mask.any():
-                    cmat[c] = tm[mask].sum(axis=0, dtype=np.int64) / int(
-                        mask.sum()
-                    )
-        cent = spark.createDataFrame(
-            [(i + 1, [float(x) for x in cmat[i]]) for i in range(len(cmat))],
-            cent_schema,
-        )
-    else:
-        cent = spark.createDataFrame([], cent_schema)
-
+    cent = _train_ivf_centroids(qv, n_cells, n_iters)
     # ONE corpus pass: rank=1 rows are the inverted lists, rank<=n_probe
     # rows are the probe lists.  Lineage-truncated: both consumers read it
     # without replaying (the trained centroids are collected+broadcast by
@@ -770,6 +777,181 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # a pair can be found in up to nprobe shared cells — dedup once
     return local.dropDuplicates(["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
+# Persisted / incremental ANN index (r10 verdict ask #4)
+# ---------------------------------------------------------------------------
+
+#: The incremental split mirrors dedup_incremental_minhash: vectors with
+#: pmod(vec_id, 10) == 7 play the NEWLY-EMBEDDED batch; the rest are the
+#: corpus snapshot whose IVF index is the durable artifact.
+_ANN_BATCH_RESIDUE = 7
+
+
+def _ann_corpus_qv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _clean_embeddings(spark, sf_dir).filter(
+        F.pmod(F.col("vec_id"), F.lit(10)) != _ANN_BATCH_RESIDUE
+    )
+    return emb.select("vec_id", _quantized().alias("qvec")).transform(
+        truncate
+    )
+
+
+def _ann_batch_qv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _clean_embeddings(spark, sf_dir).filter(
+        F.pmod(F.col("vec_id"), F.lit(10)) == _ANN_BATCH_RESIDUE
+    )
+    return emb.select("vec_id", _quantized().alias("qvec")).transform(
+        truncate
+    )
+
+
+def _materialize_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the corpus's PERSISTED IVF index ONCE per scale factor
+    under ``.fixture_cache`` — the durable artifact a production embed
+    pipeline keeps between batches (the ``minhash_band_index``
+    precedent, r10 verdict ask #4).  Two parquet tables:
+
+    * ``centroids/`` — the trained coarse quantizer (K≈√N rows);
+    * ``members/``  — every corpus vector's inverted-list entry
+      ``(cell, vec_id, qvec)`` (rank-1 assignment), repartitioned by
+      cell so a probe's cogroup shuffles co-located lists.
+
+    Search-time cost is then O(batch) assignment + the probed cells'
+    members — the corpus embeddings (the 100 TB part) are read ZERO
+    times per batch (plan-gated in tests/test_ann.py).  Same atomic
+    build-in-tmp + rename discipline as the COW/minhash fixtures."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    repo_root = Path(__file__).resolve().parents[2]
+    out = repo_root / ".fixture_cache" / Path(sf_dir).name / "ivf_index"
+    if not (out / "members" / "_SUCCESS").exists():
+        tmp = out.parent / f".ivf_index.tmp.{os.getpid()}"
+        shutil.rmtree(str(tmp), ignore_errors=True)
+        qv = _ann_corpus_qv(spark, sf_dir)
+        n_cells = _ivf_cells(qv.count())
+        cent = _train_ivf_centroids(qv, n_cells)
+        cent.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp / "centroids")
+        )
+        cent_back = spark.read.parquet(str(tmp / "centroids"))
+        members = (
+            _assign_gemm(qv, cent_back, 1)
+            .filter(F.col("rank") == 1)
+            .select("cell", "vec_id", "qvec")
+        )
+        members.repartition(8, "cell").write.mode("overwrite").parquet(
+            str(tmp / "members")
+        )
+        try:
+            os.rename(str(tmp), str(out))
+        except OSError:
+            shutil.rmtree(str(tmp), ignore_errors=True)
+        if not (out / "members" / "_SUCCESS").exists():
+            raise RuntimeError(
+                f"ivf index {out} was not produced — rename failed and "
+                "no concurrent builder completed it"
+            )
+    return str(out)
+
+
+def append_to_ivf_index(index_path: str, new_vectors: DataFrame) -> None:
+    """Index maintenance after a batch commits: assign the new vectors
+    to their home cells against the STORED centroids (no retraining —
+    FAISS's add() semantics) and append the inverted-list rows.
+    Append-only parquet: assignments are immutable per vector under a
+    fixed quantizer, so no rewrite, no manifest.  Centroid drift is a
+    periodic OFFLINE retrain + full reassign (a new index version), not
+    a per-batch cost — exactly how production IVF deployments run.
+    (The declared query never calls this: driver queries must be
+    idempotent; pytest exercises the multi-batch chain in a temp dir.)"""
+    spark = new_vectors.sparkSession
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    (
+        _assign_gemm(new_vectors, cent, 1)
+        .filter(F.col("rank") == 1)
+        .select("cell", "vec_id", "qvec")
+        .repartition(2, "cell")
+        .write.mode("append")
+        .parquet(f"{index_path}/members")
+    )
+
+
+@query("sim_ann_incremental")  # rows-only: IVF cell assignment is engine-specific
+def sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ANN against the PERSISTED IVF index (r10 verdict ask
+    #4): a NEW embedding batch (pmod(vec_id,10)==7 plays the fresh
+    embed job) is searched against the corpus WITHOUT re-training
+    centroids or re-scoring corpus vectors — the stored quantizer
+    assigns each query its nprobe=⌈3.2·√K⌉ nearest cells (one bounded
+    broadcast GEMM over the batch only), and the exact re-rank cogroups
+    the query probes with the STORED inverted lists.  Per batch query:
+    exact top-3 corpus neighbors by quantized-integer cosine (ties →
+    lowest id), the asymmetric search shape (queries probe, the index
+    answers) — ``sim_ann_ivf_search`` remains the index-internal
+    all-pairs tier.
+
+    100 TB: query-time cost is O(batch·K) assignment + the probed
+    cells' member rows; the corpus embedding table is read ZERO times
+    (plan-gated in tests/test_ann.py — only the index parquet and the
+    batch slice appear in the scan) and the index extends append-only
+    (``append_to_ivf_index``) after each batch commits.  Recall vs the
+    exact brute-force batch×corpus top-3 is floor-gated in
+    tests/test_ann.py; golden-pinned at sf0.01."""
+    idx = _materialize_ivf_index(spark, sf_dir)
+    cent = spark.read.parquet(f"{idx}/centroids")
+    members = spark.read.parquet(f"{idx}/members")
+    n_probe = _ivf_nprobe(cent.count())  # K-sized count, driver-bounded
+    probes = _assign_gemm(_ann_batch_qv(spark, sf_dir), cent, n_probe).select(
+        "cell", "vec_id", "qvec"
+    )
+
+    def score_probe(probes_pdf, members_pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"q_id": [], "nbr_id": [], "cosine": []})
+        if len(probes_pdf) == 0 or len(members_pdf) == 0:
+            return empty
+        qi = probes_pdf["vec_id"].to_numpy(dtype=np.int64)
+        qm = np.stack(probes_pdf["qvec"].to_numpy()).astype(np.float64)
+        mi = members_pdf["vec_id"].to_numpy(dtype=np.int64)
+        mm = np.stack(members_pdf["qvec"].to_numpy()).astype(np.float64)
+        qn = np.sqrt((qm * qm).sum(axis=1))
+        mn = np.sqrt((mm * mm).sum(axis=1))
+        cos = (qm @ mm.T) / np.outer(qn, mn)
+        # forward-only emission: queries are batch vectors, the index
+        # answers — index members are never queries here (the symmetric
+        # trick in score_cell serves the index-internal tier)
+        keep = min(3, cos.shape[1])
+        idx_top = np.argpartition(-cos, keep - 1, axis=1)[:, :keep]
+        rows = np.repeat(np.arange(len(qi)), keep)
+        cols = idx_top.ravel()
+        return pd.DataFrame(
+            {
+                "q_id": qi[rows],
+                "nbr_id": mi[cols],
+                "cosine": cos[rows, cols],
+            }
+        )
+
+    local = (
+        probes.groupBy("cell")
+        .cogroup(members.groupBy("cell"))
+        .applyInPandas(score_probe, "q_id BIGINT, nbr_id BIGINT, cosine DOUBLE")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id")
+    )
+    return (
+        local.dropDuplicates(["q_id", "nbr_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
 
 
 @query("text_fingerprint")  # rows-only: xxhash64-based rolling hash

@@ -879,11 +879,19 @@ def text_length_percentile_filter(
         (F.sum("cnt").over(w2) - F.col("cnt")).alias("before"),
         F.sum("cnt").over(Window.partitionBy("lang")).alias("n"),
     )
-    ranked = within.join(offsets, ["lang", "n_tokens"]).select(
-        "lang",
-        "n_tokens",
-        (F.col("before") + F.col("rn_in")).alias("rn"),
-        "n",
+    # null-SAFE on lang: documents with NULL lang are a real group (the
+    # oracle's PARTITION BY keeps them); a plain equality join key would
+    # silently drop every one of them (ADVICE r10).  n_tokens is never
+    # NULL (text is filtered non-null above), so plain equality there.
+    ranked = within.alias("w").join(
+        offsets.alias("o"),
+        F.col("w.lang").eqNullSafe(F.col("o.lang"))
+        & (F.col("w.n_tokens") == F.col("o.n_tokens")),
+    ).select(
+        F.col("w.lang").alias("lang"),
+        F.col("w.n_tokens").alias("n_tokens"),
+        (F.col("o.before") + F.col("w.rn_in")).alias("rn"),
+        F.col("o.n").alias("n"),
     )
     kept = (20 * F.col("rn") > F.col("n")) & (
         20 * F.col("rn") <= 19 * F.col("n")

@@ -1004,3 +1004,89 @@ def cow_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tot_orders"),
         floor_sum(dec_t("c_acctbal", "decimal(38,6)")).alias("sum_acctbal"),
     )
+
+
+#: Key subrange for the pruned-read query: inside the evolved (touched)
+#: region so the evolved column flows through the pruned scan, and a
+#: strict subset of the key space at every test scale so files are
+#: actually skipped (the insert range at 4e9 and the carried high-range
+#: files never intersect it).
+_PRUNE_LO, _PRUNE_HI = 100, 799
+
+
+@query(
+    "cow_pruned_read",
+    oracle="""
+    WITH agg AS (
+      SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders WHERE o_custkey IS NOT NULL AND o_custkey < 1000
+      GROUP BY 1
+    ),
+    remap AS (
+      SELECT CASE WHEN cnt % 7 = 3
+                  THEN ((ck % 1009) + 1009) % 1009 + 4000000000
+                  ELSE ck END AS k,
+             cnt
+      FROM agg
+    ),
+    feed AS (
+      SELECT k, CAST(SUM(cnt) AS BIGINT) AS n_orders FROM remap GROUP BY k
+    ),
+    tgt AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal
+      FROM customer WHERE c_custkey IS NOT NULL
+    ),
+    merged AS (
+      SELECT COALESCE(t.c_custkey, f.k) AS custkey,
+             CASE WHEN t.c_custkey IS NULL THEN 'NEW'
+                  ELSE t.c_mktsegment END AS mktsegment,
+             CASE WHEN t.c_custkey IS NULL THEN 0e0
+                  ELSE t.c_acctbal END AS acctbal,
+             f.n_orders AS n_orders,
+             (t.c_custkey IS NOT NULL AND f.k IS NOT NULL) AS matched
+      FROM tgt t FULL JOIN feed f ON t.c_custkey = f.k
+    )
+    SELECT mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(COUNT(n_orders) AS BIGINT) AS n_with_orders,
+           CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS tot_orders,
+           CAST(CAST(FLOOR(SUM(CAST(acctbal AS DECIMAL(38,6))))
+                  AS DECIMAL(38,0)) AS DOUBLE) AS sum_acctbal
+    FROM merged
+    WHERE NOT (matched AND n_orders % 13 = 0)
+      AND custkey BETWEEN 100 AND 799
+    GROUP BY mktsegment
+    """,
+)
+def cow_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COW READ-PATH DATA SKIPPING (r10 verdict ask #3 — the read-side
+    twin of the MERGE touch pruning): a key-subrange aggregate over the
+    EVOLVED COW table goes through ``read_table(key_between=(lo, hi))``,
+    which prunes the file list against the manifest's per-file
+    [min_key, max_key] envelopes BEFORE Spark ever lists a file —
+    Delta/Iceberg min-max data skipping on the engine's own manifest.
+    Only files whose envelope intersects [100, 799] are scanned (the
+    carried high-range files and the 4e9 insert files never are —
+    plan/inputFiles-gated in tests/test_cow_merge.py); the residual
+    exact BETWEEN applies on top, since envelopes admit false positives
+    but never false negatives.  The subrange sits inside the evolved
+    region, so the pruned scan also exercises mixed-schema alignment.
+    The DuckDB oracle replays the evolved table from raw parquet with
+    the same predicate — a hash match proves the skip loses no rows.
+
+    100 TB: a key-subrange read pays for the files it needs, not the
+    table — with range-partitioned files, a 0.1% key slice reads ~0.1%
+    of the data; this is the daily read-side payoff of the layout work
+    (``layout_zorder`` built the clustering half)."""
+    from kinesis_handler_spark.io.merge import read_table
+
+    root = _materialize_cow_evo(spark, sf_dir)
+    t = read_table(spark, root, key_between=(_PRUNE_LO, _PRUNE_HI))
+    return t.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.count("n_orders").cast("bigint").alias("n_with_orders"),
+        F.sum(F.coalesce(F.col("n_orders"), F.lit(0)))
+        .cast("bigint")
+        .alias("tot_orders"),
+        floor_sum(dec_t("c_acctbal", "decimal(38,6)")).alias("sum_acctbal"),
+    )

@@ -171,56 +171,59 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # text_quality_classifier, and dedup_keep_best_quality are rows-only
 # (golden-pinned) and take no slot.
 _FRONT = [
-    "cow_schema_evolution",  # NEVER GREEN
-    "text_length_percentile_filter",  # NEVER GREEN (added post-rotation)
-    "web_html_extract",  # NEVER GREEN (added post-rotation)
-    "agg_cube",  # last green r6
-    "agg_grouping_sets",  # last green r6
-    "agg_filtered_pivot",  # last green r6
-    "join_inner_equi",  # last green r6
-    "join_broadcast_dims",  # last green r6
-    "join_exists_correlated",  # last green r6
-    "agg_distinct_multi",  # last green r6
-    "join_null_safe",  # last green r6
-    "profile_table",  # last green r6
-    "route_case_tag",  # last green r6
-    "scalar_string",  # last green r6
-    "scalar_math",  # last green r6
-    "scalar_array",  # last green r6
-    "scalar_array_explode",  # last green r6
-    "scalar_conditional_null",  # last green r6
-    "scalar_struct",  # last green r6
-    "scalar_hash",  # last green r6
-    "sort_multi_key",  # last green r6
-    "limit_topk",  # last green r6
-    "set_union_all",  # last green r6
-    "set_intersect",  # last green r6
-    "set_except",  # last green r6
-    "dedup_exact",  # last green r6
-    "set_intersect_all",  # last green r6
-    "source_csv_scan",  # last green r6
-    "source_text_scan",  # last green r6
-    "join_bucketed_colocated",  # last green r6
-    "agg_weighted_avg",  # last green r6
-    "window_groups_frame",  # last green r6
-    "window_lag_lead",  # last green r6
-    "window_running_frame",  # last green r6
-    "join_asof_latest",  # last green r6
-    "join_asof_nearest",  # last green r6
-    "sql_recursive_cte",  # last green r7
-    "agg_time_weighted_avg",  # last green r7
-    "join_interval_overlap",  # last green r7
-    "window_skyline_pareto",  # last green r7
-    "agg_rfm_segmentation",  # last green r7
-    "agg_abc_classification",  # last green r7
-    "agg_benford_first_digit",  # last green r7
-    "window_ewma_dyadic",  # last green r7
-    "text_concordance",  # last green r7
-    "agg_promo_share",  # last green r7
-    "agg_late_shipment_priority",  # last green r7
-    "events_daily_ma",  # last green r7
-    "web_url_dedup",  # green r9, REWRITTEN r10 (changed-since-checked guard)
-    "join_bloom_prefilter",  # green r9, helper rewritten r10 (manual rule)
+    # never-green / changed-since-checked first (r11)
+    "cow_pruned_read",  # NEW r11: never checked
+    "text_length_percentile_filter",  # rewritten r11 (null-safe lang join)
+    "merge_cow_parquet",  # io/merge.py helper changed r11 (aligned scan)
+    "cow_time_travel",  # io/merge.py helper changed r11
+    "cow_schema_evolution",  # io/merge.py helper changed r11
+    # one-round ROWS_ONLY_COLD_EXEC slots (r10 verdict ask #2a): the
+    # driver executes these in t2 at least once (records no_oracle)
+    "dedup_incremental_minhash",  # rows-only cold-exec r11
+    "text_quality_classifier",  # rows-only cold-exec r11
+    "dedup_keep_best_quality",  # rows-only cold-exec r11
+    "tokenizer_bpe_apply",  # rows-only cold-exec r11
+    "sample_uniform_per_stratum",  # last green r7
+    "audit_referential_integrity",  # last green r7
+    "filter_disjunctive",  # last green r7
+    "join_nation_volume",  # last green r7
+    "corpus_inverted_index",  # last green r7
+    "sessionize_gap",  # last green r7
+    "graph_pagerank",  # last green r7
+    "graph_triangle_count",  # last green r7
+    "agg_corr_regression",  # last green r7
+    "pipeline_filter_funnel",  # last green r7
+    "join_multi_star",  # last green r7
+    "sql_scan_agg_q6",  # last green r7
+    "json_extract_props",  # last green r7
+    "scalar_date",  # last green r7
+    "scalar_map_json",  # last green r7
+    "scalar_bitwise",  # last green r7
+    "source_json_scan",  # last green r7
+    "source_xml_scan",  # last green r7
+    "agg_stats_moments",  # last green r7
+    "agg_percentiles",  # last green r7
+    "agg_string_concat",  # last green r7
+    "window_ntile_percent",  # last green r7
+    "agg_small_qty_revenue",  # last green r7
+    "window_session_batch",  # last green r7
+    "events_gapfill_interpolate",  # last green r7
+    "scd2_intervals",  # last green r7
+    "events_cdc_apply",  # last green r7
+    "join_market_share",  # last green r7
+    "agg_profit_by_nation_year",  # last green r7
+    "pack_context_windows",  # last green r7
+    "corpus_mixture_weights",  # last green r7
+    "pack_greedy_bins",  # last green r7
+    "dedup_span_exact",  # last green r7
+    "dedup_span_trim",  # last green r7
+    "corpus_domain_token_budget",  # last green r7
+    "join_returns_by_customer",  # last green r8
+    "fuzzy_match_blocked",  # last green r8
+    "agg_custdist",  # last green r8
+    "join_inactive_rich_customers",  # last green r8
+    "text_token_bpe",  # last green r8
+    "contamination_ngram_overlap",  # last green r8
 ]
 
 

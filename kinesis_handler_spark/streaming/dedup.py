@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_handler_spark.functions.lsh import cap_band_buckets
 from kinesis_handler_spark.queries.llm import minhash_band_frame
 
 #: Corpus-snapshot signatures seed the index under this pseudo batch id
@@ -83,10 +84,18 @@ def dedup_batch(
             .filter(F.col("batch_id") < F.lit(batch_id))
             .select(F.col("doc_id").alias("partner"), "band", "band_sig")
         )
-        vs_index = probe.join(idx, ["band", "band_sig"]).select(
+        # bucket-width caps on both candidate-join inputs (ADVICE r10):
+        # the INDEX APPEND below stays uncapped — the index is durable
+        # state and must keep every signature; capping at read time
+        # bounds the join no matter how wide a bucket grows across
+        # appended batches.  Capped tail members simply emit no pairs
+        # (the documented lsh.py recall trade-off).
+        idx, _ = cap_band_buckets(idx, "partner", ("band", "band_sig"))
+        capped, _ = cap_band_buckets(probe, "doc_id", ("band", "band_sig"))
+        vs_index = capped.join(idx, ["band", "band_sig"]).select(
             "doc_id", "partner"
         )
-        a, b = probe.alias("a"), probe.alias("b")
+        a, b = capped.alias("a"), capped.alias("b")
         within = (
             a.join(
                 b,

@@ -156,3 +156,40 @@ def test_web_url_dedup_folds_www_and_merges(spark, sf_dir):
         and any(i % 3 != 0 for i in ids)
         for ids in exp.values()
     )
+
+
+def test_length_percentile_filter_keeps_null_lang_group(spark, tmp_path):
+    """ADVICE r10 (medium): documents with a NULL lang are a real
+    per-language group (the oracle's PARTITION BY keeps them); the
+    two-level rank join must be null-safe on lang or every such doc
+    silently vanishes from the curation counts.  Build a corpus where
+    one lang is NULL and verify the NULL group survives with exact
+    trim arithmetic (n=40 -> kept ranks 3..38, rank == n_tokens here)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (lang_i * 100 + k, " ".join(["w"] * k), k, lang, "t")
+        for lang_i, lang in enumerate(["aa", None])
+        for k in range(1, 41)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, n_chars int, lang string, "
+        "source string"
+    )
+    d = str(tmp_path / "sf_nulllang")
+    import os
+
+    os.makedirs(d)
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    got = {
+        r["lang"]: r
+        for r in QUERIES["text_length_percentile_filter"]
+        .fn(spark, d)
+        .collect()
+    }
+    assert set(got) == {"aa", None}
+    for lang in ("aa", None):
+        r = got[lang]
+        assert r["n_docs"] == 40 and r["n_kept"] == 36, lang
+        assert r["kept_min_tokens"] == 3 and r["kept_max_tokens"] == 38
+        assert r["kept_tokens"] == sum(range(3, 39))

@@ -87,6 +87,7 @@ def test_jvm_only_queries_have_no_python_stage(spark, sf_dir):
         "dedup_embedding_cosine",  # blocked-GEMM scorer (numpy via mapInPandas)
         "sim_ann_ivf",  # IVF assignment + exact re-rank are GEMMs
         "sim_ann_ivf_search",  # same pipeline, search-grade nprobe
+        "sim_ann_incremental",  # batch assignment GEMM + cogrouped re-rank
         "dedup_embedding_ann",  # IVF candidates + exact in-cell GEMM
         "embed_quantize",  # dense per-element math (numpy via mapInPandas)
         "sim_ann_lsh",  # signature GEMM + numpy re-rank dot

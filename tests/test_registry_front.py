@@ -11,9 +11,15 @@ from kinesis_handler_spark.registry import _FRONT, QUERIES, all_queries
 # evidence (a plan re-band or a brand-new operator with no SQL oracle)
 # may be added here for a single round; the r7 trio (dedup_simhash,
 # embed_pca, tokenizer_bpe_train) got its evidence in r7/r8 and rotated
-# out, so the guard is strict again: rows-only queries NEVER occupy a
-# verdict slot.
-ROWS_ONLY_COLD_EXEC: set[str] = set()
+# out.  r11 (r10 verdict ask #2a): the four r10 rows-only operators the
+# driver has never executed in its t2 harness take one cold-exec round,
+# then rotate out again.
+ROWS_ONLY_COLD_EXEC: set[str] = {
+    "dedup_incremental_minhash",
+    "text_quality_classifier",
+    "dedup_keep_best_quality",
+    "tokenizer_bpe_apply",
+}
 
 
 def test_front_entries_are_registered_and_unique():

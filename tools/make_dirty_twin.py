@@ -310,6 +310,20 @@ def _keys_piece(table: str, path: str, names: list[str]):
     )
 
 
+def _null_lang_piece(path: str):
+    """Live text under a NULL lang (doc_id offset past every other
+    piece): the per-language operators must keep NULL lang as its own
+    group end-to-end — ADVICE r10 found a non-null-safe lang join key
+    that silently dropped these docs while the DuckDB oracle kept
+    them.  The all-or-nothing null pieces can never exercise this
+    (their text is NULL too, so the totality filter removes them)."""
+    return (
+        f"(SELECT doc_id + 960000 AS doc_id, text, n_chars,"
+        f" CAST(NULL AS VARCHAR) AS lang, source"
+        f" FROM '{path}' WHERE text IS NOT NULL LIMIT 4)"
+    )
+
+
 def _dup_pieces(path: str):
     return [
         f"(SELECT * FROM '{path}' LIMIT 5)",
@@ -371,6 +385,8 @@ def build(src: str, out: str, mode: str = "nulls") -> None:
                     pieces.append(_mixed_null_events_piece(path))
                 if t in _MIXED_KEYS:
                     pieces.append(_mixed_null_piece(t, path, names))
+                if t == "documents":
+                    pieces.append(_null_lang_piece(path))
             if mode in ("dups", "chaos"):
                 pieces += _dup_pieces(path)
             if t == "embeddings" and mode in ("ragged", "chaos"):
