@@ -1,0 +1,126 @@
+"""Streaming corpus-prep quality gate (r10 verdict ask #7): the
+trained NB quality classifier lifted onto the document stream.
+
+Train ONCE, score FOREVER — the ``streaming/dedup.py`` precedent
+applied to the learned quality model:
+
+* **Persisted model artifact**: ``train_quality_model`` runs the exact
+  training the batch ``text_quality_classifier`` query runs
+  (``qc_train_model`` — shared code, not a reimplementation) and
+  writes the two bounded frames a scorer needs: the ``(tok, llr_fp)``
+  fixed-point weight table (vocabulary-sized — Heaps-law bounded at
+  any corpus size) and the 1-row prior.  Scores are exact integer
+  Σ tf·llr_fp + prior_fp, so streaming and batch scores for the same
+  document are BIT-EQUAL (pinned in tests/test_streaming_quality.py),
+  not merely close.
+* **foreachBatch, not a stateful operator**: the model outlives the
+  query (it is shared with batch jobs and other streams), so state
+  lives in the model parquet, not the state store; within a
+  micro-batch scoring is a plain broadcast join + integer aggregate.
+* **Quarantine routing**: docs scoring ≤ ``threshold_fp`` go to the
+  QUARANTINE sink, the rest to the accepted sink — the dead-letter
+  discipline of the routing engine (R13) applied to data quality.
+  Both sinks write ``batch_id=N`` partitions with dynamic overwrite,
+  so an at-least-once replay of batch N overwrites exactly its own
+  partition (exactly-once by idempotence, the io/sinks.py contract).
+
+100 TB: per micro-batch the cost is one tokenize pass over the batch
+plus a broadcast join against the vocabulary-bounded model — no
+corpus re-scan, no retraining; model refreshes are an offline retrain
+publishing a NEW model directory (swap by path), never a per-batch
+cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_handler_spark.queries.training import (
+    qc_score,
+    qc_token_counts,
+    qc_train_model,
+)
+
+
+def train_quality_model(docs: DataFrame, model_root: str) -> None:
+    """Train the NB quality model on ``docs`` (doc_id, text) and
+    persist it under ``model_root`` (``weights/`` + ``prior/``).
+    Idempotent: retraining on the same corpus rewrites the same
+    values."""
+    counts = qc_token_counts(
+        docs.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    )
+    model, prior = qc_train_model(counts)
+    model.write.mode("overwrite").parquet(f"{model_root}/weights")
+    prior.write.mode("overwrite").parquet(f"{model_root}/prior")
+
+
+def score_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    model_root: str,
+    accepted_root: str,
+    quarantine_root: str,
+    threshold_fp: int = 0,
+) -> None:
+    """foreachBatch body: score one micro-batch of ``(doc_id, text)``
+    rows against the persisted model and route each doc to the
+    accepted or quarantine sink.  Callable directly (batch backfill /
+    replay tests) — Structured Streaming adds only the micro-batch
+    serialization guarantee."""
+    spark = batch_df.sparkSession
+    docs = batch_df.filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    model = spark.read.parquet(f"{model_root}/weights")
+    prior = spark.read.parquet(f"{model_root}/prior")
+    scored = qc_score(qc_token_counts(docs), model, prior).select(
+        "doc_id",
+        "score_fp",
+        (F.col("score_fp") > F.lit(threshold_fp)).alias("accepted"),
+    )
+    for root, keep in ((accepted_root, True), (quarantine_root, False)):
+        (
+            scored.filter(F.col("accepted") == keep)
+            .drop("accepted")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(root)
+        )
+
+
+def quality_stream(
+    stream_docs: DataFrame,
+    model_root: str,
+    accepted_root: str,
+    quarantine_root: str,
+    checkpoint_dir: str,
+    threshold_fp: int = 0,
+):
+    """Wire a ``(doc_id, text)`` stream through the quality gate:
+    returns the started StreamingQuery (availableNow-friendly; caller
+    awaits termination)."""
+    return (
+        stream_docs.writeStream.foreachBatch(
+            lambda df, bid: score_batch(
+                df,
+                bid,
+                model_root,
+                accepted_root,
+                quarantine_root,
+                threshold_fp,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_quarantine(spark: SparkSession, quarantine_root: str) -> DataFrame:
+    """All quarantined docs so far (one row per doc per batch; replays
+    collapse by the partition overwrite)."""
+    return spark.read.parquet(quarantine_root)

@@ -62,6 +62,12 @@ def test_rows_only_queries_are_marked():
         "dedup_keep_best_quality",  # composes two rows-only tiers
         # (minhash clusters x NB scores); invariants pinned in
         # tests/test_dedup_pipeline.py
+        "sim_ann_incremental",  # probes the persisted IVF index (cell
+        # assignment is engine-specific); recall floor + plan gate in
+        # tests/test_ann.py
+        "text_langid_classifier",  # ln() in the fixed-point weights;
+        # golden pin + separable-fixture accuracy/macro-F1 floors in
+        # tests/test_training_ops.py
     }
 
 
