@@ -19,24 +19,19 @@ from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
 
 
-@query("dedup_simhash")  # rows-only: engine-specific 64-bit hashing
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: 64-bit fingerprint = sign-aggregate
-    of per-token xxhash64 bits; candidate pairs share any of 4 16-bit
-    bands (Hamming-distance banding).  All bit arithmetic is JVM-side
-    (shiftright/bitwise-and over exploded bit positions); banding keeps
-    the join linear in candidates — the 100 TB alternative to pairwise
-    Hamming comparison."""
-    d = table(spark, sf_dir, "documents")
-    # Per document: hash tokens once, then fold PER BIT with a scalar
-    # accumulator — bit b of the fingerprint is set iff more than half
-    # the token hashes have bit b set (equivalent to the classic ±1
-    # sign-sum).  The naive formulation allocates two 64-element arrays
-    # per token inside the fold; this one allocates the 64-bit sequence
-    # once per document and scans the flat hash array with a scalar
-    # accumulator — ~1.6× faster in the interpreted HOF path, one row
-    # per document, no doc×token×bit explode, O(docs) downstream shuffle.
-    fp = d.select(
+def simhash_fingerprints(d: DataFrame) -> DataFrame:
+    """Per-document 64-bit SimHash fingerprints — the sign-aggregate of
+    per-token xxhash64 bits.  Per document: hash tokens once, then fold
+    PER BIT with a scalar accumulator — bit b of the fingerprint is set
+    iff more than half the token hashes have bit b set (equivalent to
+    the classic ±1 sign-sum).  The naive formulation allocates two
+    64-element arrays per token inside the fold; this one allocates the
+    64-bit sequence once per document and scans the flat hash array
+    with a scalar accumulator — ~1.6× faster in the interpreted HOF
+    path, one row per document, no doc×token×bit explode, O(docs)
+    downstream shuffle.  Factored out of the query so the cap-recall
+    probe (tools/cap_recall_probe.py) measures the same arithmetic."""
+    return d.select(
         "doc_id",
         F.expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))").alias(
             "hashes"
@@ -56,6 +51,50 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("simhash"),
     )
+
+
+def simhash_banded(dfp: DataFrame) -> DataFrame:
+    """Band distinct fingerprints into 4 × 16-bit LSH buckets
+    (Hamming-distance banding) — the pre-cap candidate generator."""
+    return dfp.select(
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn(
+        "band_bits", F.expr("shiftright(simhash, band * 16) & 65535L")
+    )
+
+
+def simhash_fpairs(banded: DataFrame) -> DataFrame:
+    """Hamming-verified (≤6 of 64 bits) distinct fingerprint pairs from
+    a banded frame — LSH gives candidates; popcount of XOR verifies."""
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.simhash") < F.col("b.simhash")),
+        )
+        .filter(F.expr("bit_count(a.simhash ^ b.simhash)") <= 6)
+        .select(
+            F.col("a.simhash").alias("fa"),
+            F.col("b.simhash").alias("fb"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()  # a pair can match in several bands
+    )
+
+
+@query("dedup_simhash")  # rows-only: engine-specific 64-bit hashing
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit fingerprint = sign-aggregate
+    of per-token xxhash64 bits; candidate pairs share any of 4 16-bit
+    bands (Hamming-distance banding).  All bit arithmetic is JVM-side
+    (shiftright/bitwise-and over exploded bit positions); banding keeps
+    the join linear in candidates — the 100 TB alternative to pairwise
+    Hamming comparison."""
+    d = table(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(d)
     # Materialize the O(docs) fingerprint frame (16 bytes/row) before the
     # self-join: without lineage truncation Catalyst re-evaluates the
     # expensive fold on BOTH join sides plus inside the inferred
@@ -74,12 +113,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only AFTER the Hamming filter — same output, ~5× faster, and the
     # skew cap now scales with distinct fingerprints, not corpus size.
     dfp = fp.select("simhash").distinct().transform(truncate)
-    banded = dfp.select(
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
-    ).withColumn(
-        "band_bits", F.expr("shiftright(simhash, band * 16) & 65535L")
-    )
+    banded = simhash_banded(dfp)
     # Bucket-width cap (r9 verdict ask #5): a replication-heavy corpus
     # grows stop-pattern buckets whose pair emission is quadratic in
     # width; cap members per (band, band_bits) bucket at BUCKET_CAP
@@ -92,24 +126,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded, _ = cap_band_buckets(
         banded, "simhash", ("band", "band_bits")
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    fpairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_bits") == F.col("b.band_bits"))
-            & (F.col("a.simhash") < F.col("b.simhash")),
-        )
-        # LSH gives candidates; verify with the actual Hamming distance
-        # (<= 6 of 64 bits) — popcount of XOR, still pure JVM bit math.
-        .filter(F.expr("bit_count(a.simhash ^ b.simhash)") <= 6)
-        .select(
-            F.col("a.simhash").alias("fa"),
-            F.col("b.simhash").alias("fb"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
-        )
-        .distinct()  # a pair can match in several bands
-    )
+    fpairs = simhash_fpairs(banded)
     # Expand verified fingerprint pairs back to doc pairs.  Each doc has
     # exactly one fingerprint and fpairs is distinct with fa < fb, so
     # the expansion emits each doc pair once — no doc-level distinct.

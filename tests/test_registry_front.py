@@ -84,3 +84,32 @@ def test_rows_only_queries_come_last():
     assert all(kinds[first_rows_only:]), (
         "oracle-backed query ordered after a rows-only one"
     )
+
+
+def test_readme_counts_match_registry():
+    """r10 verdict ask #6: README's 'X of Y queries hash-match ...
+    remaining Z' sentence drifted once (180/194 survived two rounds of
+    inventory growth); derive the truth from the registry so it can't
+    drift silently again."""
+    import pathlib
+    import re
+
+    all_queries()  # registration side effect
+    total = len(QUERIES)
+    oracle_backed = sum(1 for q in QUERIES.values() if q.oracle is not None)
+    rows_only = total - oracle_backed
+    text = (
+        pathlib.Path(__file__).parents[1] / "README.md"
+    ).read_text()
+    m = re.search(
+        r"(\d+) of (\d+) queries hash-match", text
+    )
+    assert m, "README lost the hash-match count sentence"
+    assert (int(m.group(1)), int(m.group(2))) == (oracle_backed, total), (
+        f"README says {m.group(0)!r}; registry has "
+        f"{oracle_backed} of {total}"
+    )
+    m2 = re.search(r"the remaining (\d+) are engine-specific", text)
+    assert m2 and int(m2.group(1)) == rows_only, (
+        f"README remaining-count drifted: registry has {rows_only}"
+    )
