@@ -185,7 +185,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang AS p_lang, term FROM (
         SELECT lang, term, ROW_NUMBER() OVER (
                  PARTITION BY lang ORDER BY COUNT(*) DESC, term) AS rn
-        FROM tok GROUP BY lang, term
+        FROM tok WHERE lang IS NOT NULL GROUP BY lang, term
       ) WHERE rn <= 20
     ),
     doc_terms AS (SELECT DISTINCT doc_id, term FROM tok),
@@ -216,8 +216,14 @@ def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
     w_p = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("term"))
+    # profiles are per KNOWN language: an unlabeled (NULL-lang) doc can
+    # be SCORED but must not train a NULL profile — beyond being
+    # meaningless, a NULL candidate in the per-doc argmax tie-break
+    # diverges the engines (Spark sorts NULL keys first, DuckDB last;
+    # the r11 chaos twin's live-text NULL-lang rows caught exactly this)
     profile = (
-        tok.groupBy("lang", "term")
+        tok.filter(F.col("lang").isNotNull())
+        .groupBy("lang", "term")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("rn", F.row_number().over(w_p))
         .filter(F.col("rn") <= 20)

@@ -1301,10 +1301,15 @@ def langid_train_model(
     to 2^20 fixed point; per-doc per-language scores are then exact
     integer sums — bit-stable under any partitioning.  Both frames are
     vocabulary×languages bounded: they broadcast at any corpus size."""
+    from kinesis_handler_spark.functions.lineage import truncate
+
     train_tok = counts.join(doc_langs, "doc_id")
+    # materialize the vocab×langs count frame: FIVE consumers below
+    # (per-lang totals, vocab, vocab size, dense weights, lang stats)
+    # would otherwise each replay the corpus-scale aggregate
     cls = train_tok.groupBy("gram", "lang").agg(
         F.sum("tf").cast("bigint").alias("c")
-    )
+    ).transform(truncate)
     per_lang = cls.groupBy("lang").agg(
         F.sum("c").cast("bigint").alias("n_l")
     )

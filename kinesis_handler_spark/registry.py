@@ -223,7 +223,7 @@ _FRONT = [
     "agg_custdist",  # last green r8
     "join_inactive_rich_customers",  # last green r8
     "text_token_bpe",  # last green r8
-    "contamination_ngram_overlap",  # last green r8
+    "text_lang_profile",  # rewritten r11 (NULL-lang profile exclusion)
 ]
 
 

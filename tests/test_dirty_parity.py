@@ -86,6 +86,12 @@ ONCE_DRIFTED = {
         # as-of distance NULL, and Spark's NULLS-FIRST default crowned
         # the unknown-distance order "nearest".
         "join_asof_nearest", "join_asof_latest",
+        # r11: the twin gained LIVE-TEXT NULL-lang document rows — a
+        # NULL-lang doc trained a NULL language profile whose argmax
+        # tie-break diverged (Spark NULLS FIRST vs DuckDB NULLS LAST);
+        # profiles now exclude NULL lang on both engines, and the
+        # two-level percentile rank joins null-safe on lang.
+        "text_lang_profile", "text_length_percentile_filter",
     ]),
     "dups": ("sf_dup", [
         "dedup_embedding_cosine", "embed_quantize", "sim_cosine_topk",
