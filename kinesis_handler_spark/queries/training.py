@@ -1260,25 +1260,38 @@ def qc_score(
 # ---------------------------------------------------------------------------
 
 
+#: Language ID reads a bounded PREFIX of each document (CCNet/fastText
+#: practice — language is decided in the first kilobytes; a 2 MB book
+#: dump must not cost 1000× a tweet).  Bounds per-doc feature work at
+#: 100 TB and on the bigdoc outlier twin; the fixture corpora are all
+#: shorter than the cap, so scores there cover the full text.
+_LANGID_MAX_CHARS = 4096
+
+
 def _langid_gram_counts(d: DataFrame) -> DataFrame:
     """Per-(doc, char-bigram) counts — the langid feature pass.  Char
     n-grams are the fastText-langid feature family: they capture
     script, diacritics, and orthography without any tokenizer, so the
     same extractor serves every language including unsegmented scripts.
-    JVM-side: one substring sweep per document, one explode; no Python.
-    Docs shorter than 2 chars produce no grams (scored on prior only).
-    """
+    JVM-side and LINEAR in the prefix: split the bounded prefix into a
+    char array once, then pair adjacent elements (array index is O(1)).
+    The naive per-index ``substring(text, i, 2)`` sweep is O(prefix²) —
+    UTF8String.substring scans from the string head to find the i-th
+    character, which the 2 MB bigdoc twin turns into an 80-minute
+    single task.  Docs shorter than 2 chars produce no grams (scored
+    on prior only)."""
     from kinesis_handler_spark.functions.lineage import truncate
 
+    chars = F.split(
+        F.substring("text", 1, _LANGID_MAX_CHARS), ""
+    ).alias("c")
     grams = F.when(
-        F.length("text") >= 2,
-        F.expr(
-            "transform(sequence(1, length(text) - 1),"
-            " i -> substring(text, i, 2))"
-        ),
+        F.size("c") >= 2,
+        F.expr("transform(sequence(0, size(c) - 2), i -> concat(c[i], c[i+1]))"),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        d.select("doc_id", F.explode(grams).alias("gram"))
+        d.select("doc_id", chars)
+        .select("doc_id", F.explode(grams).alias("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
         .transform(truncate)  # one feature pass feeds train AND score

@@ -197,6 +197,12 @@ def test_no_cartesian_product_outside_declared_brute_force(spark, sf_dir):
         # broadcast to the vocab-sized model / per-doc score frame
         "text_quality_classifier",
         "dedup_keep_best_quality",  # composes the classifier (above)
+        # multi-class NB: 1-row vocab-size / train-count scalars plus
+        # the L-row (L = #languages, label-cardinality-bounded, never
+        # sf-scaling) lang-stats frame crossed into the vocab model and
+        # the per-doc score frame — the dense vocab×langs weight table
+        # is the point (see langid_train_model docstring)
+        "text_langid_classifier",
     }
     offenders = []
     for name in sorted(all_queries()):
