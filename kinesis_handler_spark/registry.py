@@ -171,59 +171,56 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # text_quality_classifier, and dedup_keep_best_quality are rows-only
 # (golden-pinned) and take no slot.
 _FRONT = [
-    # never-green / changed-since-checked first (r11)
-    "cow_pruned_read",  # NEW r11: never checked
-    "text_length_percentile_filter",  # rewritten r11 (null-safe lang join)
-    "merge_cow_parquet",  # io/merge.py helper changed r11 (aligned scan)
-    "cow_time_travel",  # io/merge.py helper changed r11
-    "cow_schema_evolution",  # io/merge.py helper changed r11
-    # one-round ROWS_ONLY_COLD_EXEC slots (r10 verdict ask #2a): the
-    # driver executes these in t2 at least once (records no_oracle)
-    "dedup_incremental_minhash",  # rows-only cold-exec r11
-    "text_quality_classifier",  # rows-only cold-exec r11
-    "dedup_keep_best_quality",  # rows-only cold-exec r11
-    "tokenizer_bpe_apply",  # rows-only cold-exec r11
-    "sample_uniform_per_stratum",  # last green r7
-    "audit_referential_integrity",  # last green r7
-    "filter_disjunctive",  # last green r7
-    "join_nation_volume",  # last green r7
-    "corpus_inverted_index",  # last green r7
-    "sessionize_gap",  # last green r7
-    "graph_pagerank",  # last green r7
-    "graph_triangle_count",  # last green r7
-    "agg_corr_regression",  # last green r7
-    "pipeline_filter_funnel",  # last green r7
-    "join_multi_star",  # last green r7
-    "sql_scan_agg_q6",  # last green r7
-    "json_extract_props",  # last green r7
-    "scalar_date",  # last green r7
-    "scalar_map_json",  # last green r7
-    "scalar_bitwise",  # last green r7
-    "source_json_scan",  # last green r7
-    "source_xml_scan",  # last green r7
-    "agg_stats_moments",  # last green r7
-    "agg_percentiles",  # last green r7
-    "agg_string_concat",  # last green r7
-    "window_ntile_percent",  # last green r7
-    "agg_small_qty_revenue",  # last green r7
-    "window_session_batch",  # last green r7
-    "events_gapfill_interpolate",  # last green r7
-    "scd2_intervals",  # last green r7
-    "events_cdc_apply",  # last green r7
-    "join_market_share",  # last green r7
-    "agg_profit_by_nation_year",  # last green r7
-    "pack_context_windows",  # last green r7
-    "corpus_mixture_weights",  # last green r7
-    "pack_greedy_bins",  # last green r7
-    "dedup_span_exact",  # last green r7
-    "dedup_span_trim",  # last green r7
-    "corpus_domain_token_budget",  # last green r7
-    "join_returns_by_customer",  # last green r8
-    "fuzzy_match_blocked",  # last green r8
-    "agg_custdist",  # last green r8
-    "join_inactive_rich_customers",  # last green r8
-    "text_token_bpe",  # last green r8
-    "text_lang_profile",  # rewritten r11 (NULL-lang profile exclusion)
+    "sim_ann_incremental",  # rows-only cold-exec (r11 op, zero driver evidence)
+    "text_langid_classifier",  # rows-only cold-exec (r11 op, zero driver evidence)
+    "contamination_ngram_overlap",  # last green r8
+    "text_entropy",  # last green r8
+    "text_unigram_logloss",  # last green r8
+    "text_tfidf_topterms",  # last green r8
+    "text_quality_score",  # last green r8
+    "dedup_near_jaccard",  # last green r8
+    "sim_cosine_topk",  # last green r8
+    "multimodal_binary_meta",  # last green r8
+    "udf_transformer",  # last green r8
+    "udaf_grouped_pandas",  # last green r8
+    "agg_median_mode",  # last green r8
+    "join_scalar_subquery",  # last green r8
+    "text_ngram_bigrams",  # last green r8
+    "embed_vector_stats",  # last green r8
+    "multimodal_features",  # last green r8
+    "embed_quantize",  # last green r8
+    "multimodal_header_parse",  # last green r8
+    "embed_random_projection",  # last green r8
+    "multimodal_decode_bmp",  # last green r8
+    "multimodal_decode_wav",  # last green r8
+    "multimodal_decode_jpeg",  # last green r8
+    "text_chunk_overlap",  # last green r8
+    "text_repetition_ratio",  # last green r8
+    "sample_hash_stratified",  # last green r8
+    "events_anomaly_zscore",  # last green r8
+    "pipeline_corpus_prep",  # last green r8
+    "join_agg_topk",  # last green r8
+    "agg_having_join_back",  # last green r8
+    "sql_window_topn",  # last green r8
+    "scalar_regex_redact",  # last green r8
+    "set_except_all",  # last green r8
+    "source_orc_scan",  # last green r8
+    "source_range_spine",  # last green r8
+    "source_avro_scan",  # last green r8
+    "reshape_unpivot",  # last green r8
+    "agg_histogram",  # last green r8
+    "agg_min_max_by",  # last green r8
+    "agg_bool_conditional",  # last green r8
+    "window_time_slide",  # last green r8
+    "window_range_interval",  # last green r8
+    "events_funnel",  # last green r8
+    "events_retention",  # last green r8
+    "window_rank_topn",  # last green r8
+    "topk_per_group",  # last green r8
+    "text_heavy_hitters",  # last green r9
+    "text_lm_bigram_logloss",  # last green r9
+    "text_pii_audit",  # last green r9
+    "text_stats",  # last green r9
 ]
 
 

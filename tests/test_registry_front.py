@@ -11,14 +11,14 @@ from kinesis_handler_spark.registry import _FRONT, QUERIES, all_queries
 # evidence (a plan re-band or a brand-new operator with no SQL oracle)
 # may be added here for a single round; the r7 trio (dedup_simhash,
 # embed_pca, tokenizer_bpe_train) got its evidence in r7/r8 and rotated
-# out.  r11 (r10 verdict ask #2a): the four r10 rows-only operators the
-# driver has never executed in its t2 harness take one cold-exec round,
-# then rotate out again.
+# out, as did the r11 quartet (dedup_incremental_minhash,
+# text_quality_classifier, dedup_keep_best_quality, tokenizer_bpe_apply)
+# after their r11 cold-exec round.  r12 (r11 verdict ask #1): the two
+# r11 additions with ZERO driver-side evidence of any kind take their
+# one cold-exec round, then rotate out again.
 ROWS_ONLY_COLD_EXEC: set[str] = {
-    "dedup_incremental_minhash",
-    "text_quality_classifier",
-    "dedup_keep_best_quality",
-    "tokenizer_bpe_apply",
+    "sim_ann_incremental",
+    "text_langid_classifier",
 }
 
 
