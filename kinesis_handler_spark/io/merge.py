@@ -356,7 +356,17 @@ def _aligned_scan(
     from pyspark.sql import types as T
 
     paths = [os.path.join(root, e["path"]) for e in entries]
-    if not paths:  # a legitimately empty selection (empty-corpus twin)
+    if not paths:  # a legitimately empty selection (empty-corpus twin,
+        # or a key_between subrange that misses every file's envelope)
+        if schema_json is None:
+            # every writer records "schema" in the manifest (create /
+            # commit_merge paths); reaching here means a hand-edited or
+            # corrupt manifest — fail loudly rather than TypeError in
+            # json.loads (r11 ADVICE)
+            raise ValueError(
+                f"manifest for {root} has no 'schema' entry; cannot "
+                "build an empty aligned frame for an empty selection"
+            )
         schema = T.StructType.fromJson(json.loads(schema_json))
         return spark.createDataFrame([], schema)
     file_schemas = {e.get("schema") or schema_json for e in entries}

@@ -92,7 +92,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands (Hamming-distance banding).  All bit arithmetic is JVM-side
     (shiftright/bitwise-and over exploded bit positions); banding keeps
     the join linear in candidates — the 100 TB alternative to pairwise
-    Hamming comparison."""
+    Hamming comparison.
+
+    Output is two row kinds discriminated by ``bucket_flagged``:
+    pair rows (``bucket_flagged = false``; Hamming-verified pair with
+    distance) and bucket-flag rows (``bucket_flagged = true``;
+    ``doc_b``/``hamming`` NULL) — one per document whose fingerprint
+    sits in an over-``BUCKET_CAP`` band bucket.  The flag rows are the
+    measured closing rule for the bucket-width cap
+    (CAP_RECALL_r11.json): capped pair emission alone recovers only
+    81.1% of the docs uncapped banding would flag at sf3, but
+    pair-flags ∪ truncated-bucket members cover 100% of them at a
+    0.49% over-flag rate — provably, since an uncapped flag comes from
+    a shared bucket that is either ≤cap (pair kept) or >cap (member
+    flagged).  On a clean corpus no bucket truncates, so the flag tier
+    is empty and the cap costs nothing (tests/test_scale_ops.py gates
+    both halves)."""
     d = table(spark, sf_dir, "documents")
     fp = simhash_fingerprints(d)
     # Materialize the O(docs) fingerprint frame (16 bytes/row) before the
@@ -113,18 +128,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only AFTER the Hamming filter — same output, ~5× faster, and the
     # skew cap now scales with distinct fingerprints, not corpus size.
     dfp = fp.select("simhash").distinct().transform(truncate)
-    banded = simhash_banded(dfp)
+    banded_all = simhash_banded(dfp)
     # Bucket-width cap (r9 verdict ask #5): a replication-heavy corpus
     # grows stop-pattern buckets whose pair emission is quadratic in
     # width; cap members per (band, band_bits) bucket at BUCKET_CAP
     # (ranked by fingerprint — total within a bucket since dfp is
     # distinct), bounding pairs at ~2k/bucket.  No clean-corpus bucket
-    # reaches the cap at sf0.01/sf0.1 (golden pin unchanged); truncated
-    # buckets are flagged, never silent (tests/test_scale_ops.py gates
-    # the trade-off, tools/growth_probe.py measures the bounded
+    # reaches the cap at sf0.01/sf0.1; truncated buckets feed the
+    # bucket-flag tier below, never silent (tests/test_scale_ops.py
+    # gates the trade-off, tools/growth_probe.py measures the bounded
     # exponent).
-    banded, _ = cap_band_buckets(
-        banded, "simhash", ("band", "band_bits")
+    banded, truncated = cap_band_buckets(
+        banded_all, "simhash", ("band", "band_bits")
     )
     fpairs = simhash_fpairs(banded)
     # Expand verified fingerprint pairs back to doc pairs.  Each doc has
@@ -159,7 +174,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).alias("hamming"),
         )
     )
-    return cross.unionByName(within)
+    pairs = cross.unionByName(within).withColumn(
+        "bucket_flagged", F.lit(False)
+    )
+    # Bucket-flag closing rule (r11 verdict ask #2): EVERY member of a
+    # truncated bucket — kept or dropped by the cap — is flagged as a
+    # suspected stop-pattern dup, restoring 100% of the uncapped run's
+    # doc-flag coverage (CAP_RECALL_r11.json: 0.49% over-flag) without
+    # ever enumerating the quadratic pair tail.  The left_semi against
+    # the (empty on clean corpora) truncated frame is an O(buckets)
+    # broadcast at scale, and the doc expansion reuses the
+    # materialized fingerprint artifact.
+    trunc_fps = (
+        banded_all.join(
+            truncated.select("band", "band_bits"),
+            ["band", "band_bits"],
+            "left_semi",
+        )
+        .select("simhash")
+        .distinct()
+    )
+    flags = fp.join(trunc_fps, "simhash", "left_semi").select(
+        F.col("doc_id").alias("doc_a"),
+        F.lit(None).cast("bigint").alias("doc_b"),
+        F.lit(None).cast("int").alias("hamming"),
+        F.lit(True).alias("bucket_flagged"),
+    )
+    return pairs.unionByName(flags)
 
 
 @query(
@@ -632,8 +673,14 @@ def _sim_ann_ivf_impl(
         # A boundary pair missed one way is usually found the other,
         # which is what lifts worst-case recall on structureless data
         # (VERDICT r5 item 5; measurements in the query docstring).
+        # tie-stable top-k both directions (r11 ADVICE): lexsort by
+        # (cosine desc, id asc) — the downstream window's total order —
+        # so exact-cosine ties (duplicate quantized vectors) never make
+        # the emitted candidate set depend on in-memory row order
         keep_r = min(top_k, cos.shape[1])
-        idx = np.argpartition(-cos, keep_r - 1, axis=1)[:, :keep_r]
+        idx = np.lexsort(
+            (np.broadcast_to(mi, cos.shape), -cos), axis=-1
+        )[:, :keep_r]
         rows = np.repeat(np.arange(len(qi)), keep_r)
         cols = idx.ravel()
         ok = np.isfinite(cos[rows, cols])
@@ -645,7 +692,9 @@ def _sim_ann_ivf_impl(
             }
         )
         keep_c = min(top_k, cos.shape[0])
-        idx_c = np.argpartition(-cos, keep_c - 1, axis=0)[:keep_c, :]
+        idx_c = np.lexsort(
+            (np.broadcast_to(qi[:, None], cos.shape), -cos), axis=0
+        )[:keep_c, :]
         cols_c = np.tile(np.arange(len(mi)), keep_c)
         rows_c = idx_c.ravel()
         ok_c = np.isfinite(cos[rows_c, cols_c])
@@ -944,7 +993,13 @@ def sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # answers — index members are never queries here (the symmetric
         # trick in score_cell serves the index-internal tier)
         keep = min(3, cos.shape[1])
-        idx_top = np.argpartition(-cos, keep - 1, axis=1)[:, :keep]
+        # tie-stable per-cell top-k (r11 ADVICE): argpartition breaks
+        # exact-cosine ties (plausible with quantized integer vectors)
+        # by in-memory row order; lexsort orders by (cosine desc,
+        # nbr_id asc) — the downstream window's total order, so a tied
+        # candidate the window needs is never dropped here
+        order = np.lexsort((np.broadcast_to(mi, cos.shape), -cos), axis=-1)
+        idx_top = order[:, :keep]
         rows = np.repeat(np.arange(len(qi)), keep)
         cols = idx_top.ravel()
         return pd.DataFrame(

@@ -56,8 +56,14 @@ def init_ann_index(vectors: DataFrame, index_root: str) -> None:
     """Seed ``index_root`` from the existing corpus's ``(vec_id,
     qvec)`` vectors: train the coarse quantizer, write ``centroids/``,
     and write the rank-1 inverted lists under pseudo-partition
-    ``batch_id=-1``.  Idempotent: re-seeding overwrites the centroids
-    and exactly the seed partition."""
+    ``batch_id=-1``.  Re-seeding is a FULL REBUILD, not an append:
+    it retrains the quantizer, so any ``batch_id >= 0`` member
+    partitions written by earlier ``ann_batch`` calls would carry cell
+    assignments against the OLD centroids and silently corrupt probe
+    routing — the members write therefore uses a STATIC overwrite that
+    truncates the whole ``members/`` directory, not just the seed
+    partition (r11 ADVICE).  Idempotent on a fresh or re-seeded root
+    either way."""
     qv = vectors.filter(F.col("vec_id").isNotNull())
     cent = _train_ivf_centroids(qv, _ivf_cells(qv.count()))
     cent.coalesce(1).write.mode("overwrite").parquet(
@@ -70,7 +76,7 @@ def init_ann_index(vectors: DataFrame, index_root: str) -> None:
         .select("cell", "vec_id", "qvec")
         .withColumn("batch_id", F.lit(SEED_BATCH_ID))
         .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("batch_id")
         .parquet(f"{index_root}/members")
     )
@@ -115,7 +121,16 @@ def ann_batch(
             mn = np.sqrt((mm * mm).sum(axis=1))
             cos = (qm @ mm.T) / np.outer(qn, mn)
             keep = min(top_k, cos.shape[1])
-            idx_top = np.argpartition(-cos, keep - 1, axis=1)[:, :keep]
+            # tie-stable per-cell top-k (r11 ADVICE): argpartition
+            # breaks exact-cosine ties (plausible with quantized
+            # integer vectors) by in-memory row order, so the emitted
+            # candidate set could flip between runs; lexsort orders by
+            # (cosine desc, nbr_id asc) — the same total order the
+            # final window uses, so the global top-k is recoverable
+            order = np.lexsort(
+                (np.broadcast_to(mi, cos.shape), -cos), axis=-1
+            )
+            idx_top = order[:, :keep]
             rows = np.repeat(np.arange(len(qi)), keep)
             cols = idx_top.ravel()
             return pd.DataFrame(

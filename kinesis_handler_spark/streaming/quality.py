@@ -80,16 +80,24 @@ def score_batch(
         "score_fp",
         (F.col("score_fp") > F.lit(threshold_fp)).alias("accepted"),
     )
-    for root, keep in ((accepted_root, True), (quarantine_root, False)):
-        (
-            scored.filter(F.col("accepted") == keep)
-            .drop("accepted")
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(root)
-        )
+    # persist before the two sinks: each write is an independent action,
+    # and without this the batch is tokenized + broadcast-scored TWICE
+    # (once per sink) — the "one tokenize pass per batch" contract the
+    # module's 100 TB note advertises (r11 ADVICE)
+    scored = scored.persist()
+    try:
+        for root, keep in ((accepted_root, True), (quarantine_root, False)):
+            (
+                scored.filter(F.col("accepted") == keep)
+                .drop("accepted")
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(root)
+            )
+    finally:
+        scored.unpersist()
 
 
 def quality_stream(

@@ -174,3 +174,98 @@ def test_bucket_cap_is_noop_on_clean_corpus(spark, sf_dir):
         .count()
     )
     assert mh_widths.agg(F.max("count")).collect()[0][0] <= BUCKET_CAP
+
+
+def test_simhash_bucket_flag_rule_closes_cap_recall(spark, tmp_path):
+    """r11 verdict ask #2: the declared ``dedup_simhash`` output must
+    implement the measured bucket-flag closing rule — on a corpus where
+    the BUCKET_CAP binds, pair rows alone lose uncapped doc-flag
+    coverage, and pair rows ∪ ``bucket_flagged`` rows must recover
+    100% of the docs the UNCAPPED run would flag (CAP_RECALL_r11.json
+    measured 81.1% → 100% at 0.49% over-flag at sf3).
+
+    Hostile fixture: one 200-token boilerplate doc plus 1,500
+    two-token-swap variants — a stop-pattern family whose band buckets
+    blow past the cap (widths up to ~500) while staying Hamming-close,
+    exactly the replication shape the cap exists for."""
+    import random
+
+    from kinesis_handler_spark.functions.lsh import cap_band_buckets
+    from kinesis_handler_spark.queries.llm_scale import (
+        simhash_banded,
+        simhash_fingerprints,
+        simhash_fpairs,
+    )
+    from kinesis_handler_spark.registry import all_queries
+
+    rng = random.Random(7)
+    base = [f"tok{j}" for j in range(200)]
+    rows = [(0, " ".join(base))]
+    for v in range(1500):
+        toks = list(base)
+        for _ in range(2):
+            toks[rng.randrange(200)] = f"u{v}_{rng.randrange(9)}"
+        rows.append((v + 1, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string").select(
+        "doc_id",
+        "text",
+        F.lit("en").alias("lang"),
+        F.lit("tile").alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    out = all_queries()["dedup_simhash"](spark, sf_dir).cache()
+    pair_rows = out.filter(~F.col("bucket_flagged"))
+    flag_rows = out.filter(F.col("bucket_flagged"))
+
+    # flag rows are doc-level: NULL pair fields, real doc ids
+    assert flag_rows.filter(
+        F.col("doc_b").isNotNull() | F.col("hamming").isNotNull()
+    ).count() == 0
+    assert flag_rows.count() > 0  # the cap binds on this corpus
+
+    # ground truth: docs the UNCAPPED pair run would flag (cross-group;
+    # within-group Hamming-0 flags are cap-independent so excluded from
+    # both sides, mirroring tools/cap_recall_probe.py)
+    fp = simhash_fingerprints(table(spark, sf_dir, "documents")).cache()
+    banded = simhash_banded(fp.select("simhash").distinct())
+    unc = simhash_fpairs(banded)
+    uflag_docs = fp.join(
+        unc.select(F.col("fa").alias("simhash"))
+        .unionAll(unc.select(F.col("fb").alias("simhash")))
+        .distinct(),
+        "simhash",
+        "left_semi",
+    ).select("doc_id")
+
+    pair_docs = (
+        pair_rows.filter(F.col("hamming") > 0)  # cross-group only
+        .select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pair_rows.filter(F.col("hamming") > 0).select(
+            F.col("doc_b").alias("doc_id")
+        ))
+        .distinct()
+    )
+    missed_by_pairs = uflag_docs.join(pair_docs, "doc_id", "left_anti").count()
+    assert missed_by_pairs > 0, (
+        "fixture no longer makes the cap bind — pairs alone recover "
+        "every uncapped flag, so the closing rule is untested"
+    )
+
+    # THE GATE: pair docs ∪ bucket-flagged docs ⊇ uncapped-flagged docs
+    rule_docs = pair_docs.unionAll(
+        flag_rows.select(F.col("doc_a").alias("doc_id"))
+    ).distinct()
+    uncovered = uflag_docs.join(rule_docs, "doc_id", "left_anti").count()
+    assert uncovered == 0, (
+        f"{uncovered} uncapped-flagged docs not covered by the "
+        "pair ∪ bucket-flag rule (coverage must be 1.0)"
+    )
+    # and a sanity cap on the over-flag cost: the rule may flag extra
+    # truncated-bucket members, but not an unbounded fraction
+    n_uflag = uflag_docs.count()
+    assert rule_docs.count() <= n_uflag * 1.05
+    out.unpersist()
+    fp.unpersist()
