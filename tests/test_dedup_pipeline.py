@@ -286,3 +286,19 @@ def test_keep_best_quality_selects_cluster_max(spark, sf_dir):
     keepers = {r["doc_id"] for r in rows if r["keep"]}
     min_keepers = {min(m["doc_id"] for m in ms) for ms in by_comp.values()}
     assert keepers != min_keepers
+
+
+def test_keep_best_quality_reads_artifacts_not_corpus(spark, sf_dir):
+    """r11 verdict ask #4 plan gate: the declared keeper-selection plan
+    composes the two MATERIALIZED artifacts (cluster map + score
+    table) — documents.parquet must never appear in it; the corpus is
+    read only inside the one-time artifact builds.  The end-to-end
+    recompute equivalence lives in
+    test_keep_best_quality_selects_cluster_max (its comparison sides
+    recompute both pipelines fresh)."""
+    from test_plan_quality import plan_of
+
+    plan = plan_of(spark, "dedup_keep_best_quality", sf_dir)
+    assert plan.count("documents.parquet") == 0, plan
+    assert plan.count("dedup_cluster_map") == 1, plan
+    assert plan.count("quality_scores") == 1, plan

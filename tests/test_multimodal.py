@@ -660,3 +660,158 @@ def test_frame_sample_decodes_subset(spark, sf_dir):
             src = min(int(i * 150 / 100.0), nf - 1)
             dc += int(_decode_jpeg_impl(payloads[src])[4][0][0][0])
         assert got["dc00_sum"] == dc
+
+
+# ---------------------------------------------------------------------------
+# GIF / LZW (r11 verdict ask #6)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_lzw_matches_hand_derived_spec_stream():
+    """Conformance pin independent of the round-trip: the code stream
+    for pixels [0,1,1,2,2] at min_code_size=2, derived BY HAND from the
+    GIF89a LZW rules (clear first, widths 3->4 at next_code==8 on the
+    decode side / ==9 on the encode side, LSB-first packing), is
+    exactly 44 22 52 — a matched-but-wrong encoder/decoder pair cannot
+    fake this."""
+    from kinesis_handler_spark.io.multimodal import (
+        gif_lzw_decode,
+        gif_lzw_encode,
+    )
+
+    assert gif_lzw_encode([0, 1, 1, 2, 2], 2) == bytes([0x44, 0x22, 0x52])
+    assert gif_lzw_decode(bytes([0x44, 0x22, 0x52]), 2) == [0, 1, 1, 2, 2]
+
+
+def test_gif_lzw_round_trip_through_table_resets():
+    """20k-symbol streams overflow the 4096-entry table, forcing the
+    mid-stream CLEAR/reset path; runs force the KwKwK special case;
+    corrupt streams raise (dead-letter)."""
+    import random
+
+    import pytest as _pytest
+
+    from kinesis_handler_spark.io.multimodal import (
+        gif_lzw_decode,
+        gif_lzw_encode,
+    )
+
+    rng = random.Random(12)
+    for mcs in (2, 4, 6, 8):
+        data = [rng.randrange(1 << mcs) for _ in range(20000)]
+        data[100:140] = [data[100]] * 40  # KwKwK fodder
+        assert gif_lzw_decode(gif_lzw_encode(data, mcs), mcs) == data
+    with _pytest.raises(ValueError, match="out of range"):
+        gif_lzw_decode(b"\xff\xff", 2)
+    with _pytest.raises(ValueError, match="before EOI"):
+        gif_lzw_decode(gif_lzw_encode([1, 2, 3], 2)[:-1] + b"", 6)
+
+
+def test_gif_round_trip_is_pixel_exact(spark, sf_dir):
+    import numpy as np
+
+    from kinesis_handler_spark.io.multimodal import (
+        GIF_H,
+        GIF_W,
+        _gif_palette_channel,
+        _gif_pixel_index,
+        decode_gif,
+        make_gif_media_df,
+    )
+
+    rows = make_gif_media_df(spark, sf_dir).limit(4).collect()
+    assert rows
+    for r in rows:
+        w, h, pb, px = decode_gif(bytes(r["content"]))
+        assert (w, h, pb) == (GIF_W, GIF_H, 6)
+        mid = int(r["media_id"])
+        expect = np.array(
+            [
+                [
+                    [
+                        _gif_palette_channel(
+                            _gif_pixel_index(mid, x, y), c
+                        )
+                        for c in range(3)
+                    ]
+                    for x in range(w)
+                ]
+                for y in range(h)
+            ],
+            dtype=np.uint8,
+        )
+        # byte-exact through adaptive LZW + palette mapping
+        assert (px == expect).all()
+
+
+def test_gif_decode_rejects_corruption(spark, sf_dir):
+    import pytest as _pytest
+
+    from kinesis_handler_spark.io.multimodal import (
+        decode_gif,
+        make_gif_media_df,
+    )
+
+    blob = bytes(
+        make_gif_media_df(spark, sf_dir).limit(1).collect()[0]["content"]
+    )
+    with _pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"GIF00a" + blob[6:])
+    with _pytest.raises(ValueError, match="trailer|truncated|EOI"):
+        decode_gif(blob[:-2])
+    # flip a byte inside the LZW stream: either an invalid code or a
+    # pixel-count mismatch must surface, never silent garbage
+    corrupted = bytearray(blob)
+    corrupted[-10] ^= 0xFF
+    with _pytest.raises(ValueError):
+        decode_gif(bytes(corrupted))
+
+
+def test_decode_and_featurize_real_gif_no_fake(spark, sf_dir):
+    """image/gif now decodes for REAL through the fake=False gate —
+    the per-channel mean feature comes from actual LZW-decoded
+    palette-mapped pixels."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from kinesis_handler_spark.io.multimodal import (
+        _gif_palette_channel,
+        _gif_pixel_index,
+        decode_and_featurize,
+        make_gif_media_df,
+    )
+
+    media = make_gif_media_df(spark, sf_dir).limit(3).select(
+        "media_id",
+        "content",
+        F.struct(
+            F.lit("image/gif").alias("mime"),
+            F.lit(12).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(0).alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in decode_and_featurize(media, fake=False).collect()
+    }
+    assert len(feats) == 3
+    for mid, feat in feats.items():
+        px = np.array(
+            [
+                [
+                    [
+                        _gif_palette_channel(
+                            _gif_pixel_index(int(mid), x, y), c
+                        )
+                        for c in range(3)
+                    ]
+                    for x in range(12)
+                ]
+                for y in range(8)
+            ],
+            dtype=np.float64,
+        )
+        for c in range(3):
+            assert abs(feat[c] - px[:, :, c].mean() / 255.0) < 1e-12
