@@ -114,6 +114,14 @@ def _decode_stub(
         import numpy as np
 
         return [float(np.abs(samples.astype(np.int64)).mean()) / 32768.0]
+    if mime == "audio/adpcm":
+        import numpy as np
+
+        _rate, _hdrs, _nibs, adpcm_samples = decode_adpcm_wav(content)
+        return [
+            float(np.abs(np.asarray(adpcm_samples, dtype=np.int64)).mean())
+            / 32768.0
+        ]
     if mime == "image/jpeg":
         _w, _h, _n, px = decode_jpeg(content)
         return [float(px[:, :, c].mean()) / 255.0 for c in range(3)]
@@ -548,6 +556,194 @@ def decode_wav(content: bytes):
         )
     samples = b[44 : 44 + n_bytes].view("<i2")
     return rate, channels, samples
+
+
+# ---------------------------------------------------------------------------
+# Real COMPRESSED audio decode: IMA ADPCM (WAV format tag 0x0011) is pure
+# integer arithmetic — a 4-bit nibble stream driven through the 89-entry
+# step table with per-block predictor/step-index headers — so a byte-
+# exact decoder needs no library (r11 verdict ask #6's second family).
+# Oracle strategy mirrors JPEG: the fixture is built in the NIBBLE
+# domain (deterministic per doc), the container/header/nibble layer is
+# lossless and DuckDB-replayable, and the recursive predictor chain
+# (the sample domain) is pytest-pinned against an independent pure-
+# Python reference decoder.  Perceptual audio (MP3/AAC) remains the
+# stubbed audio frontier.
+# ---------------------------------------------------------------------------
+
+#: IMA/DVI ADPCM step-size table (89 entries) and index-adjust table —
+#: constants from the IMA ADPCM specification.
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_ADJUST = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+ADPCM_RATE = 8000
+ADPCM_BLOCK_ALIGN = 256  # bytes: 4-byte header + 252 nibble bytes
+ADPCM_SAMPLES_PER_BLOCK = 1 + (ADPCM_BLOCK_ALIGN - 4) * 2  # 505
+ADPCM_BLOCKS = 2
+
+
+def _adpcm_header(doc_id: int, blk: int) -> tuple[int, int]:
+    """Deterministic per-block (predictor, step_index) — the arithmetic
+    the DuckDB oracle replays from the stored block headers."""
+    return ((doc_id * 37 + blk * 11) % 4096) - 2048, (doc_id + blk * 3) % 89
+
+
+def _adpcm_nibble(doc_id: int, blk: int, i: int) -> int:
+    """Deterministic nibble i of block blk — oracle-replayable."""
+    return (doc_id * 7 + blk * 13 + i * 5) % 16
+
+
+def ima_adpcm_decode_block(
+    predictor: int, index: int, nibbles
+) -> list[int]:
+    """Decode one IMA ADPCM block: the header's predictor is the first
+    output sample; each nibble then advances the (predictor, step
+    index) state through the spec tables with int16 clamping.  Pure
+    integer arithmetic — bit-exact on every platform."""
+    out = [predictor]
+    for nib in nibbles:
+        step = _IMA_STEPS[index]
+        diff = step >> 3
+        if nib & 4:
+            diff += step
+        if nib & 2:
+            diff += step >> 1
+        if nib & 1:
+            diff += step >> 2
+        predictor = predictor - diff if nib & 8 else predictor + diff
+        predictor = max(-32768, min(32767, predictor))
+        index = max(0, min(88, index + _IMA_INDEX_ADJUST[nib & 7]))
+        out.append(predictor)
+    return out
+
+
+def make_adpcm_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media fixture of VALID IMA-ADPCM WAV files built per document
+    id: RIFF/WAVE container with a 20-byte fmt chunk (wFormatTag
+    0x0011, cbSize 2, wSamplesPerBlock), a fact chunk (total sample
+    count — mandatory for compressed WAV), and a data chunk of
+    ``ADPCM_BLOCKS`` fixed-align blocks, each a 4-byte
+    (predictor, step-index) header plus 252 packed nibble bytes (low
+    nibble first).  Built executor-side per Arrow batch."""
+    import struct
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
+
+    def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                data = bytearray()
+                for blk in range(ADPCM_BLOCKS):
+                    pred, idx = _adpcm_header(doc_id, blk)
+                    data += struct.pack("<hBB", pred, idx, 0)
+                    for byte_i in range(ADPCM_BLOCK_ALIGN - 4):
+                        lo = _adpcm_nibble(doc_id, blk, 2 * byte_i)
+                        hi = _adpcm_nibble(doc_id, blk, 2 * byte_i + 1)
+                        data.append(lo | (hi << 4))
+                n_samples = ADPCM_BLOCKS * ADPCM_SAMPLES_PER_BLOCK
+                fmt = struct.pack(
+                    "<HHIIHHHH",
+                    0x0011, 1, ADPCM_RATE,
+                    ADPCM_RATE * ADPCM_BLOCK_ALIGN
+                    // ADPCM_SAMPLES_PER_BLOCK,
+                    ADPCM_BLOCK_ALIGN, 4, 2, ADPCM_SAMPLES_PER_BLOCK,
+                )
+                fact = struct.pack("<I", n_samples)
+                blob = (
+                    b"RIFF"
+                    + struct.pack(
+                        "<I",
+                        4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(data),
+                    )
+                    + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"fact" + struct.pack("<I", len(fact)) + fact
+                    + b"data" + struct.pack("<I", len(data)) + bytes(data)
+                )
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "content": blobs}
+            )
+
+    return d.mapInPandas(build, "media_id long, content binary")
+
+
+def decode_adpcm_wav(content: bytes):
+    """REAL IMA-ADPCM WAV decode with no library: walks the RIFF chunk
+    list (fmt/fact/data in any order), validates wFormatTag 0x0011 /
+    mono / 4-bit, splits the data chunk into block-align blocks, parses
+    each block's (predictor, step-index) header, unpacks the nibble
+    stream (low nibble first), and runs the IMA predictor chain.
+    Returns (sample_rate, block_headers, nibbles[n_blocks][...],
+    samples int16 list) — headers and nibbles are the lossless layer
+    the DuckDB oracle replays; samples are the real decoded audio.
+    Raises ValueError on malformed input (the dead-letter contract)."""
+    import struct
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, fact_samples, data = 12, None, None, None
+    while pos + 8 <= len(content):
+        name = content[pos : pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        payload = content[pos + 8 : pos + 8 + size]
+        if len(payload) != size:
+            raise ValueError(f"truncated {name!r} chunk")
+        if name == b"fmt ":
+            fmt = payload
+        elif name == b"fact":
+            (fact_samples,) = struct.unpack("<I", payload[:4])
+        elif name == b"data":
+            data = payload
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if len(fmt) < 20:
+        raise ValueError("fmt chunk too short for ADPCM")
+    tag, channels, rate, _bps, align, bits, _cb, spb = struct.unpack(
+        "<HHIIHHHH", fmt[:20]
+    )
+    if tag != 0x0011 or channels != 1 or bits != 4:
+        raise ValueError(
+            f"unsupported WAV (format={tag:#x}, channels={channels}, "
+            f"bits={bits})"
+        )
+    if len(data) % align:
+        raise ValueError("data chunk is not a whole number of blocks")
+    if spb != 1 + (align - 4) * 2:
+        raise ValueError("wSamplesPerBlock inconsistent with block align")
+    headers, nibbles, samples = [], [], []
+    for off in range(0, len(data), align):
+        block = data[off : off + align]
+        pred, idx, _res = struct.unpack("<hBB", block[:4])
+        if idx > 88:
+            raise ValueError(f"step index {idx} out of range")
+        nibs = []
+        for byte in block[4:]:
+            nibs.append(byte & 0x0F)
+            nibs.append(byte >> 4)
+        headers.append((pred, idx))
+        nibbles.append(nibs)
+        samples.extend(ima_adpcm_decode_block(pred, idx, nibs))
+    if fact_samples is not None and fact_samples != len(samples):
+        raise ValueError(
+            f"fact declares {fact_samples} samples, decoded {len(samples)}"
+        )
+    return rate, headers, nibbles, samples
 
 
 # ---------------------------------------------------------------------------

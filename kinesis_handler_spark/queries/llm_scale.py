@@ -1562,6 +1562,88 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_adpcm",
+    oracle="""
+    SELECT doc_id AS media_id,
+           8000 AS sample_rate, 2 AS n_blocks, 1010 AS n_samples,
+           CAST((doc_id*37) % 4096 - 2048 AS INTEGER) AS pred_b0,
+           CAST(doc_id % 89 AS INTEGER) AS index_b0,
+           CAST((doc_id*37 + 11) % 4096 - 2048 AS INTEGER) AS pred_b1,
+           CAST((doc_id + 3) % 89 AS INTEGER) AS index_b1,
+           CAST(list_sum(list_transform(range(0, 504),
+                  i -> (doc_id*7 + i*5) % 16))
+              + list_sum(list_transform(range(0, 504),
+                  i -> (doc_id*7 + 13 + i*5) % 16)) AS BIGINT)
+             AS sum_nibbles,
+           CAST((doc_id*7) % 16 AS INTEGER) AS first_nibble,
+           CAST((doc_id*7 + 13 + 503*5) % 16 AS INTEGER) AS last_nibble
+    FROM documents
+    WHERE doc_id IS NOT NULL
+    """,
+)
+def multimodal_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-audio decode with no codec library (r11 verdict
+    ask #6, second family): valid IMA-ADPCM WAV files (wFormatTag
+    0x0011, fact chunk, fixed-align blocks of 4-byte
+    predictor/step-index headers + packed 4-bit nibbles) are built per
+    document (`io.multimodal.make_adpcm_media_df`) and decoded from
+    the spec inside mapInPandas (`io.multimodal.decode_adpcm_wav`):
+    RIFF chunk walk, format validation, block split, nibble unpack
+    (low first), and the 89-step-table predictor chain with int16
+    clamping.  Oracle strategy = the JPEG precedent: the container/
+    header/nibble layer is LOSSLESS and the oracle replays its
+    generator arithmetic exactly (headers, nibble aggregates, corner
+    probes); the recursive predictor chain — which no SQL oracle can
+    express without simulating the codec — is pytest-pinned against an
+    independent pure-Python reference decoder
+    (tests/test_multimodal.py).  Per-row integer arithmetic over Arrow
+    batches — linear, no shuffle; after this only perceptual audio
+    (MP3/AAC) and inter-frame video stay stubbed."""
+    from kinesis_handler_spark.io.multimodal import (
+        decode_adpcm_wav,
+        make_adpcm_media_df,
+    )
+
+    media = make_adpcm_media_df(spark, sf_dir)
+
+    def featurize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "media_id": [], "sample_rate": [], "n_blocks": [],
+                "n_samples": [], "pred_b0": [], "index_b0": [],
+                "pred_b1": [], "index_b1": [], "sum_nibbles": [],
+                "first_nibble": [], "last_nibble": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rate, hdrs, nibs, samples = decode_adpcm_wav(
+                    bytes(content)
+                )
+                rows["media_id"].append(int(mid))
+                rows["sample_rate"].append(rate)
+                rows["n_blocks"].append(len(hdrs))
+                rows["n_samples"].append(len(samples))
+                rows["pred_b0"].append(hdrs[0][0])
+                rows["index_b0"].append(hdrs[0][1])
+                rows["pred_b1"].append(hdrs[1][0])
+                rows["index_b1"].append(hdrs[1][1])
+                rows["sum_nibbles"].append(
+                    sum(sum(b) for b in nibs)
+                )
+                rows["first_nibble"].append(nibs[0][0])
+                rows["last_nibble"].append(nibs[-1][-1])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        featurize,
+        "media_id BIGINT, sample_rate INT, n_blocks INT, n_samples INT, "
+        "pred_b0 INT, index_b0 INT, pred_b1 INT, index_b1 INT, "
+        "sum_nibbles BIGINT, first_nibble INT, last_nibble INT",
+    )
+
+
+@query(
     "multimodal_decode_gif",
     oracle="""
     WITH g AS (

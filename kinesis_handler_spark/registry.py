@@ -174,6 +174,7 @@ _FRONT = [
     "sim_ann_incremental",  # rows-only cold-exec (r11 op, zero driver evidence)
     "text_langid_classifier",  # rows-only cold-exec (r11 op, zero driver evidence)
     "multimodal_decode_gif",  # NEW r12 (never checked)
+    "multimodal_decode_adpcm",  # NEW r12 (never checked)
     "contamination_ngram_overlap",  # last green r8
     "text_entropy",  # last green r8
     "text_unigram_logloss",  # last green r8

@@ -815,3 +815,158 @@ def test_decode_and_featurize_real_gif_no_fake(spark, sf_dir):
         )
         for c in range(3):
             assert abs(feat[c] - px[:, :, c].mean() / 255.0) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (r11 verdict ask #6, second codec family)
+# ---------------------------------------------------------------------------
+
+
+def _ref_ima_decode(pred, idx, nibbles):
+    """Independent reference IMA decoder for the pin: same spec rules,
+    structurally different implementation (bit-weight loop instead of
+    the codec's unrolled shift-adds)."""
+    steps = [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+             34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+             130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371,
+             408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060,
+             1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749,
+             3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+             7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+             18500, 20350, 22385, 24623, 27086, 29794, 32767]
+    adjust = [-1, -1, -1, -1, 2, 4, 6, 8]
+    out = [pred]
+    for nib in nibbles:
+        step = steps[idx]
+        diff = step >> 3
+        for bit, shift in ((4, 0), (2, 1), (1, 2)):
+            if nib & bit:
+                diff += step >> shift
+        pred += -diff if nib & 8 else diff
+        pred = min(32767, max(-32768, pred))
+        idx = min(88, max(0, idx + adjust[nib & 7]))
+        out.append(pred)
+    return out
+
+
+def test_adpcm_sample_chain_matches_reference_and_clamps():
+    from kinesis_handler_spark.io.multimodal import ima_adpcm_decode_block
+
+    # saturating upward run from near the ceiling: clamp must hold
+    up = ima_adpcm_decode_block(32000, 88, [7] * 20)
+    assert max(up) == 32767 and up == _ref_ima_decode(32000, 88, [7] * 20)
+    # saturating downward run from the floor
+    down = ima_adpcm_decode_block(-32000, 88, [15] * 20)
+    assert min(down) == -32768
+    # index clamp at 0 (nibbles 0..3 adjust -1)
+    low = ima_adpcm_decode_block(0, 0, [0, 1, 2, 3] * 10)
+    assert low == _ref_ima_decode(0, 0, [0, 1, 2, 3] * 10)
+    # full nibble alphabet
+    data = [(i * 7 + 3) % 16 for i in range(500)]
+    assert ima_adpcm_decode_block(-123, 40, data) == _ref_ima_decode(
+        -123, 40, data
+    )
+
+
+def test_adpcm_round_trip_matches_generators(spark, sf_dir):
+    from kinesis_handler_spark.io.multimodal import (
+        ADPCM_BLOCKS,
+        ADPCM_RATE,
+        ADPCM_SAMPLES_PER_BLOCK,
+        _adpcm_header,
+        _adpcm_nibble,
+        decode_adpcm_wav,
+        ima_adpcm_decode_block,
+        make_adpcm_media_df,
+    )
+
+    rows = make_adpcm_media_df(spark, sf_dir).limit(4).collect()
+    assert rows
+    for r in rows:
+        mid = int(r["media_id"])
+        rate, hdrs, nibs, samples = decode_adpcm_wav(bytes(r["content"]))
+        assert rate == ADPCM_RATE
+        assert len(samples) == ADPCM_BLOCKS * ADPCM_SAMPLES_PER_BLOCK
+        expect_samples = []
+        for blk in range(ADPCM_BLOCKS):
+            assert hdrs[blk] == _adpcm_header(mid, blk)
+            expect_nibs = [
+                _adpcm_nibble(mid, blk, i)
+                for i in range((256 - 4) * 2)
+            ]
+            assert nibs[blk] == expect_nibs
+            expect_samples.extend(
+                ima_adpcm_decode_block(*hdrs[blk], expect_nibs)
+            )
+        # the full predictor chain, pinned against the independent
+        # reference implementation
+        ref = []
+        for blk in range(ADPCM_BLOCKS):
+            ref.extend(_ref_ima_decode(*hdrs[blk], nibs[blk]))
+        assert samples == expect_samples == ref
+
+
+def test_adpcm_decode_rejects_corruption(spark, sf_dir):
+    import struct
+
+    import pytest as _pytest
+
+    from kinesis_handler_spark.io.multimodal import (
+        decode_adpcm_wav,
+        make_adpcm_media_df,
+    )
+
+    blob = bytes(
+        make_adpcm_media_df(spark, sf_dir).limit(1).collect()[0]["content"]
+    )
+    with _pytest.raises(ValueError, match="not a RIFF"):
+        decode_adpcm_wav(b"RIFX" + blob[4:])
+    # PCM fmt tag must be rejected by the ADPCM decoder
+    bad_tag = bytearray(blob)
+    bad_tag[20:22] = struct.pack("<H", 1)
+    with _pytest.raises(ValueError, match="unsupported WAV"):
+        decode_adpcm_wav(bytes(bad_tag))
+    # fact/sample-count mismatch must surface
+    bad_fact = bytearray(blob)
+    fact_at = blob.index(b"fact") + 8
+    bad_fact[fact_at : fact_at + 4] = struct.pack("<I", 999)
+    with _pytest.raises(ValueError, match="fact declares"):
+        decode_adpcm_wav(bytes(bad_fact))
+    # ragged data chunk (not a whole block)
+    with _pytest.raises(ValueError, match="truncated|whole number"):
+        decode_adpcm_wav(blob[:-5])
+
+
+def test_decode_and_featurize_real_adpcm_no_fake(spark, sf_dir):
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from kinesis_handler_spark.io.multimodal import (
+        decode_adpcm_wav,
+        decode_and_featurize,
+        make_adpcm_media_df,
+    )
+
+    media = make_adpcm_media_df(spark, sf_dir).limit(3).select(
+        "media_id",
+        "content",
+        F.struct(
+            F.lit("audio/adpcm").alias("mime"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.lit(126).alias("duration_ms"),
+        ).alias("meta"),
+    )
+    blobs = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in decode_and_featurize(media, fake=False).collect()
+    }
+    assert len(feats) == 3
+    for mid, feat in feats.items():
+        _r, _h, _n, samples = decode_adpcm_wav(blobs[mid])
+        expect = float(
+            np.abs(np.asarray(samples, dtype=np.int64)).mean()
+        ) / 32768.0
+        assert abs(feat[0] - expect) < 1e-12
