@@ -1564,21 +1564,31 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_decode_adpcm",
     oracle="""
+    -- doc_id is pre-reduced pmod-style before every multiply (the
+    -- registry extreme-value rule: raw bigint*k overflows on the keys
+    -- twin); identical to the builder's Python % arithmetic.
+    WITH r AS (
+      SELECT doc_id,
+             ((doc_id % 4096) + 4096) % 4096 AS d4096,
+             ((doc_id % 89) + 89) % 89 AS d89,
+             ((doc_id % 16) + 16) % 16 AS d16
+      FROM documents
+      WHERE doc_id IS NOT NULL
+    )
     SELECT doc_id AS media_id,
            8000 AS sample_rate, 2 AS n_blocks, 1010 AS n_samples,
-           CAST((doc_id*37) % 4096 - 2048 AS INTEGER) AS pred_b0,
-           CAST(doc_id % 89 AS INTEGER) AS index_b0,
-           CAST((doc_id*37 + 11) % 4096 - 2048 AS INTEGER) AS pred_b1,
-           CAST((doc_id + 3) % 89 AS INTEGER) AS index_b1,
+           CAST((d4096*37) % 4096 - 2048 AS INTEGER) AS pred_b0,
+           CAST(d89 AS INTEGER) AS index_b0,
+           CAST((d4096*37 + 11) % 4096 - 2048 AS INTEGER) AS pred_b1,
+           CAST((d89 + 3) % 89 AS INTEGER) AS index_b1,
            CAST(list_sum(list_transform(range(0, 504),
-                  i -> (doc_id*7 + i*5) % 16))
+                  i -> (d16*7 + i*5) % 16))
               + list_sum(list_transform(range(0, 504),
-                  i -> (doc_id*7 + 13 + i*5) % 16)) AS BIGINT)
+                  i -> (d16*7 + 13 + i*5) % 16)) AS BIGINT)
              AS sum_nibbles,
-           CAST((doc_id*7) % 16 AS INTEGER) AS first_nibble,
-           CAST((doc_id*7 + 13 + 503*5) % 16 AS INTEGER) AS last_nibble
-    FROM documents
-    WHERE doc_id IS NOT NULL
+           CAST((d16*7) % 16 AS INTEGER) AS first_nibble,
+           CAST((d16*7 + 13 + 503*5) % 16 AS INTEGER) AS last_nibble
+    FROM r
     """,
 )
 def multimodal_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1646,10 +1656,12 @@ def multimodal_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_decode_gif",
     oracle="""
+    -- doc_id pre-reduced mod 64 before the multiply (extreme-value
+    -- rule; (doc%64)*11 ≡ doc*11 (mod 64), matching the builder)
     WITH g AS (
       SELECT doc_id,
              list_transform(range(0, 96),
-               i -> (((doc_id % 256) + 256) % 256 * 11
+               i -> (((doc_id % 64) + 64) % 64 * 11
                      + (i % 12)*7 + (i // 12)*13) % 64) AS idx
       FROM documents
       WHERE doc_id IS NOT NULL
