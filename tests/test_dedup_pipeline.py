@@ -302,3 +302,81 @@ def test_keep_best_quality_reads_artifacts_not_corpus(spark, sf_dir):
     assert plan.count("documents.parquet") == 0, plan
     assert plan.count("dedup_cluster_map") == 1, plan
     assert plan.count("quality_scores") == 1, plan
+
+
+def test_compact_minhash_index_restores_capped_invariant(spark, tmp_path):
+    """r12: `compact_minhash_index` is the OPTIMIZE step the append
+    path's docstring promises — after appends break the pre-capped
+    invariant (marker dropped, buckets past BUCKET_CAP), compaction
+    must (a) keep exactly the members probe-time capping would keep,
+    so probes before/after see identical candidates, (b) leave no
+    bucket over the cap, and (c) restore the ``_CAPPED`` marker."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kinesis_handler_spark.functions.lsh import (
+        BUCKET_CAP,
+        cap_band_buckets,
+    )
+    from kinesis_handler_spark.queries.llm import (
+        append_to_minhash_index,
+        compact_minhash_index,
+        minhash_band_frame,
+    )
+
+    txt = "replicated boilerplate navigation footer text appearing on " \
+          "every page of the crawl forty words would be better but ten do"
+    schema = "doc_id bigint, text string"
+    # snapshot: 50 identical docs (every band bucket width 50)
+    df_a = spark.createDataFrame(
+        [(i, txt) for i in range(50)]
+        + [(900 + i, f"distinct doc number {i} with its own words entirely "
+                     f"unshared across the corpus variant {i}")
+           for i in range(5)],
+        schema,
+    )
+    # appended batch: 30 more copies -> buckets hit 80 > BUCKET_CAP
+    df_b = spark.createDataFrame(
+        [(100 + i, txt) for i in range(30)], schema
+    )
+    idx_path = str(tmp_path / "idx")
+    minhash_band_frame(df_a).write.parquet(idx_path)
+    open(os.path.join(idx_path, "_CAPPED"), "w").close()
+    append_to_minhash_index(idx_path, df_b)
+    assert not os.path.exists(os.path.join(idx_path, "_CAPPED"))
+
+    pre = spark.read.parquet(idx_path)
+    widths = pre.groupBy("band", "band_sig").count()
+    assert widths.agg(F.max("count")).collect()[0][0] == 80  # cap broken
+    read_capped, _ = cap_band_buckets(pre, "doc_id", ("band", "band_sig"))
+    expect = {
+        (r["doc_id"], r["band"], r["band_sig"])
+        for r in read_capped.collect()
+    }
+
+    compact_minhash_index(spark, idx_path)
+
+    assert os.path.exists(os.path.join(idx_path, "_CAPPED"))
+    post = spark.read.parquet(idx_path)
+    got = {
+        (r["doc_id"], r["band"], r["band_sig"]) for r in post.collect()
+    }
+    assert got == expect  # probe-equivalence: same member set
+    post_widths = post.groupBy("band", "band_sig").count()
+    assert post_widths.agg(F.max("count")).collect()[0][0] <= BUCKET_CAP
+    # the kept members of the mega-bucket are the 50 snapshot ids plus
+    # the 14 lowest appended ids (global doc_id rank, not arrival rank)
+    mega = sorted(
+        r["doc_id"]
+        for r in post.filter(F.col("band") == 0)
+        .join(
+            post.filter(F.col("band") == 0)
+            .groupBy("band_sig").count().filter(F.col("count") > 5)
+            .select("band_sig"),
+            "band_sig",
+            "left_semi",
+        )
+        .select("doc_id").distinct().collect()
+    )
+    assert mega == list(range(50)) + list(range(100, 114))
