@@ -280,8 +280,13 @@ def dedup_pipeline_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kinesis_handler_spark.queries.llm import dedup_near_minhash
 
-    pairs = dedup_near_minhash(spark, sf_dir).select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    # pair rows only: the bucket-flag tier (doc_b NULL — suspected
+    # stop-pattern members of over-cap buckets) routes to review, not
+    # into connected components
+    pairs = (
+        dedup_near_minhash(spark, sf_dir)
+        .filter(~F.col("bucket_flagged"))
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     )
     comps = attach_component_sizes(star_connected_components(pairs))
     docs = table(spark, sf_dir, "documents").select("doc_id")

@@ -428,18 +428,27 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in docs + candidate pairs, never all-pairs.  Deterministic
     (fixed salts) but engine-specific hashing => rows-only oracle; pytest
     asserts recall against ``dedup_near_jaccard`` on planted duplicates.
-    """
+
+    Like ``dedup_simhash`` (r11 verdict ask #2), the output carries the
+    bucket-flag closing rule for the width cap: pair rows
+    (``bucket_flagged = false``) plus one doc-level flag row per member
+    of an over-``BUCKET_CAP`` bucket (``doc_b`` NULL,
+    ``bucket_flagged = true``) — capped pairs ∪ bucket flags provably
+    cover every doc uncapped banding would flag.  Clean corpora
+    truncate no bucket, so the flag tier is empty at test scales."""
     d = table(spark, sf_dir, "documents")
     # O(docs × n_bands) small rows; truncate lineage so the self-join
     # doesn't replay shingle→minhash aggregation on both sides.
-    banded = minhash_band_frame(d).transform(truncate)
+    banded_all = minhash_band_frame(d).transform(truncate)
     # Bucket-width cap (r9 verdict ask #5): bound per-(band, band_sig)
     # pair emission on replication-heavy corpora — see functions/lsh.py
     # for the semantics, flagging, and recall trade-off; no clean-corpus
-    # bucket reaches the cap at test scales (golden pin unchanged).
-    banded, _ = cap_band_buckets(banded, "doc_id", ("band", "band_sig"))
+    # bucket reaches the cap at test scales.
+    banded, truncated = cap_band_buckets(
+        banded_all, "doc_id", ("band", "band_sig")
+    )
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -450,7 +459,23 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        .withColumn("bucket_flagged", F.lit(False))
     )
+    flags = (
+        banded_all.join(
+            truncated.select("band", "band_sig"),
+            ["band", "band_sig"],
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.lit(None).cast("bigint").alias("doc_b"),
+            F.lit(True).alias("bucket_flagged"),
+        )
+    )
+    return pairs.unionByName(flags)
 
 
 # ---------------------------------------------------------------------------

@@ -97,6 +97,8 @@ def test_jvm_only_queries_have_no_python_stage(spark, sf_dir):
         "multimodal_decode_png",  # real stdlib-zlib PNG decode (mapInPandas)
         "multimodal_resize",  # PNG decode + numpy box downsample (mapInPandas)
         "multimodal_decode_jpeg",  # real baseline-JPEG decode (mapInPandas)
+    "multimodal_decode_gif",  # real GIF/LZW decode (mapInPandas)
+    "multimodal_decode_adpcm",  # real IMA-ADPCM decode (mapInPandas)
         "multimodal_decode_video",  # MJPEG-AVI walk + per-frame JPEG (mapInPandas)
         "source_avro_scan",  # hand-rolled Avro OCF decode (mapInPandas)
         "text_heavy_hitters",  # Misra-Gries candidate pass (mapInPandas)

@@ -269,3 +269,53 @@ def test_simhash_bucket_flag_rule_closes_cap_recall(spark, tmp_path):
     assert rule_docs.count() <= n_uflag * 1.05
     out.unpersist()
     fp.unpersist()
+
+
+def test_minhash_bucket_flag_rule_closes_cap_recall(spark, tmp_path):
+    """Same closing-rule gate for `dedup_near_minhash` (the verdict
+    named both capped generators): 80 byte-identical boilerplate docs
+    share every band bucket (width 80 > BUCKET_CAP=64), so capped
+    pairs alone flag only the 64 kept members — the bucket-flag tier
+    must cover the 16 dropped ones, restoring 100% of the uncapped
+    doc-flag set."""
+    from kinesis_handler_spark.functions.lsh import BUCKET_CAP
+    from kinesis_handler_spark.registry import all_queries
+
+    txt = ("replicated navigation footer boilerplate appearing on every "
+           "page of the crawl with enough words to shingle properly")
+    n_dup = BUCKET_CAP + 16
+    rows = [(i, txt, "en", "tile", len(txt)) for i in range(n_dup)]
+    rows += [
+        (1000 + i, f"unique document {i} about topic {i} with distinct "
+                   f"content entirely its own and unshared {i}",
+         "en", "tile", 90)
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint"
+    )
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    out = all_queries()["dedup_near_minhash"](spark, sf_dir).collect()
+    pair_docs = {
+        d
+        for r in out
+        if not r["bucket_flagged"]
+        for d in (r["doc_a"], r["doc_b"])
+    }
+    flag_docs = {r["doc_a"] for r in out if r["bucket_flagged"]}
+    dup_ids = set(range(n_dup))
+    # uncapped banding would flag every identical doc; capped pairs
+    # alone must NOT (else the fixture stopped binding)
+    assert not dup_ids <= pair_docs
+    assert len(pair_docs & dup_ids) == BUCKET_CAP
+    # the gate: pairs ∪ flags == the uncapped flag set, flags are
+    # exactly the truncated-bucket membership
+    assert (pair_docs | flag_docs) >= dup_ids
+    assert flag_docs == dup_ids
+    # flag rows are doc-level (NULL partner)
+    assert all(
+        r["doc_b"] is None for r in out if r["bucket_flagged"]
+    )
