@@ -194,11 +194,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("simhash")
         .distinct()
     )
-    flags = fp.join(trunc_fps, "simhash", "left_semi").select(
-        F.col("doc_id").alias("doc_a"),
-        F.lit(None).cast("bigint").alias("doc_b"),
-        F.lit(None).cast("int").alias("hamming"),
-        F.lit(True).alias("bucket_flagged"),
+    flags = (
+        fp.join(trunc_fps, "simhash", "left_semi")
+        .select("doc_id")
+        .distinct()  # duplicate doc_id rows (dups twin) flag once
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.lit(None).cast("bigint").alias("doc_b"),
+            F.lit(None).cast("int").alias("hamming"),
+            F.lit(True).alias("bucket_flagged"),
+        )
     )
     return pairs.unionByName(flags)
 
