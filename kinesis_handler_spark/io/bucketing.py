@@ -191,6 +191,56 @@ def ensure_bucketed(
     )
 
 
+def append_bucketed(
+    spark: SparkSession, df: DataFrame, table_name: str, *, path: str
+) -> None:
+    """Append rows to an EXISTING bucketed table, preserving its spec.
+
+    Appends are the wrong-results hazard of bucketed storage: rows
+    landed via a plain path write carry NO bucket hashing, yet the
+    catalog's CLUSTERED BY promise makes the planner skip the exchange
+    — a silently misaligned join.  So appends here (a) re-read the
+    ``_BUCKET_SPEC.json`` sidecar and refuse on schema drift, (b) go
+    through the catalog writer with the SAME bucketBy/sortBy spec (each
+    append lands its own correctly-hashed bucket files; a bucketed scan
+    groups all files of a bucket id across writes, so co-location
+    survives any number of appends — Spark additionally validates the
+    spec against the existing table), and (c) refresh the table so
+    readers in this session see the new files.  Registration is
+    idempotent for fresh sessions (catalog is per-session, files are
+    not)."""
+    spec_path = Path(path) / _SPEC_FILE
+    try:
+        with open(spec_path) as fh:
+            have = json.load(fh)
+    except (OSError, ValueError) as exc:
+        raise ValueError(
+            f"cannot append to {path}: no readable {_SPEC_FILE} — the "
+            "directory was not written by write_bucketed (appending "
+            "unbucketed-layout files under a CLUSTERED BY promise is "
+            "the wrong-results hazard this sidecar exists to stop)"
+        ) from exc
+    if df.schema.simpleString() != have["schema"]:
+        raise ValueError(
+            f"append schema {df.schema.simpleString()} does not match "
+            f"the bucketed table's {have['schema']} — a bucketed scan "
+            "would read misaligned columns"
+        )
+    sort_cols = have["sort_cols"] or None
+    if not spark.catalog.tableExists(table_name):
+        _register_over_files(
+            spark, df, table_name, have["bucket_cols"],
+            have["n_buckets"], path, sort_cols,
+        )
+    writer = df.write.mode("append").bucketBy(
+        have["n_buckets"], *have["bucket_cols"]
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+    spark.catalog.refreshTable(table_name)
+
+
 def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     """Bucketed reads go through the catalog — ``spark.read.parquet``
     on the files would discard bucket metadata (and re-shuffle)."""

@@ -180,3 +180,83 @@ def test_ensure_bucketed_nonrace_rename_failure_raises(
     finally:
         monkeypatch.undo()
         spark.sql("DROP TABLE IF EXISTS orders_exdev")
+
+
+def test_append_bucketed_keeps_colocated_plan_and_rows(
+    spark, sf_dir, tmp_path, no_broadcast
+):
+    """r12: appended bucket files must stay co-located — the join plan
+    keeps zero hash exchanges after any number of appends, and the
+    rows are exactly first-write ∪ appends."""
+    from kinesis_handler_spark.io.bucketing import append_bucketed
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    first = orders.filter(F.col("o_orderkey") % 2 == 0)
+    second = orders.filter(F.col("o_orderkey") % 2 == 1)
+    customer = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    write_bucketed(
+        first, "orders_app_b", ["o_custkey"], 8,
+        path=str(tmp_path / "orders_app_b"), sort_cols=["o_custkey"],
+    )
+    write_bucketed(
+        customer, "customer_app_b", ["c_custkey"], 8,
+        path=str(tmp_path / "customer_app_b"), sort_cols=["c_custkey"],
+    )
+    try:
+        append_bucketed(
+            spark, second, "orders_app_b",
+            path=str(tmp_path / "orders_app_b"),
+        )
+        o = read_bucketed(spark, "orders_app_b")
+        c = read_bucketed(spark, "customer_app_b")
+        joined = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+            "o_orderkey", "c_name"
+        )
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange hashpartitioning" not in plan, plan
+        got = {(r["o_orderkey"], r["c_name"]) for r in joined.collect()}
+        expect = {
+            (r["o_orderkey"], r["c_name"])
+            for r in orders.join(
+                customer, orders["o_custkey"] == customer["c_custkey"]
+            ).select("o_orderkey", "c_name").collect()
+        }
+        assert got == expect
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_app_b")
+        spark.sql("DROP TABLE IF EXISTS customer_app_b")
+
+
+def test_append_bucketed_rejects_schema_drift_and_foreign_dirs(
+    spark, sf_dir, tmp_path
+):
+    import pytest as _pytest
+
+    from kinesis_handler_spark.io.bucketing import append_bucketed
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_bucketed(
+        orders, "orders_drift_b", ["o_custkey"], 8,
+        path=str(tmp_path / "orders_drift_b"),
+    )
+    try:
+        with _pytest.raises(ValueError, match="schema"):
+            append_bucketed(
+                spark,
+                orders.withColumn("extra", F.lit(1)),
+                "orders_drift_b",
+                path=str(tmp_path / "orders_drift_b"),
+            )
+        # a plain parquet dir (no sidecar) must refuse appends
+        plain = str(tmp_path / "plain")
+        orders.write.parquet(plain)
+        with _pytest.raises(ValueError, match="_BUCKET_SPEC"):
+            append_bucketed(spark, orders, "orders_plain_b", path=plain)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_drift_b")

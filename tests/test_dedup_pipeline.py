@@ -380,3 +380,101 @@ def test_compact_minhash_index_restores_capped_invariant(spark, tmp_path):
         .select("doc_id").distinct().collect()
     )
     assert mega == list(range(50)) + list(range(100, 114))
+
+
+def test_incremental_probe_over_bucketed_index_no_index_shuffle(
+    spark, sf_dir, tmp_path
+):
+    """The 100 TB shape of the incremental probe join (r12): when the
+    corpus band index is too big to broadcast, a BUCKETED index table
+    (CLUSTERED BY the join keys) joins with ZERO exchange on the index
+    side — only the O(batch) probe side repartitions — and appends via
+    `append_bucketed` keep that property.  Candidates are identical to
+    the broadcast-path join."""
+    from pyspark.sql import functions as F
+
+    from kinesis_handler_spark.functions.lineage import truncate
+    from kinesis_handler_spark.functions.lsh import cap_band_buckets
+    from kinesis_handler_spark.io.bucketing import (
+        append_bucketed,
+        read_bucketed,
+        write_bucketed,
+    )
+    from kinesis_handler_spark.queries.llm import (
+        _batch_slice,
+        _corpus_snapshot,
+        minhash_band_frame,
+    )
+
+    snap = _corpus_snapshot(spark, sf_dir)
+    half_a = snap.filter(F.col("doc_id") % 2 == 0)
+    half_b = snap.filter(F.col("doc_id") % 2 == 1)
+    capped_a, _ = cap_band_buckets(
+        minhash_band_frame(half_a), "doc_id", ("band", "band_sig")
+    )
+    write_bucketed(
+        capped_a.select("doc_id", "band", "band_sig"),
+        "mh_idx_b",
+        ["band", "band_sig"],
+        8,
+        path=str(tmp_path / "mh_idx_b"),
+        sort_cols=["band", "band_sig"],
+    )
+    try:
+        capped_b, _ = cap_band_buckets(
+            minhash_band_frame(half_b), "doc_id", ("band", "band_sig")
+        )
+        append_bucketed(
+            spark,
+            capped_b.select("doc_id", "band", "band_sig"),
+            "mh_idx_b",
+            path=str(tmp_path / "mh_idx_b"),
+        )
+        probe = minhash_band_frame(_batch_slice(spark, sf_dir)).transform(
+            truncate
+        )
+        idx = read_bucketed(spark, "mh_idx_b").select(
+            F.col("doc_id").alias("corpus_doc"), "band", "band_sig"
+        )
+        cand = probe.join(idx, ["band", "band_sig"]).select(
+            F.least("doc_id", "corpus_doc").alias("doc_a"),
+            F.greatest("doc_id", "corpus_doc").alias("doc_b"),
+        ).distinct()
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = spark._jvm.PythonSQLUtils.explainString(
+                cand._jdf.queryExecution(), "formatted"
+            )
+            # the bucketed scan feeds the join directly; the only hash
+            # exchanges are the probe-side repartition and the final
+            # pair-level distinct — never a re-shuffle of the index
+            assert "Bucketed: true" in plan, plan
+            n_exchanges = plan.count("Exchange hashpartitioning")
+            assert n_exchanges <= 2, plan
+            bucketed_pairs = {
+                (r["doc_a"], r["doc_b"]) for r in cand.collect()
+            }
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+        # identical candidates via the broadcast path over a plain scan
+        full_idx = (
+            capped_a.select("doc_id", "band", "band_sig")
+            .unionByName(capped_b.select("doc_id", "band", "band_sig"))
+            .select(F.col("doc_id").alias("corpus_doc"), "band", "band_sig")
+        )
+        expect = {
+            (r["doc_a"], r["doc_b"])
+            for r in probe.join(full_idx, ["band", "band_sig"])
+            .select(
+                F.least("doc_id", "corpus_doc").alias("doc_a"),
+                F.greatest("doc_id", "corpus_doc").alias("doc_b"),
+            )
+            .distinct()
+            .collect()
+        }
+        assert bucketed_pairs == expect and bucketed_pairs
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_idx_b")
