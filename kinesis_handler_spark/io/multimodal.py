@@ -625,6 +625,42 @@ def ima_adpcm_decode_block(
     return out
 
 
+def ima_adpcm_decode_blocks_batch(preds, idxs, nibs):
+    """Vectorized IMA decode of MANY blocks in lockstep: the predictor
+    chain is inherently sequential WITHIN a block, but every block in
+    an Arrow batch advances independently — so the loop runs once per
+    nibble POSITION (504 numpy steps) over a (n_blocks,) state vector
+    instead of once per (block, nibble) pair in Python (~10-50× on
+    real batches).  ``preds``/``idxs``: (B,) int arrays; ``nibs``:
+    (B, N) int array.  Returns (B, N+1) int64 samples — bit-equal to
+    ``ima_adpcm_decode_block`` per row (pinned in
+    tests/test_multimodal.py)."""
+    import numpy as np
+
+    steps = np.asarray(_IMA_STEPS, dtype=np.int64)
+    adj = np.asarray(_IMA_INDEX_ADJUST, dtype=np.int64)
+    nibs = np.asarray(nibs, dtype=np.int64)
+    n_blocks, n = nibs.shape
+    out = np.empty((n_blocks, n + 1), dtype=np.int64)
+    pred = np.asarray(preds, dtype=np.int64).copy()
+    idx = np.asarray(idxs, dtype=np.int64).copy()
+    out[:, 0] = pred
+    for i in range(n):
+        nib = nibs[:, i]
+        step = steps[idx]
+        diff = (
+            (step >> 3)
+            + np.where(nib & 4, step, 0)
+            + np.where(nib & 2, step >> 1, 0)
+            + np.where(nib & 1, step >> 2, 0)
+        )
+        pred = np.where(nib & 8, pred - diff, pred + diff)
+        np.clip(pred, -32768, 32767, out=pred)
+        idx = np.clip(idx + adj[nib & 7], 0, 88)
+        out[:, i + 1] = pred
+    return out
+
+
 def make_adpcm_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media fixture of VALID IMA-ADPCM WAV files built per document
     id: RIFF/WAVE container with a 20-byte fmt chunk (wFormatTag
@@ -642,6 +678,10 @@ def make_adpcm_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n_nibs = (ADPCM_BLOCK_ALIGN - 4) * 2
+        i_arr = np.arange(n_nibs, dtype=np.int64)
         for pdf in batches:
             blobs = []
             for doc_id in pdf["doc_id"]:
@@ -650,10 +690,11 @@ def make_adpcm_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for blk in range(ADPCM_BLOCKS):
                     pred, idx = _adpcm_header(doc_id, blk)
                     data += struct.pack("<hBB", pred, idx, 0)
-                    for byte_i in range(ADPCM_BLOCK_ALIGN - 4):
-                        lo = _adpcm_nibble(doc_id, blk, 2 * byte_i)
-                        hi = _adpcm_nibble(doc_id, blk, 2 * byte_i + 1)
-                        data.append(lo | (hi << 4))
+                    # vectorized _adpcm_nibble over all positions
+                    nibs = (doc_id * 7 + blk * 13 + i_arr * 5) % 16
+                    data += (
+                        nibs[0::2] | (nibs[1::2] << 4)
+                    ).astype(np.uint8).tobytes()
                 n_samples = ADPCM_BLOCKS * ADPCM_SAMPLES_PER_BLOCK
                 fmt = struct.pack(
                     "<HHIIHHHH",
@@ -682,16 +723,15 @@ def make_adpcm_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(build, "media_id long, content binary")
 
 
-def decode_adpcm_wav(content: bytes):
-    """REAL IMA-ADPCM WAV decode with no library: walks the RIFF chunk
-    list (fmt/fact/data in any order), validates wFormatTag 0x0011 /
-    mono / 4-bit, splits the data chunk into block-align blocks, parses
-    each block's (predictor, step-index) header, unpacks the nibble
-    stream (low nibble first), and runs the IMA predictor chain.
-    Returns (sample_rate, block_headers, nibbles[n_blocks][...],
-    samples int16 list) — headers and nibbles are the lossless layer
-    the DuckDB oracle replays; samples are the real decoded audio.
-    Raises ValueError on malformed input (the dead-letter contract)."""
+def parse_adpcm_container(content: bytes):
+    """The LOSSLESS layer of the IMA-ADPCM decode: RIFF chunk walk
+    (fmt/fact/data in any order), wFormatTag 0x0011 / mono / 4-bit
+    validation, block split, per-block (predictor, step-index) header
+    parse, nibble unpack (low first), and the structural fact-chunk
+    sample-count check.  Returns (sample_rate, headers, nibbles).
+    Raises ValueError on malformed input (the dead-letter contract).
+    Factored from :func:`decode_adpcm_wav` so the declared query can
+    feed the batch-vectorized chain kernel."""
     import struct
 
     if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
@@ -726,23 +766,43 @@ def decode_adpcm_wav(content: bytes):
         raise ValueError("data chunk is not a whole number of blocks")
     if spb != 1 + (align - 4) * 2:
         raise ValueError("wSamplesPerBlock inconsistent with block align")
-    headers, nibbles, samples = [], [], []
+    import numpy as np
+
+    headers, nibbles = [], []
     for off in range(0, len(data), align):
         block = data[off : off + align]
         pred, idx, _res = struct.unpack("<hBB", block[:4])
         if idx > 88:
             raise ValueError(f"step index {idx} out of range")
-        nibs = []
-        for byte in block[4:]:
-            nibs.append(byte & 0x0F)
-            nibs.append(byte >> 4)
+        packed = np.frombuffer(block[4:], dtype=np.uint8)
+        nibs = np.empty(packed.size * 2, dtype=np.int64)
+        nibs[0::2] = packed & 0x0F  # low nibble first (IMA order)
+        nibs[1::2] = packed >> 4
         headers.append((pred, idx))
-        nibbles.append(nibs)
-        samples.extend(ima_adpcm_decode_block(pred, idx, nibs))
-    if fact_samples is not None and fact_samples != len(samples):
+        nibbles.append(nibs.tolist())
+    if not headers:
+        raise ValueError("empty data chunk: zero ADPCM blocks")
+    n_samples = len(headers) * spb
+    if fact_samples is not None and fact_samples != n_samples:
         raise ValueError(
-            f"fact declares {fact_samples} samples, decoded {len(samples)}"
+            f"fact declares {fact_samples} samples, decoded {n_samples}"
         )
+    return rate, headers, nibbles
+
+
+def decode_adpcm_wav(content: bytes):
+    """REAL IMA-ADPCM WAV decode with no library: the container walk of
+    :func:`parse_adpcm_container` plus the per-block IMA predictor
+    chain.  Returns (sample_rate, block_headers,
+    nibbles[n_blocks][...], samples int16 list) — headers and nibbles
+    are the lossless layer the DuckDB oracle replays; samples are the
+    real decoded audio.  This is the REFERENCE path (scalar chain);
+    the declared query decodes the same blocks through the vectorized
+    :func:`ima_adpcm_decode_blocks_batch`, pinned bit-equal."""
+    rate, headers, nibbles = parse_adpcm_container(content)
+    samples: list[int] = []
+    for (pred, idx), nibs in zip(headers, nibbles):
+        samples.extend(ima_adpcm_decode_block(pred, idx, nibs))
     return rate, headers, nibbles, samples
 
 

@@ -1614,9 +1614,12 @@ def multimodal_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_multimodal.py).  Per-row integer arithmetic over Arrow
     batches — linear, no shuffle; after this only perceptual audio
     (MP3/AAC) and inter-frame video stay stubbed."""
+    import numpy as np
+
     from kinesis_handler_spark.io.multimodal import (
-        decode_adpcm_wav,
+        ima_adpcm_decode_blocks_batch,
         make_adpcm_media_df,
+        parse_adpcm_container,
     )
 
     media = make_adpcm_media_df(spark, sf_dir)
@@ -1631,23 +1634,41 @@ def multimodal_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pred_b1": [], "index_b1": [], "sum_nibbles": [],
                 "first_nibble": [], "last_nibble": [],
             }
+            # parse the lossless layer per file, then decode EVERY
+            # block of the Arrow batch in one lockstep numpy chain
+            # (504 vector steps over all blocks, not a Python loop
+            # per nibble — the chain is sequential within a block,
+            # independent across blocks)
+            all_preds, all_idxs, all_nibs, spans = [], [], [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                rate, hdrs, nibs, samples = decode_adpcm_wav(
-                    bytes(content)
+                rate, hdrs, nibs = parse_adpcm_container(bytes(content))
+                nmat = np.asarray(nibs, dtype=np.int64)
+                all_preds.extend(h[0] for h in hdrs)
+                all_idxs.extend(h[1] for h in hdrs)
+                all_nibs.append(nmat)
+                spans.append((int(mid), rate, hdrs, nmat))
+            if all_nibs:
+                decoded = ima_adpcm_decode_blocks_batch(
+                    np.asarray(all_preds),
+                    np.asarray(all_idxs),
+                    np.concatenate(all_nibs, axis=0),
                 )
-                rows["media_id"].append(int(mid))
+            at = 0
+            for mid, rate, hdrs, nmat in spans:
+                n_blocks = len(hdrs)
+                block_samples = decoded[at : at + n_blocks]
+                at += n_blocks
+                rows["media_id"].append(mid)
                 rows["sample_rate"].append(rate)
-                rows["n_blocks"].append(len(hdrs))
-                rows["n_samples"].append(len(samples))
+                rows["n_blocks"].append(n_blocks)
+                rows["n_samples"].append(int(block_samples.size))
                 rows["pred_b0"].append(hdrs[0][0])
                 rows["index_b0"].append(hdrs[0][1])
                 rows["pred_b1"].append(hdrs[1][0])
                 rows["index_b1"].append(hdrs[1][1])
-                rows["sum_nibbles"].append(
-                    sum(sum(b) for b in nibs)
-                )
-                rows["first_nibble"].append(nibs[0][0])
-                rows["last_nibble"].append(nibs[-1][-1])
+                rows["sum_nibbles"].append(int(nmat.sum()))
+                rows["first_nibble"].append(int(nmat[0, 0]))
+                rows["last_nibble"].append(int(nmat[-1, -1]))
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(

@@ -970,3 +970,34 @@ def test_decode_and_featurize_real_adpcm_no_fake(spark, sf_dir):
             np.abs(np.asarray(samples, dtype=np.int64)).mean()
         ) / 32768.0
         assert abs(feat[0] - expect) < 1e-12
+
+
+def test_adpcm_batch_kernel_bit_equals_scalar_chain(spark, sf_dir):
+    """The vectorized lockstep decoder (what the declared query runs)
+    must be bit-equal to the scalar reference chain on every block —
+    including clamp-saturating states."""
+    import numpy as np
+
+    from kinesis_handler_spark.io.multimodal import (
+        ima_adpcm_decode_block,
+        ima_adpcm_decode_blocks_batch,
+        make_adpcm_media_df,
+        parse_adpcm_container,
+    )
+
+    rows = make_adpcm_media_df(spark, sf_dir).limit(6).collect()
+    preds, idxs, nibs = [], [], []
+    for r in rows:
+        _rate, hdrs, nbs = parse_adpcm_container(bytes(r["content"]))
+        preds.extend(h[0] for h in hdrs)
+        idxs.extend(h[1] for h in hdrs)
+        nibs.extend(nbs)
+    # plus hand-built saturating blocks
+    preds += [32000, -32000]
+    idxs += [88, 88]
+    nibs += [[7] * len(nibs[0]), [15] * len(nibs[0])]
+    batch = ima_adpcm_decode_blocks_batch(
+        np.asarray(preds), np.asarray(idxs), np.asarray(nibs)
+    )
+    for b, (p, i, n) in enumerate(zip(preds, idxs, nibs)):
+        assert batch[b].tolist() == ima_adpcm_decode_block(p, i, list(n))
