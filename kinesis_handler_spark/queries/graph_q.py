@@ -84,22 +84,31 @@ def pagerank_fixed_point(
         "src", F.lit(int(scale)).cast("bigint").alias("r")
     )
     for _ in range(iters):
-        contrib = (
-            e.join(ranks, "src")
-            .select("dst", F.expr("r div out_deg").alias("share"))
-            .groupBy("dst")
-            .agg(F.sum("share").cast("bigint").alias("c"))
-            .withColumnRenamed("dst", "src")
+        # Each round is ONE edge join + ONE aggregate.  The old shape
+        # closed the round with a second, node×node left join back onto
+        # ``deg`` (to re-seat nodes with no in-edges); instead a
+        # zero-share row per node rides into the same aggregation, so
+        # every node surfaces from the groupBy directly and the
+        # per-round join (plus its AQE stages and scheduling gap —
+        # measured ~0.15-0.2 s/round of pure orchestration at sf0.1)
+        # disappears.  Arithmetic is unchanged: Σ shares + 0 = Σ shares,
+        # and a no-in-edge node's sum is exactly the old coalesce(c, 0).
+        shares = e.join(ranks, "src").select(
+            "dst", F.expr("r div out_deg").alias("share")
+        )
+        zero = ranks.select(
+            F.col("src").alias("dst"),
+            F.lit(0).cast("bigint").alias("share"),
         )
         ranks = (
-            deg.join(contrib, "src", "left")
+            shares.unionByName(zero)
+            .groupBy("dst")
+            .agg(F.sum("share").cast("bigint").alias("c"))
             .select(
-                "src",
+                F.col("dst").alias("src"),
                 (
                     F.lit(_BASE)
-                    + F.expr(
-                        f"({_DAMP_NUM} * coalesce(c, 0L)) div {_DAMP_DEN}"
-                    )
+                    + F.expr(f"({_DAMP_NUM} * c) div {_DAMP_DEN}")
                 ).cast("bigint").alias("r"),
             )
             .transform(truncate_loop)
@@ -260,27 +269,57 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     list.  Wedge close is a semi-join on the oriented edge set; all
     stages are equi-joins + partial+final aggregates, no windows over
     the graph, no collect."""
-    from pyspark.sql import Window
-
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
     )
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    nxt = op.withColumn(
-        "np", F.lead("p").over(Window.partitionBy("o").orderBy("p"))
+    # Fixture tables arrive as 1-2 parquet files (1-2 scan tasks), and
+    # AQE coalesces the small shuffles here to a handful of partitions
+    # by BYTES — but the wedge join downstream is CPU-bound per row, so
+    # byte-sized partitions serialize it on a few cores (measured: 4 of
+    # 32 busy).  Pin the compute stages to 2× cluster cores — the same
+    # scale-adaptive `_spread` rule as io/multimodal.py; explicit-N
+    # hash repartition is deterministic under retry and exempt from AQE
+    # coalescing (guide §2.5).
+    width = 2 * spark.sparkContext.defaultParallelism
+    # Per-order sorted distinct part basket in ONE aggregation —
+    # successor pairs are consecutive elements of the sorted array, so
+    # the old distinct-then-window shape (Exchange on (o,p) + Exchange
+    # on o + per-order Sort for lead()) collapses to a single Exchange
+    # on o with the aggregation running at full width (guide §2.2:
+    # shuffle once, not twice, for work keyed the same way).
+    baskets = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .repartition(width, "o")
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+        .filter(F.size("ps") >= 2)
     )
+    # Lineage-truncate the edge list: it feeds ``deg``, the orientation
+    # join, AND (via ``deg``) the final degree join — without the
+    # barrier the basket aggregation + distinct replays once per
+    # consumer (measured 3× the single-pass cost at sf0.1).
     und = (
-        nxt.where(F.col("np").isNotNull())
-        .select(F.col("p").alias("s1"), F.col("np").alias("s2"))
-        .distinct()
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(ps, 1, size(ps) - 1),"
+                    " (x, i) -> struct(x AS s1, ps[i + 1] AS s2))"
+                )
+            ).alias("e")
+        )
+        .select("e.s1", "e.s2")
+        .repartition(width, "s1", "s2")
+        .dropDuplicates()
+        .transform(truncate)
     )
+    # One pass over the edge list: explode both endpoints instead of a
+    # 2-way unionAll that scans ``und`` twice (guide §2.1).  Truncated:
+    # consumed by the two orientation sides and the final join.
     deg = (
-        und.select(F.col("s1").alias("n"))
-        .unionAll(und.select(F.col("s2").alias("n")))
+        und.select(F.explode(F.array("s1", "s2")).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .transform(truncate)
     )
     # Orient each edge toward the (deg, id)-larger endpoint.
     d1 = deg.select(F.col("n").alias("s1"), F.col("deg").alias("dg1"))
@@ -296,6 +335,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fwd, F.col("s1")).otherwise(F.col("s2")).alias("src"),
             F.when(fwd, F.col("s2")).otherwise(F.col("s1")).alias("dst"),
         )
+        # Full-width oriented edge frame: the wedge join probes this
+        # checkpoint directly, so its partition count IS the wedge
+        # stage's parallelism.
+        .repartition(width, "src", "dst")
         .transform(truncate)
     )
     wedge = (
@@ -310,10 +353,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["a", "c"],
         "left_semi",
     )
+    # Each triangle credits its three corners via ONE explode — the old
+    # 3-way unionAll re-ran the wedge join + semi-join (the O(m^1.5)
+    # stage, by far the most expensive subplan here) once per corner
+    # because a union's branches don't share non-Exchange subtrees
+    # (guide §2.1: compute the expensive frame once).
     cnt = (
-        tri.select(F.col("a").alias("part"))
-        .unionAll(tri.select(F.col("b").alias("part")))
-        .unionAll(tri.select(F.col("c").alias("part")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("part"))
         .groupBy("part")
         .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
     )
