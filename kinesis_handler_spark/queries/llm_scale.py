@@ -350,7 +350,15 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it several times (count / seeds / assignment passes), and without
     # truncation each scan re-runs the loader's key-dedup window.
     qv = emb.select("vec_id", _quantized().alias("qvec")).transform(truncate)
-    n = qv.count()
+    # Corpus size and vector dim in ONE job (was a count() plus a
+    # first() — two scheduled jobs for two scalars; guide §1.2 step 1:
+    # don't run passes you can merge).  first(qvec) is pick-any, but
+    # only len() is read and every vector shares the embedding dim, so
+    # the output is order-independent.
+    stats = qv.agg(
+        F.count(F.lit(1)).alias("n"), F.first("qvec").alias("v")
+    ).first()
+    n = stats["n"]
     # r = log2(N) - 3: expected bucket ≈ 8 vectors, so per-table
     # candidate volume stays ~4N pairs (linear) while collision
     # probability per true neighbor is 16× higher than the r=log2(N)+1
@@ -363,12 +371,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hyperplane matrix: ±1 entries from a FIXED-seed PRNG.  The
     # hyperplanes are broadcast index data, not engine expressions, so
     # they only need run-to-run determinism — no Spark job required.
-    first = qv.select("qvec").first()
-    if first is None:  # empty corpus: degrade to an empty pair frame
+    if stats["v"] is None:  # empty corpus: degrade to an empty pair frame
         return spark.createDataFrame(
             [], "id_a BIGINT, id_b BIGINT, cosine DOUBLE"
         )
-    dim = len(first["qvec"])
+    dim = len(stats["v"])
     rng = np.random.RandomState(0xC0FFEE)
     hyper = rng.choice(
         np.array([-1.0, 1.0]), size=(n_tables * n_bits, dim)
@@ -508,30 +515,62 @@ def _assign_gemm(
                 }
             )
 
+    # Deliberately NO pre-GEMM repartition (a `_spread`-style hash
+    # exchange was A/B-measured this round: +0.3-0.5 s on the
+    # small-batch probe paths, no reproducible win on the corpus-sized
+    # passes — the N×K affinity GEMM is too cheap at bench scale to
+    # amortize shuffling qvec payloads, guide §2.3).  At 100 TB the
+    # corpus arrives as many parquet splits, so the scan's own
+    # parallelism feeds this stage.
     return vectors.mapInPandas(fn, out_schema)
 
 
 _IVF_TRAIN_CAP = 4096
 
 
+def _ivf_size_and_sample(qv: DataFrame) -> tuple[int, list]:
+    """Corpus size and the deterministic training sample in ONE job:
+    the capped smallest-hash sample is collected first, and when it
+    does not fill ``_IVF_TRAIN_CAP`` its length IS the corpus size —
+    the separate ``count()`` action (a whole extra job + scheduling
+    gap per ANN query) only runs on corpora larger than the cap, where
+    it is the bounded-cost table-stats lookup the docstrings describe."""
+    rows = (
+        qv.select(F.xxhash64("vec_id").alias("h"), "vec_id", "qvec")
+        .orderBy("h", "vec_id")
+        .limit(_IVF_TRAIN_CAP)
+        .collect()
+    )
+    n = len(rows) if len(rows) < _IVF_TRAIN_CAP else qv.count()
+    return n, rows
+
+
 def _train_ivf_centroids(
-    qv: DataFrame, n_cells: int, n_iters: int = 2
+    qv: DataFrame, n_cells: int, n_iters: int = 2, sample: list | None = None
 ) -> DataFrame:
     """Train the IVF coarse quantizer and return it as a ``(cell,
     cvec)`` frame — factored out of ``_ivf_assign`` so the incremental
     path can PERSIST the trained centroids (r10 verdict ask #4).
     Training recipe and determinism contract documented on
-    ``_ivf_assign``."""
+    ``_ivf_assign``.  ``sample``: a pre-collected
+    ``_ivf_size_and_sample`` result; reused verbatim when it covers the
+    required ``max(_IVF_TRAIN_CAP, n_cells)`` prefix (identical rows —
+    same ordering, same cap), otherwise the training scan re-collects
+    with the wider limit (only when n_cells exceeds the cap, i.e.
+    N > ~16.7M vectors)."""
     import numpy as np
 
     spark = qv.sparkSession
     cent_schema = "cell INT, cvec ARRAY<DOUBLE>"
-    train = (
-        qv.select(F.xxhash64("vec_id").alias("h"), "vec_id", "qvec")
-        .orderBy("h", "vec_id")
-        .limit(max(_IVF_TRAIN_CAP, n_cells))
-        .collect()
-    )
+    if sample is not None and n_cells <= _IVF_TRAIN_CAP:
+        train = sample
+    else:
+        train = (
+            qv.select(F.xxhash64("vec_id").alias("h"), "vec_id", "qvec")
+            .orderBy("h", "vec_id")
+            .limit(max(_IVF_TRAIN_CAP, n_cells))
+            .collect()
+        )
     if not train:
         return spark.createDataFrame([], cent_schema)
     tm = np.stack([np.asarray(r["qvec"], dtype=np.int64) for r in train])
@@ -556,7 +595,11 @@ def _train_ivf_centroids(
 
 
 def _ivf_assign(
-    qv: DataFrame, n_cells: int, n_probe: int, n_iters: int = 2
+    qv: DataFrame,
+    n_cells: int,
+    n_probe: int,
+    n_iters: int = 2,
+    sample: list | None = None,
 ) -> DataFrame:
     """IVF index build + probe assignment, shared by ``sim_ann_ivf`` and
     ``dedup_embedding_ann``: the coarse quantizer is TRAINED ON A
@@ -589,8 +632,10 @@ def _ivf_assign(
     refinement is exactly full-corpus Lloyd.
 
     Returns (vec_id, qvec, cell, rank), lineage-truncated: one scoring
-    pass serves every downstream consumer."""
-    cent = _train_ivf_centroids(qv, n_cells, n_iters)
+    pass serves every downstream consumer.  ``sample``: pre-collected
+    ``_ivf_size_and_sample`` rows, forwarded to the trainer so callers
+    that already sized the corpus don't pay a second collection job."""
+    cent = _train_ivf_centroids(qv, n_cells, n_iters, sample=sample)
     # ONE corpus pass: rank=1 rows are the inverted lists, rank<=n_probe
     # rows are the probe lists.  Lineage-truncated: both consumers read it
     # without replaying (the trained centroids are collected+broadcast by
@@ -645,13 +690,15 @@ def _sim_ann_ivf_impl(
     # it several times (count / seeds / assignment passes), and without
     # truncation each scan re-runs the loader's key-dedup window.
     qv = emb.select("vec_id", _quantized().alias("qvec")).transform(truncate)
-    # An IVF build knows its corpus size; one count against the (tiny)
-    # embeddings scan prices K. At 100 TB you'd read this from table stats.
-    n_cells = _ivf_cells(qv.count())
+    # An IVF build knows its corpus size; sizing K and collecting the
+    # bounded training sample share ONE job (_ivf_size_and_sample). At
+    # 100 TB you'd read the size from table stats instead.
+    n, sample = _ivf_size_and_sample(qv)
+    n_cells = _ivf_cells(n)
     if n_probe is None:
         n_probe = _ivf_nprobe(n_cells)
 
-    assigned = _ivf_assign(qv, n_cells, n_probe)
+    assigned = _ivf_assign(qv, n_cells, n_probe, sample=sample)
     members = assigned.filter(F.col("rank") == 1).select("cell", "vec_id", "qvec")
     probes = assigned.select("cell", "vec_id", "qvec")
 
@@ -820,9 +867,10 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it several times (count / seeds / assignment passes), and without
     # truncation each scan re-runs the loader's key-dedup window.
     qv = emb.select("vec_id", _quantized().alias("qvec")).transform(truncate)
-    n_cells = _ivf_cells(qv.count())
+    n, sample = _ivf_size_and_sample(qv)
+    n_cells = _ivf_cells(n)
 
-    assigned = _ivf_assign(qv, n_cells, n_probe)
+    assigned = _ivf_assign(qv, n_cells, n_probe, sample=sample)
     cands = assigned.select("cell", "vec_id", "qvec")
 
     def pairs_in_cell(pdf):
@@ -903,8 +951,8 @@ def _materialize_ivf_index(spark: SparkSession, sf_dir: str) -> str:
         tmp = out.parent / f".ivf_index.tmp.{os.getpid()}"
         shutil.rmtree(str(tmp), ignore_errors=True)
         qv = _ann_corpus_qv(spark, sf_dir)
-        n_cells = _ivf_cells(qv.count())
-        cent = _train_ivf_centroids(qv, n_cells)
+        n, sample = _ivf_size_and_sample(qv)
+        cent = _train_ivf_centroids(qv, _ivf_cells(n), sample=sample)
         cent.coalesce(1).write.mode("overwrite").parquet(
             str(tmp / "centroids")
         )

@@ -1539,18 +1539,34 @@ def text_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model, lang_stats = langid_train_model(counts, doc_langs)
     scores = langid_score(counts, model, lang_stats, docs=d)
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("score_fp").desc(), F.asc("lang")
+    # argmax + margin as ONE hash aggregation instead of a window pass:
+    # per doc the languages-count is bounded, so the top-2 rows of the
+    # (score desc, lang asc) total order are the first two entries of
+    # the sorted per-doc struct array — same tie-break (negated score
+    # ascending, then lang ascending), same NULL margin when only one
+    # language exists (element_at past the end is NULL, as lead() was).
+    # A hash aggregate partial-aggregates map-side and skips the
+    # window's per-partition sort over the full doc×lang frame
+    # (guide §2.2).
+    top2 = F.slice(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("score_fp")).alias("ns"), F.col("lang")
+                )
+            )
+        ),
+        1,
+        2,
     )
     pred = (
-        scores.withColumn("rn", F.row_number().over(w))
-        .withColumn("runner_fp", F.lead("score_fp").over(w))
-        .filter(F.col("rn") == 1)
+        scores.groupBy("doc_id")
+        .agg(top2.alias("t"))
         .select(
             "doc_id",
-            F.col("lang").alias("pred_lang"),
-            F.col("score_fp").alias("pred_score_fp"),
-            (F.col("score_fp") - F.col("runner_fp"))
+            F.col("t")[0]["lang"].alias("pred_lang"),
+            (-F.col("t")[0]["ns"]).cast("bigint").alias("pred_score_fp"),
+            (F.element_at("t", 2)["ns"] - F.col("t")[0]["ns"])
             .cast("bigint")
             .alias("margin_fp"),
         )

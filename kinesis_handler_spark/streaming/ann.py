@@ -44,6 +44,7 @@ from kinesis_handler_spark.queries.llm_scale import (
     _assign_gemm,
     _ivf_cells,
     _ivf_nprobe,
+    _ivf_size_and_sample,
     _train_ivf_centroids,
 )
 
@@ -65,7 +66,8 @@ def init_ann_index(vectors: DataFrame, index_root: str) -> None:
     partition (r11 ADVICE).  Idempotent on a fresh or re-seeded root
     either way."""
     qv = vectors.filter(F.col("vec_id").isNotNull())
-    cent = _train_ivf_centroids(qv, _ivf_cells(qv.count()))
+    n, sample = _ivf_size_and_sample(qv)
+    cent = _train_ivf_centroids(qv, _ivf_cells(n), sample=sample)
     cent.coalesce(1).write.mode("overwrite").parquet(
         f"{index_root}/centroids"
     )
