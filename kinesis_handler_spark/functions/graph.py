@@ -97,17 +97,24 @@ def star_connected_components(
     # Lazy checkpoints throughout: each round's frame is materialized BY
     # the fingerprint collect (one Spark action per round, not two), and
     # later consumers reuse the materialized blocks.
+    # ONE materialization of the caller's edge pipeline first: both
+    # derived frames below used to truncate the raw ``edges`` lineage
+    # independently, so each one's first action replayed the caller's
+    # full upstream pipeline — for dedup_pipeline_scale that meant the
+    # entire minhash candidate generation ran TWICE per query (guide
+    # §5: cut the lineage where a frame has several consumers).
+    e0 = edges.select("u", "v").transform(truncate_loop)
     # all_nodes comes from the UNFILTERED input so a node appearing only
     # in self-loop edges still gets its (singleton) component row — the
     # docstring's "every node appearing in edges" promise.
     all_nodes = (
-        edges.select(F.col("u").alias("doc_id"))
-        .union(edges.select(F.col("v").alias("doc_id")))
+        e0.select(F.col("u").alias("doc_id"))
+        .union(e0.select(F.col("v").alias("doc_id")))
         .distinct()
         .transform(truncate_loop)
     )
     cur = (
-        edges.filter(F.col("u") != F.col("v"))
+        e0.filter(F.col("u") != F.col("v"))
         .select("u", "v")
         .distinct()
         .transform(truncate_loop)
