@@ -175,6 +175,14 @@ _FRONT = [
     "text_langid_classifier",  # rows-only cold-exec (r11 op, zero driver evidence)
     "multimodal_decode_gif",  # NEW r12 (never checked)
     "multimodal_decode_adpcm",  # NEW r12 (never checked)
+    # REWRITTEN r12 after their r11 green (changed-since-checked guard +
+    # the r10 fronted-by-hand precedent for helper edits): the triangle
+    # wedge pipeline was restructured in-body, and pagerank's
+    # pagerank_fixed_point helper dropped its per-round join — both need
+    # a fresh driver verdict.  They displace the two r9-green tail fills
+    # (text_heavy_hitters, text_lm_bigram_logloss) past slot 50.
+    "graph_triangle_count",
+    "graph_pagerank",
     "contamination_ngram_overlap",  # last green r8
     "text_entropy",  # last green r8
     "text_unigram_logloss",  # last green r8
