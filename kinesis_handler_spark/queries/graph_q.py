@@ -268,58 +268,45 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     10^6 neighbors contributes zero wedges from its own adjacency
     list.  Wedge close is a semi-join on the oriented edge set; all
     stages are equi-joins + partial+final aggregates, no windows over
-    the graph, no collect."""
+    the graph, no collect.
+
+    r12 MEASURED OUT (do not re-try blind): a rewrite that built the
+    edge list via per-order sorted collect_set baskets, localCheckpointed
+    ``und``/``deg``/``ow``, and replaced the 3-way unionAll corner credit
+    with one explode was adjudicated by interleaved same-session A/B with
+    per-cycle fixed-work calibration (JVM utime+stime — on local[n] that
+    IS total task compute, and it is immune to the wall-clock stalls this
+    sandbox shows).  Result: ~2.5× MORE CPU than this shape (med 101-126
+    vs 39-45 CPU-s/run at sf0.1) and no wall win.  Why the "redundant
+    pass" intuition fails: the unionAll corner branches differ only in
+    the final projection, so their broadcast exchanges are REUSED across
+    branches (ReusedExchange) and only the cheap probe reruns, while the
+    rewrite paid real costs — an ObjectHashAggregate basket build, two
+    extra full-width exchanges, and three lazy localCheckpoints whose
+    un-materialized blocks get recomputed CONCURRENTLY by the racing
+    broadcast-build jobs (checkpoints alone measured ~+40 CPU-s/run).
+    The same A/B kept the pagerank zero-share rewrite (mildly better)."""
+    from pyspark.sql import Window
+
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
     )
-    # Fixture tables arrive as 1-2 parquet files (1-2 scan tasks), and
-    # AQE coalesces the small shuffles here to a handful of partitions
-    # by BYTES — but the wedge join downstream is CPU-bound per row, so
-    # byte-sized partitions serialize it on a few cores (measured: 4 of
-    # 32 busy).  Pin the compute stages to 2× cluster cores — the same
-    # scale-adaptive `_spread` rule as io/multimodal.py; explicit-N
-    # hash repartition is deterministic under retry and exempt from AQE
-    # coalescing (guide §2.5).
-    width = 2 * spark.sparkContext.defaultParallelism
-    # Per-order sorted distinct part basket in ONE aggregation —
-    # successor pairs are consecutive elements of the sorted array, so
-    # the old distinct-then-window shape (Exchange on (o,p) + Exchange
-    # on o + per-order Sort for lead()) collapses to a single Exchange
-    # on o with the aggregation running at full width (guide §2.2:
-    # shuffle once, not twice, for work keyed the same way).
-    baskets = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .repartition(width, "o")
-        .groupBy("o")
-        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
-        .filter(F.size("ps") >= 2)
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    nxt = op.withColumn(
+        "np", F.lead("p").over(Window.partitionBy("o").orderBy("p"))
     )
-    # Lineage-truncate the edge list: it feeds ``deg``, the orientation
-    # join, AND (via ``deg``) the final degree join — without the
-    # barrier the basket aggregation + distinct replays once per
-    # consumer (measured 3× the single-pass cost at sf0.1).
     und = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "transform(slice(ps, 1, size(ps) - 1),"
-                    " (x, i) -> struct(x AS s1, ps[i + 1] AS s2))"
-                )
-            ).alias("e")
-        )
-        .select("e.s1", "e.s2")
-        .repartition(width, "s1", "s2")
-        .dropDuplicates()
-        .transform(truncate)
+        nxt.where(F.col("np").isNotNull())
+        .select(F.col("p").alias("s1"), F.col("np").alias("s2"))
+        .distinct()
     )
-    # One pass over the edge list: explode both endpoints instead of a
-    # 2-way unionAll that scans ``und`` twice (guide §2.1).  Truncated:
-    # consumed by the two orientation sides and the final join.
     deg = (
-        und.select(F.explode(F.array("s1", "s2")).alias("n"))
+        und.select(F.col("s1").alias("n"))
+        .unionAll(und.select(F.col("s2").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-        .transform(truncate)
     )
     # Orient each edge toward the (deg, id)-larger endpoint.
     d1 = deg.select(F.col("n").alias("s1"), F.col("deg").alias("dg1"))
@@ -335,10 +322,6 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fwd, F.col("s1")).otherwise(F.col("s2")).alias("src"),
             F.when(fwd, F.col("s2")).otherwise(F.col("s1")).alias("dst"),
         )
-        # Full-width oriented edge frame: the wedge join probes this
-        # checkpoint directly, so its partition count IS the wedge
-        # stage's parallelism.
-        .repartition(width, "src", "dst")
         .transform(truncate)
     )
     wedge = (
@@ -353,13 +336,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["a", "c"],
         "left_semi",
     )
-    # Each triangle credits its three corners via ONE explode — the old
-    # 3-way unionAll re-ran the wedge join + semi-join (the O(m^1.5)
-    # stage, by far the most expensive subplan here) once per corner
-    # because a union's branches don't share non-Exchange subtrees
-    # (guide §2.1: compute the expensive frame once).
     cnt = (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("part"))
+        tri.select(F.col("a").alias("part"))
+        .unionAll(tri.select(F.col("b").alias("part")))
+        .unionAll(tri.select(F.col("c").alias("part")))
         .groupBy("part")
         .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
     )

@@ -175,12 +175,15 @@ _FRONT = [
     "text_langid_classifier",  # rows-only cold-exec (r11 op, zero driver evidence)
     "multimodal_decode_gif",  # NEW r12 (never checked)
     "multimodal_decode_adpcm",  # NEW r12 (never checked)
-    # REWRITTEN r12 after their r11 green (changed-since-checked guard +
-    # the r10 fronted-by-hand precedent for helper edits): the triangle
-    # wedge pipeline was restructured in-body, and pagerank's
-    # pagerank_fixed_point helper dropped its per-round join — both need
-    # a fresh driver verdict.  They displace the two r9-green tail fills
-    # (text_heavy_hitters, text_lm_bigram_logloss) past slot 50.
+    # CHANGED r12 after their r11 green (changed-since-checked guard +
+    # the r10 fronted-by-hand precedent for helper edits): pagerank's
+    # pagerank_fixed_point helper dropped its per-round join (kept — A/B
+    # green), and the triangle wedge pipeline was rewritten then REVERTED
+    # to its r11 body after a calibrated CPU A/B convicted the rewrite
+    # (see graph_triangle_count's docstring) — fronted anyway so the
+    # round's driver verdict re-covers both at their final bodies.  They
+    # displace the two r9-green tail fills (text_heavy_hitters,
+    # text_lm_bigram_logloss) past slot 50.
     "graph_triangle_count",
     "graph_pagerank",
     "contamination_ngram_overlap",  # last green r8
