@@ -81,6 +81,20 @@ FEATURE_SCHEMA = (
 )
 
 
+# Per-task granularity of SOURCE-table bytes for a Python media
+# build/decode stage: each source byte fans out into ~10²-10³ Python/
+# numpy decode operations downstream, so 64 KiB of source per task is
+# hundreds of ms of real work — enough to amortize the ~tens-of-ms
+# per-task scheduling + Python-worker round-trip overhead.  A width
+# sweep at sf0.1 (594 KB documents table) put the optimum at 8-16
+# partitions for EVERY codec (bmp 0.41 s @w8 vs 1.11 @w64 and 0.76
+# unspread; video 0.94 @w16 vs 1.91 @w64 and 5.55 unspread); this
+# divisor lands there (width 10) and grows linearly with the corpus to
+# the 2×cores cap, so larger inputs saturate the cluster exactly when
+# they have the work to fill it.
+_SPREAD_SRC_BYTES_PER_TASK = 64 << 10
+
+
 def _spread(d: DataFrame) -> DataFrame:
     """Hash-repartition the tiny doc_id frame across the cluster before
     a Python-heavy mapInPandas build/decode stage.
@@ -89,22 +103,52 @@ def _spread(d: DataFrame) -> DataFrame:
     the scan is 1-2 tasks and, without this, the ENTIRE per-document
     encode+decode pipeline runs serially on one core (optimization
     guide §2.5 — unsplittable input: repartition immediately after the
-    read; measured r12: multimodal_decode_video 7.1 s → ~1 s at sf0.1).
-    The exchange moves only the 8-byte ids, never media bytes; width is
-    2× the cluster's core count (scale-adaptive, not a local[32]
-    constant — the same 2×-cores rule session.cluster_conf documents
-    for shuffle width: every core busy, stragglers bounded at 2×
-    granularity).  Deliberately NOT derived from the input's own
-    partition count: probing ``d.rdd.getNumPartitions()`` at plan-build
-    time measured ~0.7 s per query invocation (it forces a separate
-    QueryExecution), and AQE must not coalesce this exchange by bytes —
-    the downstream stage is CPU-bound Python, not shuffle-bound, so
-    8-byte id partitions that look "too small" to AQE are exactly
-    right.  Hash on doc_id keeps the assignment deterministic under
-    task retry (guide §2.5's rand-repartition hazard) and the per-doc
-    build makes row placement semantically irrelevant."""
+    read; measured r12: multimodal_decode_video 5.6 s → ~0.9 s at
+    sf0.1).  The exchange moves only the 8-byte ids, never media bytes.
+
+    Width is derived from the SOURCE TABLE'S BYTES (guide §2: derive
+    partitioning from input size, not a constant): ceil(scan bytes /
+    ``_SPREAD_SRC_BYTES_PER_TASK``) clamped to [2, 2× cluster cores].
+    The first r12 cut used a flat 2×cores and a width sweep showed that
+    over-widens small inputs — at sf0.1 the ~0.5-1 s of extra-stage +
+    64-task + Python-worker overhead cost MORE than the decode for the
+    cheap codecs (bmp/wav/gif) and even slowed the heavy ones (numbers
+    on ``_SPREAD_SRC_BYTES_PER_TASK``).  File sizes come from the
+    driver-side file index (``inputFiles`` + one FileSystem.getFileStatus
+    per file — no Spark job); a source with no listable files (e.g. an
+    in-memory test frame) falls back to the 2×cores cap, as before.
+    Deliberately NOT derived from the input's own partition count:
+    probing ``d.rdd.getNumPartitions()`` at plan-build time measured
+    ~0.7 s per query invocation (it forces a separate QueryExecution),
+    and AQE must not coalesce this exchange by bytes — the downstream
+    stage is CPU-bound Python, not shuffle-bound, so 8-byte id
+    partitions that look "too small" to AQE are exactly right.  Hash on
+    doc_id keeps the assignment deterministic under task retry (guide
+    §2.5's rand-repartition hazard) and the per-doc build makes row
+    placement semantically irrelevant."""
     sc = d.sparkSession.sparkContext
-    return d.repartition(2 * sc.defaultParallelism, "doc_id")
+    cap = 2 * sc.defaultParallelism
+    width = cap
+    try:
+        files = d.inputFiles()
+        if files:
+            jvm = sc._jvm
+            hconf = sc._jsc.hadoopConfiguration()
+            total = 0
+            for p in files:
+                path = jvm.org.apache.hadoop.fs.Path(p)
+                fs = path.getFileSystem(hconf)
+                total += fs.getFileStatus(path).getLen()
+            width = max(
+                2,
+                min(
+                    cap,
+                    -(-total // _SPREAD_SRC_BYTES_PER_TASK),
+                ),
+            )
+    except Exception:  # noqa: BLE001 - sizing is a hint, never a failure
+        width = cap
+    return d.repartition(width, "doc_id")
 
 
 def _decode_stub(
