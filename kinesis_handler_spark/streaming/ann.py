@@ -181,6 +181,65 @@ def ann_batch(
         assigned.unpersist()
 
 
+def compact_ann_index(
+    spark: SparkSession, index_root: str, upto_batch_id: int
+) -> None:
+    """Fold the per-micro-batch member partitions ``0 <= batch_id <=
+    upto_batch_id`` into the seed partition (``batch_id=-1``) — the
+    OPTIMIZE step of the append-now-optimize-later discipline
+    (``compact_minhash_index`` precedent).  Every ``ann_batch`` appends
+    one ``batch_id=N`` directory, so a long-running stream grows the
+    members listing (and every search's file count) linearly with batch
+    COUNT regardless of data size; folding restores O(1) directories
+    and rewrites the folded rows clustered by ``cell`` (AQE-coalesced
+    file sizing), which is also the probe cogroup's access pattern.
+
+    Search-result equivalence: rows are copied verbatim (frozen
+    quantizer — cell assignments never recomputed), and a folded row's
+    visibility predicate ``batch_id < N`` is unchanged for every FUTURE
+    batch N > upto_batch_id (it already held ``old_batch_id < N``, and
+    ``-1 < N`` still holds).  Pinned in tests/test_streaming_ann.py:
+    a post-compaction batch returns bit-identical neighbors.
+
+    Replay contract (the caller's side of the bargain, same as the
+    minhash OPTIMIZE step): compact only batches the stream has
+    durably committed — i.e. at quiescence (an ``availableNow`` run
+    finished) or below the checkpoint's committed watermark.  A replay
+    of batch ``M <= upto_batch_id`` after compaction would re-append
+    partition ``batch_id=M`` alongside its folded copy (duplicates) and
+    see folded later-batch rows as earlier — exactly-once holds only
+    above the compaction point.
+
+    Atomic: build-in-tmp + directory swap, rollback on failure —
+    readers never observe a partial members tree."""
+    import os
+    import shutil
+
+    members_path = f"{index_root}/members"
+    folded = (
+        spark.read.parquet(members_path)
+        .withColumn(
+            "batch_id",
+            F.when(
+                F.col("batch_id") <= F.lit(upto_batch_id),
+                F.lit(SEED_BATCH_ID),
+            ).otherwise(F.col("batch_id")),
+        )
+        .repartition("cell")
+    )
+    tmp = f"{members_path}.compact.tmp.{os.getpid()}"
+    old = f"{members_path}.compact.old.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    folded.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    os.rename(members_path, old)
+    try:
+        os.rename(tmp, members_path)
+    except OSError:
+        os.rename(old, members_path)  # roll back; leave tmp for forensics
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def ann_stream(
     stream_vectors: DataFrame,
     index_root: str,

@@ -136,3 +136,52 @@ def test_ann_batch_replay_is_idempotent(spark, tmp_path):
         key=lambda t: (-t[1], t[0]),
     )
     assert got200[0][0] == 101 and abs(got200[0][1] - 1.0) < 1e-12
+
+
+def test_compact_folds_batches_and_preserves_search(spark, tmp_path):
+    """compact_ann_index folds committed batch partitions into the seed
+    partition without changing ANY future search result: rows are copied
+    verbatim (frozen quantizer) and batch_id=-1 still satisfies the
+    strictly-earlier visibility predicate for every later batch."""
+    import shutil
+
+    from kinesis_handler_spark.streaming.ann import compact_ann_index
+
+    idx = str(tmp_path / "idx")
+    nbr = str(tmp_path / "nbr")
+    init_ann_index(spark.createDataFrame(CORPUS, SCHEMA), idx)
+    ann_batch(spark.createDataFrame(BATCH_B, SCHEMA), 0, idx, nbr)
+    ann_batch(spark.createDataFrame(BATCH_C, SCHEMA), 1, idx, nbr)
+
+    # uncompacted twin for the equivalence check
+    idx2 = str(tmp_path / "idx2")
+    nbr2 = str(tmp_path / "nbr2")
+    shutil.copytree(idx, idx2)
+
+    before = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/members").collect())
+    )
+    compact_ann_index(spark, idx, upto_batch_id=1)
+
+    # one physical partition left; rows identical except the fold
+    dirs = sorted(
+        d for d in os.listdir(f"{idx}/members") if d.startswith("batch_id=")
+    )
+    assert dirs == [f"batch_id={SEED_BATCH_ID}"]
+    after = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/members").collect())
+    )
+    assert [r[:-1] for r in after] == [r[:-1] for r in before]
+    assert all(r[-1] == SEED_BATCH_ID for r in after)
+
+    # a post-compaction batch returns bit-identical neighbors
+    batch_d = [(300, _vec(1, 5)), (301, DIAG)]
+    ann_batch(spark.createDataFrame(batch_d, SCHEMA), 2, idx, nbr)
+    ann_batch(spark.createDataFrame(batch_d, SCHEMA), 2, idx2, nbr2)
+    got = sorted(
+        map(tuple, read_neighbors(spark, nbr).filter("batch_id = 2").collect())
+    )
+    want = sorted(
+        map(tuple, read_neighbors(spark, nbr2).filter("batch_id = 2").collect())
+    )
+    assert got == want and len(got) > 0
