@@ -39,6 +39,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kinesis_handler_spark.functions.worker_tune import tuned
+
 MAGIC = b"Obj\x01"
 
 _PRIMS = ("long", "int", "double", "float", "string", "bytes", "boolean")
@@ -325,4 +327,4 @@ def read_avro(spark: SparkSession, path: str, spark_schema) -> DataFrame:
                     }
                 )
 
-    return bf.select("content").mapInPandas(decode, spark_schema)
+    return bf.select("content").mapInPandas(tuned(decode), spark_schema)

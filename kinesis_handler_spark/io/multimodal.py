@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kinesis_handler_spark.functions.worker_tune import tuned
 from kinesis_handler_spark.tables import table
 
 MULTIMODAL_SCHEMA = T.StructType(
@@ -245,7 +246,7 @@ def decode_and_featurize(df: DataFrame, fake: bool = True) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(run, FEATURE_SCHEMA)
+    return df.mapInPandas(tuned(run), FEATURE_SCHEMA)
 
 
 def make_multimodal_df(
@@ -318,7 +319,7 @@ def resize_media(
                 }
             )
 
-    return df.mapInPandas(run, RESIZED_SCHEMA)
+    return df.mapInPandas(tuned(run), RESIZED_SCHEMA)
 
 
 def sample_mjpeg_payloads(
@@ -410,7 +411,7 @@ def sample_frames(
                 }
             )
 
-    return df.mapInPandas(run, FRAME_SCHEMA)
+    return df.mapInPandas(tuned(run), FRAME_SCHEMA)
 
 
 PNG_MAGIC_HEX = "89504E470D0A1A0A"
@@ -519,7 +520,7 @@ def make_bmp_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"].astype("int64"), "content": blobs}
             )
 
-    return d.mapInPandas(build, "media_id long, content binary")
+    return d.mapInPandas(tuned(build), "media_id long, content binary")
 
 
 def decode_bmp(content: bytes):
@@ -597,7 +598,7 @@ def make_wav_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"].astype("int64"), "content": blobs}
             )
 
-    return d.mapInPandas(build, "media_id long, content binary")
+    return d.mapInPandas(tuned(build), "media_id long, content binary")
 
 
 def decode_wav(content: bytes):
@@ -793,7 +794,7 @@ def make_adpcm_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"].astype("int64"), "content": blobs}
             )
 
-    return d.mapInPandas(build, "media_id long, content binary")
+    return d.mapInPandas(tuned(build), "media_id long, content binary")
 
 
 def parse_adpcm_container(content: bytes):
@@ -985,7 +986,7 @@ def make_png_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"].astype("int64"), "content": blobs}
             )
 
-    return d.mapInPandas(build, "media_id long, content binary")
+    return d.mapInPandas(tuned(build), "media_id long, content binary")
 
 
 def decode_png(content: bytes):
@@ -1260,7 +1261,7 @@ def make_gif_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"].astype("int64"), "content": blobs}
             )
 
-    return d.mapInPandas(build, "media_id long, content binary")
+    return d.mapInPandas(tuned(build), "media_id long, content binary")
 
 
 def decode_gif(content: bytes):
@@ -1564,7 +1565,7 @@ def make_jpeg_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.mapInPandas(build, "media_id long, content binary")
+    return d.mapInPandas(tuned(build), "media_id long, content binary")
 
 
 class _BitReader:
@@ -2140,4 +2141,4 @@ def make_avi_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.mapInPandas(build, "media_id long, content binary")
+    return d.mapInPandas(tuned(build), "media_id long, content binary")

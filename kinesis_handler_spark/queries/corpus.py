@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from kinesis_handler_spark.functions.worker_tune import tuned
 from kinesis_handler_spark.functions.lineage import truncate
 from kinesis_handler_spark.functions.text import normalize_text, word_ngrams
 from kinesis_handler_spark.registry import query
@@ -327,7 +328,7 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("tok") != "")
         .persist(StorageLevel.DISK_ONLY)
     )
-    cand = toks.mapInPandas(_mg_candidates, schema="tok string").distinct()
+    cand = toks.mapInPandas(tuned(_mg_candidates), schema="tok string").distinct()
     total = toks.agg(F.count(F.lit(1)).alias("n"))
     return (
         toks.join(F.broadcast(cand), "tok", "leftsemi")

@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kinesis_handler_spark.functions.worker_tune import tuned
 from kinesis_handler_spark.functions.lineage import truncate, truncate_loop
 from kinesis_handler_spark.functions.lsh import cap_band_buckets
 from kinesis_handler_spark.functions.text import normalize_text, word_ngrams
@@ -894,6 +895,7 @@ def udf_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
     builders' isNotNull pre-filter)."""
 
     @F.pandas_udf("string")
+    @tuned
     def routed_tag(event_type: pd.Series, user_id: pd.Series) -> pd.Series:
         # NULL-propagating like the oracle's || chain: a NULL in either
         # input yields NULL.
@@ -937,7 +939,7 @@ def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return e.groupBy("user_id").applyInPandas(
-        stats, "user_id long, n_events long, median_value double"
+        tuned(stats), "user_id long, n_events long, median_value double"
     )
 
 

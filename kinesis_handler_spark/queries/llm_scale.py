@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kinesis_handler_spark.functions.worker_tune import tuned
 from kinesis_handler_spark.functions.lineage import truncate
 from kinesis_handler_spark.functions.lsh import cap_band_buckets
 from kinesis_handler_spark.queries.llm import _clean_embeddings, _quantized
@@ -316,7 +317,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return pairs.mapInPandas(score, "id_a BIGINT, id_b BIGINT, cosine DOUBLE")
+    return pairs.mapInPandas(tuned(score), "id_a BIGINT, id_b BIGINT, cosine DOUBLE")
 
 
 @query("sim_ann_lsh")  # rows-only: bucket assignment is engine-hash-specific
@@ -411,7 +412,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     banded = qv.mapInPandas(
-        signatures, "vec_id BIGINT, tbl INT, sig BIGINT"
+        tuned(signatures), "vec_id BIGINT, tbl INT, sig BIGINT"
     ).transform(truncate)
 
     a, b = banded.alias("a"), banded.alias("b")
@@ -454,7 +455,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    pairs = pairs.mapInPandas(score, "id_a BIGINT, id_b BIGINT, dot BIGINT")
+    pairs = pairs.mapInPandas(tuned(score), "id_a BIGINT, id_b BIGINT, dot BIGINT")
     w = Window.partitionBy("id_a").orderBy(F.col("dot").desc(), F.col("id_b"))
     return (
         pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
@@ -522,7 +523,7 @@ def _assign_gemm(
     # amortize shuffling qvec payloads, guide §2.3).  At 100 TB the
     # corpus arrives as many parquet splits, so the scan's own
     # parallelism feeds this stage.
-    return vectors.mapInPandas(fn, out_schema)
+    return vectors.mapInPandas(tuned(fn), out_schema)
 
 
 _IVF_TRAIN_CAP = 4096
@@ -762,7 +763,7 @@ def _sim_ann_ivf_impl(
     local = (
         probes.groupBy("cell")
         .cogroup(members.groupBy("cell"))
-        .applyInPandas(score_cell, "q_id BIGINT, nbr_id BIGINT, cosine DOUBLE")
+        .applyInPandas(tuned(score_cell), "q_id BIGINT, nbr_id BIGINT, cosine DOUBLE")
     )
     w_final = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("nbr_id")
@@ -892,7 +893,7 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     local = cands.groupBy("cell").applyInPandas(
-        pairs_in_cell, "id_a BIGINT, id_b BIGINT, cosine DOUBLE"
+        tuned(pairs_in_cell), "id_a BIGINT, id_b BIGINT, cosine DOUBLE"
     )
     # a pair can be found in up to nprobe shared cells — dedup once
     return local.dropDuplicates(["id_a", "id_b"])
@@ -1066,7 +1067,7 @@ def sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     local = (
         probes.groupBy("cell")
         .cogroup(members.groupBy("cell"))
-        .applyInPandas(score_probe, "q_id BIGINT, nbr_id BIGINT, cosine DOUBLE")
+        .applyInPandas(tuned(score_probe), "q_id BIGINT, nbr_id BIGINT, cosine DOUBLE")
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("nbr_id")
@@ -1187,7 +1188,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return m.mapInPandas(
-        featurize,
+        tuned(featurize),
         "media_id BIGINT, is_png BOOLEAN, width INT, height INT, "
         "n_bytes BIGINT, head_n INT, head_sum BIGINT, head_mean DOUBLE, "
         "head_min INT, head_max INT",
@@ -1269,7 +1270,7 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return e.mapInPandas(
-        quantize,
+        tuned(quantize),
         "vec_id BIGINT, n_dims INT, scale DOUBLE, q_checksum BIGINT, q_max BIGINT",
     )
 
@@ -1399,7 +1400,7 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "vec_id BIGINT, " + ", ".join(
         f"y{k} BIGINT" for k in range(_RP_OUT_DIMS)
     )
-    return qv.mapInPandas(project, schema)
+    return qv.mapInPandas(tuned(project), schema)
 
 
 @query(
@@ -1467,7 +1468,7 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(
-        featurize,
+        tuned(featurize),
         "media_id BIGINT, width INT, height INT, bpp INT, n_pixels INT, "
         "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT, p00_r INT",
     )
@@ -1532,7 +1533,7 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(
-        featurize,
+        tuned(featurize),
         "media_id BIGINT, sample_rate INT, channels INT, n_samples INT, "
         "sum_amp BIGINT, max_amp INT, min_amp INT, s0 INT",
     )
@@ -1607,7 +1608,7 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(
-        featurize,
+        tuned(featurize),
         "media_id BIGINT, width INT, height INT, color_type INT, "
         "n_pixels INT, sum_r BIGINT, sum_g BIGINT, sum_b BIGINT, "
         "p00_r INT, p_last_b INT",
@@ -1720,7 +1721,7 @@ def multimodal_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(
-        featurize,
+        tuned(featurize),
         "media_id BIGINT, sample_rate INT, n_blocks INT, n_samples INT, "
         "pred_b0 INT, index_b0 INT, pred_b1 INT, index_b1 INT, "
         "sum_nibbles BIGINT, first_nibble INT, last_nibble INT",
@@ -1803,7 +1804,7 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(
-        featurize,
+        tuned(featurize),
         "media_id BIGINT, width INT, height INT, palette_bits INT, "
         "n_pixels INT, sum_r BIGINT, sum_g BIGINT, sum_b BIGINT, "
         "p00_r INT, p_last_b INT",
@@ -1880,7 +1881,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(
-        resize,
+        tuned(resize),
         "media_id BIGINT, out_w INT, out_h INT, sum_r_small BIGINT, "
         "p00_r_small INT, p_last_r_small INT",
     )
@@ -1978,7 +1979,7 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(
-        featurize,
+        tuned(featurize),
         "media_id BIGINT, width INT, height INT, n_components INT, "
         "n_blocks INT, dc_sum BIGINT, ac_sum BIGINT, dc00 INT, "
         "ac_last INT",
@@ -2096,7 +2097,7 @@ def multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(
-        featurize,
+        tuned(featurize),
         "media_id BIGINT, width INT, height INT, n_frames INT, "
         "duration_ms INT, dc_sum BIGINT, ac_sum BIGINT, "
         "dc00_first INT, dc00_last INT",
@@ -2180,6 +2181,6 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(
-        featurize,
+        tuned(featurize),
         "media_id long, n_sampled int, max_ts_ms int, dc00_sum long",
     )

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kinesis_handler_spark.functions.worker_tune import tuned
 from kinesis_handler_spark.functions.lineage import truncate_loop
 from kinesis_handler_spark.functions.text import word_ngrams
 from kinesis_handler_spark.registry import query
@@ -281,7 +282,7 @@ def pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pdf[["doc_id", "n_tok", "bucket", "bin_id", "bin_fill"]]
 
     return base.groupBy("bucket").applyInPandas(
-        fold,
+        tuned(fold),
         "doc_id bigint, n_tok bigint, bucket bigint, "
         "bin_id bigint, bin_fill bigint",
     )
@@ -606,7 +607,7 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     cells = (
-        qv.mapInPandas(moments, "idx bigint, val bigint")
+        qv.mapInPandas(tuned(moments), "idx bigint, val bigint")
         .groupBy("idx")
         # DECIMAL(38,0) accumulation: exact at any corpus size (int64
         # batch partials would themselves overflow past ~2^63 moments)
@@ -660,7 +661,7 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "vec_id bigint, " + ", ".join(
         f"pc{k} bigint" for k in range(_PCA_DIMS)
     )
-    return qv.mapInPandas(project, schema)
+    return qv.mapInPandas(tuned(project), schema)
 
 
 #: BPE training rounds.  Each round is one bounded shuffle over the
@@ -785,7 +786,7 @@ def _train_merges_uncached(spark: SparkSession, sf_dir: str) -> list[tuple]:
             )
 
     cur = words.mapInPandas(
-        symbolize, "sym array<string>, freq bigint"
+        tuned(symbolize), "sym array<string>, freq bigint"
     ).transform(truncate_loop)
 
     pair_struct = F.transform(
@@ -1058,7 +1059,7 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    encoded = words.mapInPandas(encode, "w string, n_tok int")
+    encoded = words.mapInPandas(tuned(encode), "w string, n_tok int")
     return (
         occurrences.join(encoded, "w")
         .groupBy("doc_id")

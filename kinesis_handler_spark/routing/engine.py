@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kinesis_handler_spark.functions.worker_tune import tuned
 from kinesis_handler_spark.deploy import ensure_shipped
 from kinesis_handler_spark.routing.schema_compiler import (
     CompiledSchema,
@@ -544,4 +545,4 @@ class RoutingEngine:
             order = key.sort_values(kind="mergesort").index
             return fn(pdf.loc[order])
 
-        return records.groupBy(key_col).applyInPandas(_sorted_apply, output_schema)
+        return records.groupBy(key_col).applyInPandas(tuned(_sorted_apply), output_schema)

@@ -54,6 +54,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kinesis_handler_spark.functions.worker_tune import tuned
+
 _SUPPORTED_KEYWORDS = {
     "type", "properties", "required", "enum", "pattern", "minimum",
     "maximum", "exclusiveMinimum", "exclusiveMaximum", "minLength",
@@ -557,6 +559,7 @@ def _jsonschema_udf(doc: dict):
     holder: list = []
 
     @pandas_udf("boolean")
+    @tuned
     def _validate(payloads: pd.Series) -> pd.Series:
         import json
 

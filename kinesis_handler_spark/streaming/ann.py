@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kinesis_handler_spark.functions.worker_tune import tuned
 from kinesis_handler_spark.queries.llm_scale import (
     _assign_gemm,
     _ivf_cells,
@@ -147,7 +148,7 @@ def ann_batch(
             probes.groupBy("cell")
             .cogroup(members.groupBy("cell"))
             .applyInPandas(
-                score_probe, "q_id BIGINT, nbr_id BIGINT, cosine DOUBLE"
+                tuned(score_probe), "q_id BIGINT, nbr_id BIGINT, cosine DOUBLE"
             )
         )
         w = Window.partitionBy("q_id").orderBy(

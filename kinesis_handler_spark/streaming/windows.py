@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from kinesis_handler_spark.functions.worker_tune import tune_python_worker, tuned
 from kinesis_handler_spark.functions.numeric import dec
 
 
@@ -148,7 +149,7 @@ def stateful_running_totals(
         )
 
     return df.groupBy(key_col).applyInPandasWithState(
-        update,
+        tuned(update),
         outputStructType=output_schema,
         stateStructType=state_schema,
         outputMode="update",
@@ -214,7 +215,7 @@ def stateful_heavy_hitters(
         )
 
     return bucketed.groupBy("bucket").applyInPandasWithState(
-        update,
+        tuned(update),
         outputStructType="bucket int, tok string, cnt long",
         stateStructType="toks array<string>, cnts array<long>",
         outputMode="update",
@@ -241,6 +242,7 @@ class _UserSessionStats(StatefulProcessor):
         self._ts_col = ts_col
 
     def init(self, handle: StatefulProcessorHandle) -> None:
+        tune_python_worker()
         self._state = handle.getValueState(
             "stats",
             "first_us long, last_us long, n long, total double",
