@@ -186,6 +186,20 @@ _FRONT = [
     # text_lm_bigram_logloss) past slot 50.
     "graph_triangle_count",
     "graph_pagerank",
+    # CHANGED r12 by the worker-tune commit (5e4c481): these seven
+    # kernels gained the tuned() worker wrapper AFTER the round's
+    # record_front_hashes snapshot, so their changed-since-checked
+    # guard (tests/test_registry_front.py) requires a verdict slot.
+    # The other nine queries that commit touched were already in the
+    # front.  They displace the seven stalest r8-green tail fills past
+    # slot 50 (changed-since-checked outranks evidence-freshness).
+    "dedup_embedding_cosine",
+    "multimodal_decode_png",
+    "multimodal_decode_video",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "pack_greedy_bins",
+    "text_heavy_hitters",
     "contamination_ngram_overlap",  # last green r8
     "text_entropy",  # last green r8
     "text_unigram_logloss",  # last green r8
@@ -230,7 +244,6 @@ _FRONT = [
     "events_retention",  # last green r8
     "window_rank_topn",  # last green r8
     "topk_per_group",  # last green r8
-    "text_heavy_hitters",  # last green r9
     "text_lm_bigram_logloss",  # last green r9
     "text_pii_audit",  # last green r9
     "text_stats",  # last green r9
