@@ -471,18 +471,27 @@ def dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline).
 
     Determinism: the keeper choice is MIN(doc_id) (total); cut
-    positions are an exact integer set union; reconstruction is
-    ``string_agg ORDER BY position`` where position is unique per doc —
-    total order, engine-independent.  Docs trimmed to nothing still
-    emit a row (LEFT JOIN + COALESCE '' on both sides).
+    positions are an exact integer set union whose per-doc array is
+    consumed only through size() and membership tests, so its internal
+    order never reaches the output; reconstruction keeps tokens in
+    ascending position order via ``array_except`` over the ascending
+    position ``sequence`` (array_except preserves its LEFT argument's
+    order) — total order, engine-independent.  Docs trimmed to nothing
+    emit ``''`` (empty kept-position array → empty array_join).
 
     100 TB: the span table collapses to DISTINCT (doc, span) rows
     before the keeper join (same pruning as ``dedup_span_exact`` —
     singleton spans never join, >64-doc boilerplate is capped); cut
-    positions are ≤ 8 × duplicated-occurrence rows; the token-position
-    anti-join is an equi-join on (doc, pos); the per-doc rebuild
-    collects at most one document's tokens per group — bounded by max
-    doc length, the same bound every chunker in the suite carries.  No
+    positions fold per AFFECTED doc into one bounded array (≤ 8 ×
+    duplicated-occurrence rows, ≤ doc length); the rebuild is a
+    DOC-LEVEL join of that small frame against the token arrays — the
+    r12 shape.  The pre-r12 form exploded EVERY token of EVERY document
+    into (doc, pos, tok) rows, anti-joined, and re-assembled each doc
+    with a corpus-token-sized shuffle + per-doc sort, even though only
+    affected docs reach the output (guide §1.2: don't compute what you
+    throw away; §2.4: the token-level exchange is removed outright —
+    only affected docs' cut arrays shuffle, and per-doc work is
+    O(n_tok) hash-set membership, not O(tokens) shuffled rows).  No
     suffix arrays, no corpus² — linear in tokens end to end."""
     d = table(spark, sf_dir, "documents").filter(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
@@ -507,38 +516,36 @@ def dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     rem = per.join(keepers, "span").filter(
         F.col("doc_id") != F.col("keeper")
     )
-    cut = rem.select(
+    # Fold each affected doc's cut windows into ONE distinct-position
+    # array (internal order irrelevant: only size + membership are read).
+    cuts = rem.groupBy("doc_id").agg(
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(
+                    F.sequence(
+                        F.col("pos"), F.col("pos") + F.lit(_SPAN_TOKENS - 1)
+                    )
+                )
+            )
+        ).alias("cut_arr")
+    )
+    # Doc-level rebuild: kept positions = ascending sequence minus the
+    # cut set (array_except preserves left order; positions are unique),
+    # each mapped back to its token.  Affected docs only (inner join).
+    kept_pos = F.array_except(
+        F.sequence(F.lit(1).cast("bigint"), F.size("t").cast("bigint")),
+        F.col("cut_arr"),
+    )
+    return toks.join(cuts, "doc_id").select(
         "doc_id",
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + F.lit(_SPAN_TOKENS - 1))
-        ).alias("i"),
-    ).distinct()
-    tokpos = toks.select(
-        "doc_id", F.posexplode("t").alias("i0", "tok")
-    ).select("doc_id", (F.col("i0") + 1).cast("bigint").alias("i"), "tok")
-    kept = tokpos.join(cut, ["doc_id", "i"], "left_anti")
-    agg = kept.groupBy("doc_id").agg(
+        F.size("t").cast("bigint").alias("n_tok"),
+        F.size("cut_arr").cast("bigint").alias("n_removed"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "tok"))),
-                lambda x: x["tok"],
+                kept_pos, lambda p: F.element_at("t", p.cast("int"))
             ),
             " ",
-        ).alias("trimmed_text")
-    )
-    nrem = cut.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_removed")
-    )
-    sizes = toks.select("doc_id", F.size("t").cast("bigint").alias("n_tok"))
-    return (
-        nrem.join(sizes, "doc_id")
-        .join(agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tok",
-            "n_removed",
-            F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
-        )
+        ).alias("trimmed_text"),
     )
 
 

@@ -200,6 +200,10 @@ _FRONT = [
     "multimodal_resize",
     "pack_greedy_bins",
     "text_heavy_hitters",
+    # CHANGED r12 optimization session: token-level rebuild replaced by
+    # the doc-level array_except rebuild (result hash-equal at
+    # sf0.01/sf0.1, calibrated CPU A/B in OPTIMIZATION_r12.md).
+    "dedup_span_trim",
     "contamination_ngram_overlap",  # last green r8
     "text_entropy",  # last green r8
     "text_unigram_logloss",  # last green r8
