@@ -298,6 +298,81 @@ _SPAN_MAX_DOCS = 64
 _SPAN_CONCAT = " || ' ' || ".join(f"t[i+{k}]" for k in range(_SPAN_TOKENS))
 
 
+def _span_first_pos(toks: DataFrame) -> DataFrame:
+    """One row per DISTINCT (doc_id, span) with the span's first 1-based
+    position — the shared front half of both span-dedup queries —
+    restricted to spans whose 64-bit hash occurs at least twice
+    corpus-wide.
+
+    The restriction changes NO consumer's result, it only prunes rows
+    both consumers were already going to throw away: every downstream
+    tier keeps only spans present in >= 2 documents, and all
+    occurrences of one span share one hash, so any row this filter
+    drops belongs to a span with exactly one occurrence (nd = 1).
+    Collisions and same-doc repeats only let extra rows THROUGH, and
+    the exact string-keyed counts downstream re-filter them — a
+    Bloom-style superset prefilter (guide §3.2) with zero false
+    negatives by construction.
+
+    Why it exists (guide §2.3 — shuffle keys, not payloads): the
+    overwhelming majority of 8-token spans are singletons, yet the
+    pre-r13 shape shuffled every distinct (doc, span) row's ~50-byte
+    span STRING through both the (doc_id, span) aggregation and the
+    span-frequency aggregation — ~8x the corpus text, twice, for rows
+    that could never survive the nd >= 2 filter.  Now the first pass
+    reduces each span to its 8-byte xxhash64 before aggregating
+    (map-side partial agg collapses duplicates before the exchange),
+    and only occurrences of REPEATED hashes — the duplicated spans
+    plus a vanishing collision tail — carry their strings through the
+    exact string-keyed aggregation.  The corpus is scanned and the
+    n-grams built twice, but that is per-row codegen over a
+    sequential scan; the removed cost is the corpus-sized string
+    exchange, which is the 100 TB bill.  ``dup_h`` is
+    broadcast explicitly: duplicated-span hashes are dup-rate-sized
+    (8 bytes each), far below the span table; if a corpus's dup set
+    ever outgrew broadcast, drop the hint and the same plan degrades
+    to an 8-byte-key shuffle semi-join, never the old full-string
+    shuffle."""
+    # The n-gram explode is built STRAIGHT off ``toks`` in both passes
+    # — never off a withColumn'd array column: explode over a derived
+    # array column lets the optimizer push the Generate's inferred
+    # ``size(arr) > 0`` filter (InferFiltersFromGenerate) into the scan
+    # as a DataFilter, where the whole n-gram transform re-evaluates
+    # per row on the filter path and again on the project path
+    # (measured: 16.8 s vs 2.7 s for the identical result at sf0.1).
+    # One xxhash64 over the built span beats 8 per-token hashes
+    # combined bitwise (measured 0.55 s vs 1.04 s per pass): the
+    # string is materialized by the explode either way.
+    occ = toks.select(
+        "doc_id",
+        F.posexplode(word_ngrams("t", _SPAN_TOKENS)).alias("i0", "span"),
+    )
+    dup_h = (
+        occ.select(F.xxhash64("span").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nh"))
+        .filter(F.col("nh") >= 2)
+        .select("h")
+    )
+    per = (
+        occ.withColumn("h", F.xxhash64("span"))
+        .join(F.broadcast(dup_h), "h", "left_semi")
+        .drop("h")
+        .groupBy("doc_id", "span")
+        .agg((F.min("i0") + F.lit(1)).cast("bigint").alias("pos"))
+    )
+    # Both consumers reference this frame 2-3 times (frequency filter +
+    # join probes).  The old shape's top exchange was deduplicated by
+    # exchange reuse; the prefilter subtree defeats the canonical-plan
+    # match (measured: the scan+explode+semi-join prefix replayed 4-5x,
+    # 8.7 s vs 2.3 s for one pass), so cut the lineage ONCE here — the
+    # eager star_connected_components discipline (§5 multi-consumer
+    # materialization; eager, so racing consumers can never recompute
+    # it concurrently, the r12 triangle lesson).  The checkpointed
+    # frame is duplicated-occurrences-sized, never corpus-sized.
+    return per.localCheckpoint()
+
+
 @query(
     "dedup_span_exact",
     oracle=f"""
@@ -344,26 +419,21 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributes trivially).  Downstream, first_pos_* is where a span
     trimmer starts cutting.
 
-    Scale shape: positions collapse to one row per DISTINCT (doc, span)
-    before any join; spans seen in only ONE doc (the overwhelming
-    majority) are pruned by the candidate filter, and spans seen in
-    more than 64 docs are stop-patterns (boilerplate) and dropped —
-    the same frequency cap that keeps every LSH-family self-join
-    linear.  What remains joins on span equality — shuffle equi-join,
-    never corpus²."""
+    Scale shape: singleton spans (the overwhelming majority) are
+    pruned BEFORE any span string is shuffled by the 8-byte hash
+    prefilter in ``_span_first_pos`` (r13; exactness argument there),
+    positions collapse to one row per DISTINCT (doc, span), and spans
+    seen in more than 64 docs are stop-patterns (boilerplate) and
+    dropped — the same frequency cap that keeps every LSH-family
+    self-join linear.  What remains joins on span equality — a
+    duplicated-occurrences-sized equi-join, never corpus²."""
     d = table(spark, sf_dir, "documents").filter(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     )
     toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= _SPAN_TOKENS
     )
-    spans = toks.select(
-        "doc_id",
-        F.posexplode(word_ngrams("t", _SPAN_TOKENS)).alias("i0", "span"),
-    )
-    per = spans.groupBy("doc_id", "span").agg(
-        (F.min("i0") + F.lit(1)).cast("bigint").alias("pos")
-    )
+    per = _span_first_pos(toks)
     ok = (
         per.groupBy("span")
         .agg(F.count(F.lit(1)).alias("nd"))
@@ -479,9 +549,11 @@ def dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     order) — total order, engine-independent.  Docs trimmed to nothing
     emit ``''`` (empty kept-position array → empty array_join).
 
-    100 TB: the span table collapses to DISTINCT (doc, span) rows
-    before the keeper join (same pruning as ``dedup_span_exact`` —
-    singleton spans never join, >64-doc boilerplate is capped); cut
+    100 TB: singleton spans are hash-prefiltered before any string
+    shuffles (``_span_first_pos``, r13) and the span table collapses
+    to DISTINCT (doc, span) rows before the keeper join (same pruning
+    as ``dedup_span_exact`` — singleton spans never join, >64-doc
+    boilerplate is capped); cut
     positions fold per AFFECTED doc into one bounded array (≤ 8 ×
     duplicated-occurrence rows, ≤ doc length); the rebuild is a
     DOC-LEVEL join of that small frame against the token arrays — the
@@ -499,14 +571,7 @@ def dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= _SPAN_TOKENS
     )
-    per = (
-        toks.select(
-            "doc_id",
-            F.posexplode(word_ngrams("t", _SPAN_TOKENS)).alias("i0", "span"),
-        )
-        .groupBy("doc_id", "span")
-        .agg((F.min("i0") + F.lit(1)).cast("bigint").alias("pos"))
-    )
+    per = _span_first_pos(toks)
     keepers = (
         per.groupBy("span")
         .agg(F.count(F.lit(1)).alias("nd"), F.min("doc_id").alias("keeper"))

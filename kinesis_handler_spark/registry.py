@@ -200,10 +200,13 @@ _FRONT = [
     "multimodal_resize",
     "pack_greedy_bins",
     "text_heavy_hitters",
-    # CHANGED r12 optimization session: token-level rebuild replaced by
-    # the doc-level array_except rebuild (result hash-equal at
-    # sf0.01/sf0.1, calibrated CPU A/B in OPTIMIZATION_r12.md).
+    # CHANGED r13 optimization round: both span queries now share the
+    # hash-prefiltered _span_first_pos front half (result hash-equal at
+    # sf0.01/sf0.1, interleaved calibrated CPU A/B in
+    # OPTIMIZATION_r13.md — old 7.7-13.4 vs new 3.1-3.9 CPU-s).
+    # dedup_span_trim had also changed in r12 (doc-level rebuild).
     "dedup_span_trim",
+    "dedup_span_exact",
     "contamination_ngram_overlap",  # last green r8
     "text_entropy",  # last green r8
     "text_unigram_logloss",  # last green r8
