@@ -314,8 +314,12 @@ def _materialize_artifact(
     import shutil
     from pathlib import Path
 
+    from kinesis_handler_spark.functions import artifact_fp
+
     repo_root = Path(__file__).resolve().parents[2]
-    out = repo_root / ".fixture_cache" / Path(sf_dir).name / name
+    out = artifact_fp.versioned_artifact_dir(
+        repo_root / ".fixture_cache" / Path(sf_dir).name, name
+    )
     if not (out / "_SUCCESS").exists():
         tmp = out.parent / f".{name}.tmp.{os.getpid()}"
         shutil.rmtree(str(tmp), ignore_errors=True)

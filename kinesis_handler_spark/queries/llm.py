@@ -511,10 +511,12 @@ def _materialize_minhash_index(spark: SparkSession, sf_dir: str) -> str:
     import shutil
     from pathlib import Path
 
+    from kinesis_handler_spark.functions import artifact_fp
+
     repo_root = Path(__file__).resolve().parents[2]
-    out = (
-        repo_root / ".fixture_cache" / Path(sf_dir).name
-        / "minhash_band_index"
+    out = artifact_fp.versioned_artifact_dir(
+        repo_root / ".fixture_cache" / Path(sf_dir).name,
+        "minhash_band_index",
     )
     if not (out / "_SUCCESS").exists():
         tmp = out.parent / f".minhash_band_index.tmp.{os.getpid()}"

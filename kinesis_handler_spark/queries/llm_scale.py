@@ -946,8 +946,12 @@ def _materialize_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     import shutil
     from pathlib import Path
 
+    from kinesis_handler_spark.functions import artifact_fp
+
     repo_root = Path(__file__).resolve().parents[2]
-    out = repo_root / ".fixture_cache" / Path(sf_dir).name / "ivf_index"
+    out = artifact_fp.versioned_artifact_dir(
+        repo_root / ".fixture_cache" / Path(sf_dir).name, "ivf_index"
+    )
     if not (out / "members" / "_SUCCESS").exists():
         tmp = out.parent / f".ivf_index.tmp.{os.getpid()}"
         shutil.rmtree(str(tmp), ignore_errors=True)

@@ -304,7 +304,9 @@ def test_ann_incremental_never_scans_corpus_embeddings(spark, sf_dir):
     # _assign_gemm collects the K centroid rows driver-side (bounded
     # artifact), so no centroid scan either.
     assert plan.count("embeddings.parquet") == 0, plan
-    assert plan.count("ivf_index/members") == 1, plan
+    # artifact dirs carry a code fingerprint since r13: ivf_index-<fp>
+    assert plan.count("ivf_index") == 1, plan
+    assert "/members" in plan, plan
 
     # the subplan the batch checkpoint materializes (pre-truncate form)
     # scans embeddings exactly once — the pmod batch slice
