@@ -285,7 +285,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra full-width exchanges, and three lazy localCheckpoints whose
     un-materialized blocks get recomputed CONCURRENTLY by the racing
     broadcast-build jobs (checkpoints alone measured ~+40 CPU-s/run).
-    The same A/B kept the pagerank zero-share rewrite (mildly better)."""
+    The same A/B kept the pagerank zero-share rewrite (mildly better).
+
+    r13 re-adjudicated ONE piece of that bundle in isolation — the
+    corner credit.  "Only the cheap probe reruns" understated the
+    probe: each unionAll branch re-streamed the wedge hash-probe (the
+    O(m^1.5) stage), and the single-explode credit won the interleaved
+    calibrated CPU A/B decisively (see the comment at ``cnt``), so
+    that piece — and only that piece — is now in."""
     from pyspark.sql import Window
 
     li = table(spark, sf_dir, "lineitem").filter(
@@ -336,10 +343,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["a", "c"],
         "left_semi",
     )
+    # Corner credit in ONE pass over the enumerated triangles: each
+    # (a,b,c) row credits all three corners via explode (multiset-
+    # identical to the r12 3-way unionAll).  The unionAll form reused
+    # the broadcast EXCHANGES across branches but re-ran the wedge
+    # hash-probe stream — the O(m^1.5) part — once per branch; r13
+    # interleaved calibrated CPU A/B (5 cycles, result-equality
+    # first): union 12.4-20.1 vs explode 9.2-13.4 CPU-s, wall
+    # 3.4-4.3 vs 3.0-3.2 s — explode wins every cycle.
     cnt = (
-        tri.select(F.col("a").alias("part"))
-        .unionAll(tri.select(F.col("b").alias("part")))
-        .unionAll(tri.select(F.col("c").alias("part")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("part"))
         .groupBy("part")
         .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
     )

@@ -183,7 +183,9 @@ _FRONT = [
     # (see graph_triangle_count's docstring) — fronted anyway so the
     # round's driver verdict re-covers both at their final bodies.  They
     # displace the two r9-green tail fills (text_heavy_hitters,
-    # text_lm_bigram_logloss) past slot 50.
+    # text_lm_bigram_logloss) past slot 50.  (r13: triangle count
+    # changed AGAIN — single-explode corner credit, hash-equal at
+    # sf0.01/sf0.1 — so it keeps this slot for the r13 verdict.)
     "graph_triangle_count",
     "graph_pagerank",
     # CHANGED r12 by the worker-tune commit (5e4c481): these seven
