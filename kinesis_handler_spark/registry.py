@@ -171,80 +171,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # text_quality_classifier, and dedup_keep_best_quality are rows-only
 # (golden-pinned) and take no slot.
 _FRONT = [
-    "sim_ann_incremental",  # rows-only cold-exec (r11 op, zero driver evidence)
-    "text_langid_classifier",  # rows-only cold-exec (r11 op, zero driver evidence)
-    "multimodal_decode_gif",  # NEW r12 (never checked)
-    "multimodal_decode_adpcm",  # NEW r12 (never checked)
-    # CHANGED r12 after their r11 green (changed-since-checked guard +
-    # the r10 fronted-by-hand precedent for helper edits): pagerank's
-    # pagerank_fixed_point helper dropped its per-round join (kept — A/B
-    # green), and the triangle wedge pipeline was rewritten then REVERTED
-    # to its r11 body after a calibrated CPU A/B convicted the rewrite
-    # (see graph_triangle_count's docstring) — fronted anyway so the
-    # round's driver verdict re-covers both at their final bodies.  They
-    # displace the two r9-green tail fills (text_heavy_hitters,
-    # text_lm_bigram_logloss) past slot 50.  (r13: triangle count
-    # changed AGAIN — single-explode corner credit, hash-equal at
-    # sf0.01/sf0.1 — so it keeps this slot for the r13 verdict.)
-    "graph_triangle_count",
-    "graph_pagerank",
-    # CHANGED r12 by the worker-tune commit (5e4c481): these seven
-    # kernels gained the tuned() worker wrapper AFTER the round's
-    # record_front_hashes snapshot, so their changed-since-checked
-    # guard (tests/test_registry_front.py) requires a verdict slot.
-    # The other nine queries that commit touched were already in the
-    # front.  They displace the seven stalest r8-green tail fills past
-    # slot 50 (changed-since-checked outranks evidence-freshness).
-    "dedup_embedding_cosine",
-    "multimodal_decode_png",
-    "multimodal_decode_video",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "pack_greedy_bins",
-    "text_heavy_hitters",
-    # CHANGED r13 optimization round: both span queries now share the
-    # hash-prefiltered _span_first_pos front half (result hash-equal at
-    # sf0.01/sf0.1, interleaved calibrated CPU A/B in
-    # OPTIMIZATION_r13.md — old 7.7-13.4 vs new 3.1-3.9 CPU-s).
-    # dedup_span_trim had also changed in r12 (doc-level rebuild).
-    "dedup_span_trim",
+    # CHANGED r13 (changed-since-checked guard outranks evidence
+    # staleness): both span queries share the new hash-prefiltered
+    # _span_first_pos front half, and the triangle corner credit is
+    # one explode pass — all three hash-equal at sf0.01/sf0.1 locally,
+    # interleaved calibrated CPU A/Bs in OPTIMIZATION_r13.md.  They
+    # displace the three stalest r9-green tail fills past slot 50.
     "dedup_span_exact",
-    "contamination_ngram_overlap",  # last green r8
-    "text_entropy",  # last green r8
-    "text_unigram_logloss",  # last green r8
-    "text_tfidf_topterms",  # last green r8
-    "text_quality_score",  # last green r8
-    "dedup_near_jaccard",  # last green r8
-    "sim_cosine_topk",  # last green r8
-    "multimodal_binary_meta",  # last green r8
-    "udf_transformer",  # last green r8
-    "udaf_grouped_pandas",  # last green r8
-    "agg_median_mode",  # last green r8
-    "join_scalar_subquery",  # last green r8
-    "text_ngram_bigrams",  # last green r8
-    "embed_vector_stats",  # last green r8
-    "multimodal_features",  # last green r8
-    "embed_quantize",  # last green r8
-    "multimodal_header_parse",  # last green r8
-    "embed_random_projection",  # last green r8
-    "multimodal_decode_bmp",  # last green r8
-    "multimodal_decode_wav",  # last green r8
-    "multimodal_decode_jpeg",  # last green r8
-    "text_chunk_overlap",  # last green r8
-    "text_repetition_ratio",  # last green r8
-    "sample_hash_stratified",  # last green r8
-    "events_anomaly_zscore",  # last green r8
-    "pipeline_corpus_prep",  # last green r8
-    "join_agg_topk",  # last green r8
-    "agg_having_join_back",  # last green r8
-    "sql_window_topn",  # last green r8
-    "scalar_regex_redact",  # last green r8
-    "set_except_all",  # last green r8
-    "source_orc_scan",  # last green r8
-    "source_range_spine",  # last green r8
-    "source_avro_scan",  # last green r8
-    "reshape_unpivot",  # last green r8
-    "agg_histogram",  # last green r8
+    "dedup_span_trim",
+    "graph_triangle_count",
     "agg_min_max_by",  # last green r8
     "agg_bool_conditional",  # last green r8
     "window_time_slide",  # last green r8
@@ -256,6 +191,45 @@ _FRONT = [
     "text_lm_bigram_logloss",  # last green r9
     "text_pii_audit",  # last green r9
     "text_stats",  # last green r9
+    "text_normalize",  # last green r9
+    "dedup_components",  # last green r9
+    "dedup_containment",  # last green r9
+    "window_first_last",  # last green r9
+    "dedup_keep_latest",  # last green r9
+    "window_time_bucket",  # last green r9
+    "events_transition",  # last green r9
+    "text_line_dedup",  # last green r9
+    "scan_filter_project",  # last green r9
+    "filter_pushdown_dates",  # last green r9
+    "project_compute",  # last green r9
+    "agg_global",  # last green r9
+    "agg_groupby_pricing",  # last green r9
+    "agg_count_distinct",  # last green r9
+    "agg_count_distinct_salted",  # last green r9
+    "agg_rollup",  # last green r9
+    "join_left_outer",  # last green r9
+    "join_full_outer",  # last green r9
+    "join_semi",  # last green r9
+    "join_anti",  # last green r9
+    "join_range_theta",  # last green r9
+    "validate_predicate",  # last green r9
+    "layout_zorder",  # last green r9
+    "sketch_count_min",  # last green r9
+    "source_partitioned_scan",  # last green r9
+    "agg_order_priority_exists",  # last green r9
+    "agg_value_share",  # last green r9
+    "join_top_revenue_supplier",  # last green r9
+    "agg_supplier_cnt",  # last green r9
+    "join_large_orders",  # last green r9
+    "join_sole_blame_supplier",  # last green r9
+    "join_min_price_supplier",  # last green r9
+    "sql_correlated_subqueries",  # last green r9
+    "events_rolling_distinct",  # last green r9
+    "window_frame_exclude",  # last green r9
+    "join_dominant_supplier",  # last green r9
+    "split_train_holdout",  # last green r9
+    "sql_recursive_cte",  # last green r10
+    "agg_time_weighted_avg",  # last green r10
 ]
 
 
