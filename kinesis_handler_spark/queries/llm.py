@@ -29,6 +29,30 @@ from kinesis_handler_spark.functions.text import normalize_text, word_ngrams
 from kinesis_handler_spark.registry import query
 from kinesis_handler_spark.tables import table
 
+
+def _scan_bytes(d: DataFrame) -> int:
+    """Total bytes of ``d``'s source files, from the driver-side file
+    index (``inputFiles`` + one FileSystem.getFileStatus per file — no
+    Spark job; the ``io.multimodal._spread`` sizing discipline).  0 when
+    the frame has no listable files, so callers' ``max(floor, ...)``
+    clamps take over."""
+    try:
+        sc = d.sparkSession.sparkContext
+        files = d.inputFiles()
+        if not files:
+            return 0
+        jvm = sc._jvm
+        hconf = sc._jsc.hadoopConfiguration()
+        total = 0
+        for p in files:
+            path = jvm.org.apache.hadoop.fs.Path(p)
+            fs = path.getFileSystem(hconf)
+            total += fs.getFileStatus(path).getLen()
+        return int(total)
+    except Exception:  # noqa: BLE001 - sizing is a hint, never a failure
+        return 0
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -928,20 +952,51 @@ def udf_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom grouped aggregate via applyInPandas: exact per-user median
     (sorts within the group — deterministic; even-count median
-    interpolates identically to DuckDB's)."""
+    interpolates identically to DuckDB's).
+
+    The boundary is BUCKETED (guide §4.2/§4.5): grouping the Python
+    stage by ``pmod(xxhash64(user_id), B)`` instead of by ``user_id``
+    hands each kernel call ~thousands of users at once and computes
+    every median in one vectorized ``groupby`` — per-GROUP
+    applyInPandas pays one Arrow batch + one Python call per group
+    (measured ~2.4 ms × 1500 users = the entire 2.5 s runtime at
+    sf0.1), which bucketing amortizes to one call per bucket.  B is
+    derived from the source table's bytes (one bucket per ~8 MB of
+    input, floored at 2× cluster cores — the `_spread` sizing
+    discipline), so a 100 TB events table gets proportionally many
+    buckets and no pandas frame outgrows a task, while the hash spread
+    keeps buckets even under hot users (values of ONE user still meet
+    in one bucket, exactly as the semantics require).
+
+    user_id crosses the boundary AS A STRING (module NULL-safety rule
+    above: a bucket mixes users, so one NULL user_id would demote the
+    whole int64 column to float64 and corrupt ids above 2^53 — the
+    per-group shape dodged that only because each batch held a single
+    user); the long round-trips losslessly and NULL groups survive via
+    ``dropna=False``."""
     e = table(spark, sf_dir, "events").select("user_id", "value")
+    width = max(
+        2 * spark.sparkContext.defaultParallelism,
+        _scan_bytes(e) // (8 << 20),
+    )
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_events": [len(pdf)],
-                "median_value": [float(pdf["value"].median())],
-            }
-        )
+        g = pdf.groupby("uid", dropna=False)["value"]
+        out = g.agg(n_events="size", median_value="median").reset_index()
+        return out
 
-    return e.groupBy("user_id").applyInPandas(
-        tuned(stats), "user_id long, n_events long, median_value double"
+    bucketed = e.select(
+        F.col("user_id").cast("string").alias("uid"),
+        "value",
+        F.pmod(F.xxhash64("user_id"), F.lit(width)).alias("bucket"),
+    )
+    res = bucketed.groupBy("bucket").applyInPandas(
+        tuned(stats), "uid string, n_events long, median_value double"
+    )
+    return res.select(
+        F.col("uid").cast("long").alias("user_id"),
+        "n_events",
+        F.col("median_value").cast("double").alias("median_value"),
     )
 
 

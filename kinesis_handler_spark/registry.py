@@ -180,6 +180,7 @@ _FRONT = [
     "dedup_span_exact",
     "dedup_span_trim",
     "graph_triangle_count",
+    "udaf_grouped_pandas",  # CHANGED r13: bucketed grouped-pandas kernel
     "agg_min_max_by",  # last green r8
     "agg_bool_conditional",  # last green r8
     "window_time_slide",  # last green r8
