@@ -263,12 +263,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: Spark orients every edge from its (degree, id)-smaller to
     its (degree, id)-larger endpoint, so oriented out-degree is
-    O(sqrt(m)) and the wedge join emits O(m^1.5) candidate paths total
-    (Schank-Wagner bound) instead of sum(deg^2) — a celebrity node with
-    10^6 neighbors contributes zero wedges from its own adjacency
-    list.  Wedge close is a semi-join on the oriented edge set; all
-    stages are equi-joins + partial+final aggregates, no windows over
-    the graph, no collect.
+    O(sqrt(m)) (Schank-Wagner bound) — a celebrity node with 10^6
+    neighbors contributes zero candidates from its own adjacency list.
+    Closing corners come from intersecting the two endpoints' oriented
+    out-neighbor arrays per edge (bounded by the O(sqrt(m)) orientation
+    cap), so the O(m^1.5) candidate-path stream of the classic wedge
+    join never materializes as rows; all stages are equi-joins +
+    partial+final aggregates, no windows over the graph, no collect.
 
     r12 MEASURED OUT (do not re-try blind): a rewrite that built the
     edge list via per-order sorted collect_set baskets, localCheckpointed
@@ -331,26 +332,52 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(truncate)
     )
-    wedge = (
-        ow.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .join(
-            ow.select(F.col("src").alias("b"), F.col("dst").alias("c")),
-            "b",
+    # Adjacency-array intersection instead of a wedge row stream (r13,
+    # guide §1.2/§4.1: higher-order array ops replace a join).  The old
+    # shape enumerated every oriented 2-path as a ROW (7.3 M wedges at
+    # sf0.1) and semi-joined the oriented edge set to keep the 20.6 k
+    # that close; this shape attaches both endpoints' oriented
+    # out-neighbor arrays to each edge (arrays are O(sqrt(m)) by the
+    # orientation bound — max 39 at sf0.1) and emits closing corners
+    # straight from `array_intersect`, so the O(m^1.5) candidate stream
+    # becomes per-row array intersections and only real triangles ever
+    # materialize.  Multiset-identical: orientation is a total order,
+    # so each triangle is x→y, x→z, y→z for ordered corners (x,y,z);
+    # the old form found it as wedge x→y→z closed by x→z, this form as
+    # edge (x,y) with z ∈ N⁺(x)∩N⁺(y) — both exactly once as (x,y,z)
+    # (collect_list order is non-deterministic, but array_intersect
+    # membership is order-independent).  Joins left UNHINTED: AQE
+    # broadcasts adj at bench scale (~5 MB) and degrades to shuffle
+    # joins when adjacency outgrows broadcast, where the array payload
+    # through the exchange is O(Σdeg²) bytes — the same asymptotics the
+    # wedge rows paid, minus the 16×-row materialization.  Interleaved
+    # calibrated CPU A/B (6 cycles, unhinted, 100 rows bit-equal
+    # first): old 5.1-8.3 vs new 3.8-6.4 CPU-s (median −25%), wall
+    # 1.8-3.2 vs 1.0-1.6 s — new wins wall every cycle, CPU 5 of 6.
+    adj = ow.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    tri = (
+        ow.join(
+            adj.select(F.col("src").alias("a2"), F.col("nbrs").alias("na")),
+            F.col("src") == F.col("a2"),
         )
-    )
-    tri = wedge.join(
-        ow.select(F.col("src").alias("a"), F.col("dst").alias("c")),
-        ["a", "c"],
-        "left_semi",
+        .join(
+            adj.select(F.col("src").alias("b2"), F.col("nbrs").alias("nb")),
+            F.col("dst") == F.col("b2"),
+        )
+        .select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.explode(F.array_intersect("na", "nb")).alias("c"),
+        )
     )
     # Corner credit in ONE pass over the enumerated triangles: each
     # (a,b,c) row credits all three corners via explode (multiset-
     # identical to the r12 3-way unionAll).  The unionAll form reused
-    # the broadcast EXCHANGES across branches but re-ran the wedge
-    # hash-probe stream — the O(m^1.5) part — once per branch; r13
-    # interleaved calibrated CPU A/B (5 cycles, result-equality
-    # first): union 12.4-20.1 vs explode 9.2-13.4 CPU-s, wall
-    # 3.4-4.3 vs 3.0-3.2 s — explode wins every cycle.
+    # the broadcast EXCHANGES across branches but re-ran the closing
+    # probe stream once per branch; r13 interleaved calibrated CPU A/B
+    # (5 cycles, result-equality first): union 12.4-20.1 vs explode
+    # 9.2-13.4 CPU-s, wall 3.4-4.3 vs 3.0-3.2 s — explode wins every
+    # cycle.
     cnt = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("part"))
         .groupBy("part")
